@@ -212,7 +212,11 @@ def true_segment_intersection(ax1, az1, ax2, az2, bx1, bz1, bx2, bz2):
 def segment_ring_intersections(
     sx1: np.ndarray, sz1: np.ndarray, sx2: np.ndarray, sz2: np.ndarray, flat: FlatRings
 ):
-    """Intersect per-row segments with every ring edge of the same row.
+    """Intersect per-row segments with every ring edge of the same row,
+    using the "true" variant (shared exact endpoints excluded) — all of the
+    reference's polygon-vs-segment paths go through
+    getTrueLineSegmentIntersection (SimplePolygonShapeXZ.java:123-142,
+    LineSegmentXZ.java:65-68).
 
     Returns (pair_edge_row, pair_edge_ring, ix, iz, tA) for each hit, where
     tA is the parameter along the row's segment (for distance-from-start
@@ -225,7 +229,7 @@ def segment_ring_intersections(
         return i, i, e, e, e
     a_x1, a_z1 = sx1[edge_row], sz1[edge_row]
     a_x2, a_z2 = sx2[edge_row], sz2[edge_row]
-    hit, ix, iz = segment_intersection(a_x1, a_z1, a_x2, a_z2, x1, z1, x2, z2)
+    hit, ix, iz = true_segment_intersection(a_x1, a_z1, a_x2, a_z2, x1, z1, x2, z2)
     vx = a_x2 - a_x1
     vz = a_z2 - a_z1
     seg_len2 = vx * vx + vz * vz

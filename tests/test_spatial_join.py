@@ -1,0 +1,117 @@
+"""Spatial self-join tests: a hand-built scene with known golden overlaps
+(the OSMToMapDataConverterTest style: structural counts + membership truth
+tables, core-jvm/.../OSMToMapDataConverterTest.java) plus a synthetic-scale
+smoke run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2world_spark.sources.documents import DOCS_SCHEMA, extract_elements, synthetic_documents
+from osm2world_spark.operators.spatial_join import spatial_self_join
+
+
+def _doc(doc_id, kind, text):
+    return (doc_id, [{"kind": kind, "text": text, "media_ref": "", "offset": 0}])
+
+
+@pytest.fixture(scope="module")
+def scene_overlaps(spark):
+    area1 = (
+        "48.5660,13.4500 48.5660,13.4520 48.5680,13.4520 48.5680,13.4500 48.5660,13.4500"
+        " hole:48.5668,13.4508 48.5668,13.4512 48.5672,13.4512 48.5672,13.4508 48.5668,13.4508"
+    )
+    area2 = "48.5674,13.4502 48.5674,13.4506 48.5678,13.4506 48.5678,13.4502 48.5674,13.4502"
+    area3 = "48.5675,13.4515 48.5675,13.4525 48.5685,13.4525 48.5685,13.4515 48.5675,13.4515"
+    docs = spark.createDataFrame(
+        [
+            _doc("A1", "geo_area", area1),
+            _doc("A2", "geo_area", area2),
+            _doc("A3", "geo_area", area3),
+            _doc("N1", "geo_point", "48.5664,13.4505"),   # inside A1
+            _doc("N2", "geo_point", "48.5670,13.4510"),   # in A1's hole
+            _doc("N3", "geo_point", "48.5700,13.4700"),   # far outside
+            _doc("W1", "geo_way", "48.5665,13.4490 48.5665,13.4530"),  # crosses A1
+            _doc("W2", "geo_way", "48.5662,13.4502 48.5663,13.4504"),  # inside A1
+            _doc("W3", "geo_way", "48.5660,13.4500 48.5660,13.4520"),  # = A1 south edge
+            _doc("W4", "geo_way", "48.5690,13.4600 48.5696,13.4606"),
+            _doc("W5", "geo_way", "48.5696,13.4600 48.5690,13.4606"),  # crosses W4
+        ],
+        DOCS_SCHEMA,
+    )
+    elements = extract_elements(docs)
+    overlaps = spatial_self_join(elements).collect()
+    return {((r.a_id, r.b_id)): r for r in overlaps}, overlaps
+
+
+def test_na_contain(scene_overlaps):
+    by_pair, _ = scene_overlaps
+    r = by_pair.get(("N1#0", "A1#0"))
+    assert r is not None and r.overlap_kind == "CONTAIN" and r.a_type == "node"
+
+
+def test_hole_excludes_node(scene_overlaps):
+    by_pair, rows = scene_overlaps
+    assert not any("N2#0" in (r.a_id, r.b_id) for r in rows)
+    assert not any("N3#0" in (r.a_id, r.b_id) for r in rows)
+
+
+def test_wa_intersect_ordered_positions(scene_overlaps):
+    by_pair, _ = scene_overlaps
+    r = by_pair.get(("W1#0#0", "A1#0"))
+    assert r is not None and r.overlap_kind == "INTERSECT"
+    xs = [p.x for p in r.positions]
+    assert len(xs) == 2
+    assert xs == sorted(xs)  # ordered by distance from the way's west start
+
+
+def test_wa_contain(scene_overlaps):
+    by_pair, _ = scene_overlaps
+    r = by_pair.get(("W2#0#0", "A1#0"))
+    assert r is not None and r.overlap_kind == "CONTAIN"
+
+
+def test_wa_share_segment(scene_overlaps):
+    by_pair, _ = scene_overlaps
+    r = by_pair.get(("W3#0#0", "A1#0"))
+    assert r is not None and r.overlap_kind == "SHARE_SEGMENT"
+    assert r.positions == []
+
+
+def test_ww_intersect(scene_overlaps):
+    by_pair, _ = scene_overlaps
+    r = by_pair.get(("W4#0#0", "W5#0#0")) or by_pair.get(("W5#0#0", "W4#0#0"))
+    assert r is not None and r.overlap_kind == "INTERSECT"
+    assert len(r.positions) == 1
+
+
+def test_aa_contain_order(scene_overlaps):
+    by_pair, _ = scene_overlaps
+    # A1 contains A2 -> emitted as (contained, container)
+    r = by_pair.get(("A2#0", "A1#0"))
+    assert r is not None and r.overlap_kind == "CONTAIN"
+
+
+def test_aa_intersect(scene_overlaps):
+    by_pair, _ = scene_overlaps
+    r = by_pair.get(("A1#0", "A3#0")) or by_pair.get(("A3#0", "A1#0"))
+    assert r is not None and r.overlap_kind == "INTERSECT"
+
+
+def test_no_spurious_overlaps(scene_overlaps):
+    _, rows = scene_overlaps
+    # exactly the 7 golden overlaps and nothing else
+    assert len(rows) == 7, sorted((r.a_id, r.b_id, r.overlap_kind) for r in rows)
+
+
+def test_synthetic_smoke(spark):
+    docs = synthetic_documents(spark, 400, seed=42)
+    elements = extract_elements(docs)
+    overlaps = spatial_self_join(elements)
+    agg = overlaps.groupBy("overlap_kind").count().collect()
+    kinds = {r.overlap_kind: r["count"] for r in agg}
+    assert set(kinds) <= {"INTERSECT", "CONTAIN", "SHARE_SEGMENT"}
+    assert sum(kinds.values()) > 0
+    # pair uniqueness: no duplicate (a,b)
+    total = overlaps.count()
+    distinct = overlaps.dropDuplicates(["a_id", "b_id"]).count()
+    assert total == distinct
