@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline (documents -> elements -> tile
+assignment + typed-overlap spatial self-join) on sf0.001.
+
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md section 2; `oracle_sql()` carries the DuckDB-equivalent ANSI SQL.
+Geometry inputs are derived *deterministically from the driver tables* via
+integer arithmetic that both engines evaluate identically (same op tree,
+same doubles), so the oracle comparison is bit-exact for integer outputs
+and round(6)-stable for floating aggregates.
+
+Queries without an oracle entry (the driver records a rows-only check) are
+the genuinely non-SQL-expressible ops: the full spatial self-join over
+interleaved documents, MinHash-LSH near-dup, sign-LSH ANN, multimodal
+feature plumbing, and the cell encoders (S2/hex have no DuckDB analogue).
 """
 
 from __future__ import annotations
@@ -12,27 +21,913 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------- helpers
+
+# Deterministic geometry derivations, shared verbatim with the oracle SQL
+# (identical op tree => identical IEEE doubles in both engines). Every
+# fractional literal is CAST(... AS DOUBLE): both Spark 4 and DuckDB parse
+# bare decimal literals as DECIMAL, and their decimal division semantics
+# differ — forcing doubles keeps the arithmetic bit-identical.
+LAT = "CAST(48.52 AS DOUBLE) + ((({k}) * 2654435761) % 100000) / CAST(100000 AS DOUBLE) * CAST(0.10 AS DOUBLE)"
+LON = "CAST(13.37 AS DOUBLE) + ((({k}) * 40503) % 100000) / CAST(100000 AS DOUBLE) * CAST(0.13 AS DOUBLE)"
+X_M = "((({k}) * 2654435761) % 100000) / CAST(10 AS DOUBLE)"
+Z_M = "((({k}) * 40503) % 100000) / CAST(10 AS DOUBLE)"
+DLAT = "CAST(0.0005 AS DOUBLE) + ((({k}) * 13) % 40) / CAST(20000 AS DOUBLE)"
+DLON = "CAST(0.0008 AS DOUBLE) + ((({k}) * 29) % 40) / CAST(12000 AS DOUBLE)"
+RLAT = "(CAST(48.52 AS DOUBLE) + (py + CAST(0.5 AS DOUBLE)) / CAST(3000 AS DOUBLE))"
+RLON = "(CAST(13.37 AS DOUBLE) + (px + CAST(0.5 AS DOUBLE)) / CAST(3000 AS DOUBLE))"
+
+TX14 = "cast(floor(({lon} + 180.0) / 360.0 * 16384) as int)"
+TY14 = "cast(floor((1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))) / pi()) / 2.0 * 16384) as int)"
+
+# fixed fixture polygons for the PIP-membership query (closed rings,
+# lat/lon plane). poly 3 is concave.
+PIP_POLYGONS = {
+    1: [(48.53, 13.38), (48.53, 13.43), (48.57, 13.43), (48.57, 13.38), (48.53, 13.38)],
+    2: [(48.58, 13.44), (48.58, 13.49), (48.61, 13.49), (48.58, 13.44)],
+    3: [(48.54, 13.44), (48.54, 13.49), (48.575, 13.49), (48.575, 13.465),
+        (48.555, 13.465), (48.555, 13.44), (48.54, 13.44)],
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(df: DataFrame, key: str) -> DataFrame:
+    return df.select(
+        F.col(key).alias("key"),
+        F.expr(LAT.format(k=key)).alias("lat"),
+        F.expr(LON.format(k=key)).alias("lon"),
+    )
+
+
+def _pip_udf(packed: list[float]):
+    """Ray-cast membership UDF for one fixed polygon (factory: pandas_udf
+    type-hint inference rejects extra default args, so close over
+    `packed`)."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    def inside(lon, lat):
+        from osm2world_spark.functions.geometry import contains_point, flatten
+
+        flat = flatten([[packed]] * len(lon))
+        return pd.Series(contains_point(lon.values, lat.values, flat))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve from a nested scope — set real objects
+    inside.__annotations__ = {"lon": pd.Series, "lat": pd.Series, "return": pd.Series}
+    return F.pandas_udf(inside, BooleanType())
+
+
+def _planar(df: DataFrame, key: str) -> DataFrame:
+    return df.select(
+        F.col(key).alias("key"),
+        F.expr(X_M.format(k=key)).alias("x"),
+        F.expr(Z_M.format(k=key)).alias("z"),
+    )
+
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: driver documents -> interleaved geo documents -> elements
+    -> z12/z14 tile assignment joined with the typed-overlap self-join
+    summary. Returns per-tile counts (stable schema, >= 0 rows)."""
+    from osm2world_spark.sources.documents import extract_elements
+    from osm2world_spark.operators.tiling import assign_tiles
+    from osm2world_spark.operators.spatial_join import spatial_self_join
 
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _geo_docs_from_driver_documents(spark, sf_dir)
+    elements = extract_elements(docs).cache()
+    tiles = assign_tiles(elements, with_cells=True)
+    overlaps = spatial_self_join(elements)
+    tile_counts = tiles.groupBy("zoom", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_elements"),
+        F.countDistinct("h3_r9").alias("n_hex_cells"),
+        F.countDistinct("s2_l13").alias("n_s2_cells"),
+    )
+    ov_counts = overlaps.groupBy("overlap_kind").agg(F.count("*").alias("n"))
+    total_overlaps = ov_counts.agg(F.sum("n").alias("n_overlaps")).select(
+        F.lit(1).alias("join_key"), "n_overlaps"
+    )
+    return (
+        tile_counts.withColumn("join_key", F.lit(1))
+        .join(total_overlaps, "join_key")
+        .drop("join_key")
+        .orderBy("zoom", "tile_x", "tile_y")
+    )
+
+
+def _geo_docs_from_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build interleaved text+geo documents FROM the driver documents
+    table: the text span carries the original text (span-sequence source of
+    truth); geo spans are derived from doc_id arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    lat = F.expr(LAT.format(k="doc_id"))
+    lon = F.expr(LON.format(k="doc_id"))
+    lat2 = F.expr(LAT.format(k="doc_id * 7 + 3"))
+    lon2 = F.expr(LON.format(k="doc_id * 7 + 3"))
+    point = F.concat_ws(",", F.format_number(lat, 7), F.format_number(lon, 7))
+    way = F.concat_ws(
+        " ",
+        F.concat_ws(",", F.format_number(lat, 7), F.format_number(lon, 7)),
+        F.concat_ws(",", F.format_number(lat2, 7), F.format_number(lon2, 7)),
+    )
+    dla, dlo = 0.0006, 0.0009
+    area = F.concat_ws(
+        " ",
+        F.concat_ws(",", F.format_number(lat - dla, 7), F.format_number(lon - dlo, 7)),
+        F.concat_ws(",", F.format_number(lat - dla, 7), F.format_number(lon + dlo, 7)),
+        F.concat_ws(",", F.format_number(lat + dla, 7), F.format_number(lon + dlo, 7)),
+        F.concat_ws(",", F.format_number(lat + dla, 7), F.format_number(lon - dlo, 7)),
+        F.concat_ws(",", F.format_number(lat - dla, 7), F.format_number(lon - dlo, 7)),
+    )
+    kind2 = F.element_at(
+        F.array(F.lit("geo_point"), F.lit("geo_way"), F.lit("geo_area")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    geo_text = (
+        F.when(kind2 == "geo_point", point).when(kind2 == "geo_way", way).otherwise(area)
+    )
+    return d.select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                kind2.alias("kind"),
+                geo_text.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("media payload").alias("text"),
+                F.concat(F.lit("media://"), F.md5(F.col("text"))).alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- P3: point tile assignment (TileNumber.atLatLon)
+    def tile_points_z14(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey")
+        return (
+            pts.select(
+                T.tile_x_at(F.col("lon"), 14).alias("tile_x"),
+                T.tile_y_at(F.col("lat"), 14).alias("tile_y"),
+            )
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_points"))
+        )
+
+    q["tile_points_z14"] = tile_points_z14
+
+    # --- P5: ancestor roll-up (TileNumber.ancestor)
+    def tile_ancestor_z12(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey")
+        anc = T.ancestor_xy(
+            T.tile_x_at(F.col("lon"), 14), T.tile_y_at(F.col("lat"), 14), 14, 12
+        )
+        return (
+            pts.select(anc["x"].alias("tile_x"), anc["y"].alias("tile_y"))
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_points"))
+        )
+
+    q["tile_ancestor_z12"] = tile_ancestor_z12
+
+    # --- P4: bbox tile cover (TileNumber.tilesForBounds)
+    def tile_cover_z14(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        pts = _points(_t(spark, sf_dir, "customer"), "c_custkey")
+        dlat = F.expr(DLAT.format(k="key"))
+        dlon = F.expr(DLON.format(k="key"))
+        cover = T.tiles_for_bounds(
+            14, F.col("lat") - dlat, F.col("lon") - dlon, F.col("lat") + dlat, F.col("lon") + dlon
+        )
+        return pts.select(F.col("key").alias("c_custkey"), F.explode(cover).alias("t")).select(
+            "c_custkey", F.col("t.x").alias("tile_x"), F.col("t.y").alias("tile_y")
+        )
+
+    q["tile_cover_z14"] = tile_cover_z14
+
+    # --- string codec + TMS flip (TileNumber PATTERN, flippedY)
+    def tile_codec(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey")
+        tx = T.tile_x_at(F.col("lon"), 14)
+        ty = T.tile_y_at(F.col("lat"), 14)
+        return pts.select(
+            F.col("key").alias("o_orderkey"),
+            T.format_tile(F.lit(14), tx, ty, "/").alias("tile_str"),
+            T.flipped_y(F.lit(14), ty).alias("tms_y"),
+        )
+
+    q["tile_codec"] = tile_codec
+
+    # --- tile -> latLonBounds (tile2lat/tile2lon)
+    def tile_bounds(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        pts = _points(_t(spark, sf_dir, "customer"), "c_custkey")
+        tiles = pts.select(
+            T.tile_x_at(F.col("lon"), 14).alias("tile_x"),
+            T.tile_y_at(F.col("lat"), 14).alias("tile_y"),
+        ).distinct()
+        b = T.tile_lat_lon_bounds(F.lit(14), F.col("tile_x"), F.col("tile_y"))
+        return tiles.select(
+            "tile_x",
+            "tile_y",
+            F.round(b["minlat"], 9).alias("minlat"),
+            F.round(b["minlon"], 9).alias("minlon"),
+            F.round(b["maxlat"], 9).alias("maxlat"),
+            F.round(b["maxlon"], 9).alias("maxlon"),
+        )
+
+    q["tile_bounds"] = tile_bounds
+
+    # --- P8/P9: point-in-polygon membership over the real ray-cast kernel
+    def pip_membership(spark, sf_dir):
+        pts = _points(_t(spark, sf_dir, "customer"), "c_custkey")
+        out = None
+        for pid, ring in PIP_POLYGONS.items():
+            packed = [c for p in ring for c in (p[1], p[0])]  # x=lon, z=lat
+            inside = _pip_udf(packed)
+            part = pts.where(inside(F.col("lon"), F.col("lat"))).select(
+                F.col("key").alias("c_custkey"), F.lit(pid).alias("poly_id")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    q["pip_membership"] = pip_membership
+
+    # --- J7: exact kNN (ring expansion) — customer queries x supplier sites
+    def knn9(spark, sf_dir):
+        from osm2world_spark.operators.knn import knn_join
+
+        queries_df = _planar(_t(spark, sf_dir, "customer"), "c_custkey").select(
+            F.col("key").alias("q_id"), "x", "z"
+        )
+        sites = _planar(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
+            F.col("key").alias("s_id"), "x", "z"
+        )
+        nn = knn_join(queries_df, sites, k=9, cell_size=500.0)
+        return nn.select("q_id", "rank", "s_id", F.round("dist", 6).alias("dist_r"))
+
+    q["knn9"] = knn9
+
+    # --- J8: fixed-radius IDW join
+    def idw300(spark, sf_dir):
+        from osm2world_spark.operators.knn import idw_join
+
+        queries_df = _planar(_t(spark, sf_dir, "customer"), "c_custkey").select(
+            F.col("key").alias("q_id"), "x", "z"
+        )
+        sites = _planar(_t(spark, sf_dir, "supplier"), "s_suppkey").join(
+            _t(spark, sf_dir, "supplier").select("s_suppkey", F.col("s_acctbal").alias("y")),
+            F.col("key") == F.col("s_suppkey"),
+        ).select(F.col("key").alias("s_id"), "x", "z", "y")
+        return idw_join(queries_df, sites, cutoff=300.0, exponent=2.0).select(
+            "q_id", F.round("ele", 6).alias("ele_r")
+        )
+
+    q["idw300"] = idw300
+
+    # --- J10: raster -> tile zonal aggregation (integer-exact)
+    def raster_zonal(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        n = 300
+        px = (F.col("id") % n).cast("int")
+        py = F.floor(F.col("id") / n).cast("int")
+        grid = spark.range(n * n).select(
+            px.alias("px"),
+            py.alias("py"),
+            ((F.col("id") % n) * 7919 + F.floor(F.col("id") / n) * 104729).cast("bigint").alias("raw"),
+        )
+        grid = grid.withColumn("elev", F.col("raw") % 1000).drop("raw")
+        lat = F.expr(RLAT)
+        lon = F.expr(RLON)
+        return (
+            grid.select(
+                T.tile_x_at(lon, 14).alias("tile_x"),
+                T.tile_y_at(lat, 14).alias("tile_y"),
+                "elev",
+            )
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_px"), F.sum("elev").alias("sum_elev"))
+        )
+
+    q["raster_zonal"] = raster_zonal
+
+    # --- J3/J12: segment x segment intersection positions (pure Column)
+    def ww_intersections(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        seg = o.select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_orderkey") % 97).alias("bucket"),
+            F.expr(X_M.format(k="o_orderkey")).alias("x1"),
+            F.expr(Z_M.format(k="o_orderkey")).alias("z1"),
+            F.expr(X_M.format(k="o_orderkey * 3 + 1")).alias("x2"),
+            F.expr(Z_M.format(k="o_orderkey * 3 + 1")).alias("z2"),
+        )
+        a = seg.alias("a")
+        b = seg.alias("b")
+        vx = F.col("a.x2") - F.col("a.x1")
+        vz = F.col("a.z2") - F.col("a.z1")
+        qx = F.col("b.x2") - F.col("b.x1")
+        qz = F.col("b.z2") - F.col("b.z1")
+        denom = vz * qx - vx * qz
+        amcx = F.col("b.x1") - F.col("a.x1")
+        amcz = F.col("b.z1") - F.col("a.z1")
+        t = (amcz * qx - amcx * qz) / denom
+        s = (amcz * vx - amcx * vz) / denom
+        hit = (F.abs(denom) > 0.0001) & (t >= 0) & (t <= 1) & (s >= 0) & (s <= 1)
+        return (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.key") < F.col("b.key")))
+            .where(hit)
+            .select(
+                F.col("a.key").alias("a_key"),
+                F.col("b.key").alias("b_key"),
+                # mm fixed-point snap (floor(v*1000+0.5), the reference's
+                # Math.round idiom) — cross-engine-stable unlike round()
+                F.floor((F.col("a.x1") + t * vx) * 1000.0 + 0.5).cast("bigint").alias("ix_mm"),
+                F.floor((F.col("a.z1") + t * vz) * 1000.0 + 0.5).cast("bigint").alias("iz_mm"),
+            )
+        )
+
+    q["ww_intersections"] = ww_intersections
+
+    # --- A1: extent aggregation
+    def extent_agg(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        pts = c.select(
+            "c_nationkey",
+            F.expr(LAT.format(k="c_custkey")).alias("lat"),
+            F.expr(LON.format(k="c_custkey")).alias("lon"),
+        )
+        return pts.groupBy("c_nationkey").agg(
+            F.min("lat").alias("minlat"),
+            F.max("lat").alias("maxlat"),
+            F.min("lon").alias("minlon"),
+            F.max("lon").alias("maxlon"),
+            F.count("*").alias("n"),
+        )
+
+    q["extent_agg"] = extent_agg
+
+    # --- A4/2.5: top-k per group via window
+    def topk_orders(spark, sf_dir):
+        from pyspark.sql import Window
+
+        o = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        )
+
+    q["topk_orders"] = topk_orders
+
+    # --- 2.6: anti-join (skip-existing tiles)
+    def anti_join_tiles(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        cust = _points(_t(spark, sf_dir, "customer"), "c_custkey").select(
+            T.tile_x_at(F.col("lon"), 14).alias("tile_x"),
+            T.tile_y_at(F.col("lat"), 14).alias("tile_y"),
+        ).distinct()
+        supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
+            T.tile_x_at(F.col("lon"), 14).alias("tile_x"),
+            T.tile_y_at(F.col("lat"), 14).alias("tile_y"),
+        ).distinct()
+        return cust.join(supp, ["tile_x", "tile_y"], "left_anti")
+
+    q["anti_join_tiles"] = anti_join_tiles
+
+    # --- A3: grouped counting stats with cube (StatisticsOutput analogue)
+    def stats_cube(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (
+            d.cube("lang", "source")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+            .select(
+                F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+                F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+                "n_docs",
+                "sum_chars",
+            )
+        )
+
+    q["stats_cube"] = stats_cube
+
+    # --- dedup: exact
+    def dedup_exact(spark, sf_dir):
+        from osm2world_spark.operators.dedup import exact_dup_groups
+
+        d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        g = exact_dup_groups(d)
+        return g.select(
+            "fp_md5", "n_docs", F.concat_ws(",", F.col("doc_ids")).alias("doc_ids_str")
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    # --- text: token stats
+    def token_stats(spark, sf_dir):
+        from osm2world_spark.operators.text import token_stats as ts
+
+        return ts(_t(spark, sf_dir, "documents"))
+
+    q["token_stats"] = token_stats
+
+    # --- text: quality scoring
+    def quality_score(spark, sf_dir):
+        from osm2world_spark.operators.text import quality_score as qs
+
+        return qs(_t(spark, sf_dir, "documents"))
+
+    q["quality_score"] = quality_score
+
+    # --- text: language id
+    def lang_id(spark, sf_dir):
+        from osm2world_spark.operators.text import lang_id as li
+
+        return li(_t(spark, sf_dir, "documents"))
+
+    q["lang_id"] = lang_id
+
+    # --- text: fingerprint
+    def fingerprint(spark, sf_dir):
+        from osm2world_spark.operators.text import fingerprint as fp
+
+        return fp(_t(spark, sf_dir, "documents"))
+
+    q["fingerprint"] = fingerprint
+
+    # --- dedup: n-gram jaccard pairs
+    def ngram_jaccard(spark, sf_dir):
+        from osm2world_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = _t(spark, sf_dir, "documents")
+        return ngram_jaccard_pairs(d, threshold=0.05, n=3, group_col="source")
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    # --- dedup: simhash fingerprints
+    def simhash(spark, sf_dir):
+        from osm2world_spark.operators.dedup import simhash64
+
+        return simhash64(_t(spark, sf_dir, "documents"))
+
+    q["simhash"] = simhash
+
+    # --- similarity: exact cosine top-k
+    def cosine_topk(spark, sf_dir):
+        from osm2world_spark.operators.similarity import cosine_topk as ct
+
+        e = _t(spark, sf_dir, "embeddings")
+        return ct(e.where(F.col("vec_id") < 20), e, k=5)
+
+    q["cosine_topk"] = cosine_topk
+
+    # --- span-sequence invariant: explode + reassemble == original
+    def span_roundtrip(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        spans = d.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("offset", "tok")
+        )
+        rebuilt = (
+            spans.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("offset", "tok"))).alias("ps"))
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.transform("ps", lambda p: p["tok"])).alias("rebuilt"),
+            )
+        )
+        return rebuilt
+
+    q["span_roundtrip"] = span_roundtrip
+
+    # --- events: hourly grouped agg
+    def events_hourly(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        )
+
+    q["events_hourly"] = events_hourly
+
+    # --- A7: ordered collect per group
+    def collect_sorted(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.groupBy("user_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
+            )
+            .select(
+                "user_id",
+                F.concat_ws(",", F.transform("evs", lambda p: p["event_type"])).alias("event_seq"),
+            )
+        )
+
+    q["collect_sorted"] = collect_sorted
+
+    # ----------------- rows-only checks (non-SQL-expressible operators)
+
+    def spatial_overlaps(spark, sf_dir):
+        from osm2world_spark.sources.documents import extract_elements
+        from osm2world_spark.operators.spatial_join import spatial_self_join
+
+        docs = _geo_docs_from_driver_documents(spark, sf_dir)
+        return spatial_self_join(extract_elements(docs))
+
+    q["spatial_overlaps"] = spatial_overlaps
+
+    def cell_ids(spark, sf_dir):
+        from osm2world_spark.operators.tiling import assign_tiles
+        from osm2world_spark.sources.documents import extract_elements
+
+        docs = _geo_docs_from_driver_documents(spark, sf_dir)
+        return assign_tiles(extract_elements(docs), with_cells=True)
+
+    q["cell_ids"] = cell_ids
+
+    def minhash_near_dups(spark, sf_dir):
+        from osm2world_spark.operators.dedup import minhash_near_dups as mnd
+
+        d = _t(spark, sf_dir, "documents")
+        return mnd(d, k=32, bands=8, threshold=0.2)
+
+    q["minhash_near_dups"] = minhash_near_dups
+
+    def lsh_cosine_topk(spark, sf_dir):
+        from osm2world_spark.operators.similarity import lsh_cosine_topk as lct
+
+        e = _t(spark, sf_dir, "embeddings")
+        dim = len(e.select("embedding").first()[0])
+        return lct(e.where(F.col("vec_id") < 20), e, dim=dim, k=5)
+
+    q["lsh_cosine_topk"] = lsh_cosine_topk
+
+    def media_features(spark, sf_dir):
+        from osm2world_spark.operators.multimodal import extract_features, media_table
+
+        docs = _geo_docs_from_driver_documents(spark, sf_dir)
+        return extract_features(media_table(docs))
+
+    q["media_features"] = media_features
+
+    def knn_elevation(spark, sf_dir):
+        from osm2world_spark.operators.knn import interpolate_29nn
+
+        queries_df = _planar(_t(spark, sf_dir, "customer"), "c_custkey").select(
+            F.col("key").alias("q_id"), "x", "z"
+        )
+        sites = _planar(_t(spark, sf_dir, "orders"), "o_orderkey").select(
+            F.col("key").alias("s_id"), "x", "z", (F.col("x") / 10.0 + F.col("z") / 20.0).alias("y")
+        )
+        return interpolate_29nn(queries_df, sites).select("q_id", F.round("ele", 6).alias("ele_r"))
+
+    q["knn_elevation"] = knn_elevation
+
+    return q
+
+
+# ---------------------------------------------------------------- oracle
+
+def _pip_sql(pid: int, ring) -> str:
+    """Unrolled even-odd crossing test (SimplePolygonShapeXZ.java:74-93) for
+    a fixed polygon; x=lon, z=lat."""
+    terms = []
+    for i in range(len(ring) - 1):
+        zi, xi = ring[i]
+        zj, xj = ring[i + 1]
+        terms.append(
+            f"(CASE WHEN (({zi} > lat) != ({zj} > lat)) AND "
+            f"(lon < ({xj} - {xi}) * (lat - {zi}) / ({zj} - {zi}) + {xi}) THEN 1 ELSE 0 END)"
+        )
+    return f"(({' + '.join(terms)}) % 2 = 1)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lat_o = LAT.format(k="o_orderkey")
+    lon_o = LON.format(k="o_orderkey")
+    lat_c = LAT.format(k="c_custkey")
+    lon_c = LON.format(k="c_custkey")
+    lat_s = LAT.format(k="s_suppkey")
+    lon_s = LON.format(k="s_suppkey")
+
+    tx = TX14.format(lon="lon")
+    ty = TY14.format(lat="lat")
+
+    sql: dict[str, str] = {}
+
+    sql["tile_points_z14"] = f"""
+        SELECT {tx} AS tile_x, {ty} AS tile_y, count(*) AS n_points
+        FROM (SELECT {lat_o} AS lat, {lon_o} AS lon FROM orders)
+        GROUP BY 1, 2
     """
-    return {}
+
+    sql["tile_ancestor_z12"] = f"""
+        SELECT cast(floor((lon + 180.0) / 360.0 * 4096) as int) AS tile_x,
+               cast(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 4096) as int) AS tile_y,
+               count(*) AS n_points
+        FROM (SELECT {lat_o} AS lat, {lon_o} AS lon FROM orders)
+        GROUP BY 1, 2
+    """
+
+    sql["tile_cover_z14"] = f"""
+        WITH pts AS (
+          SELECT c_custkey, {lat_c} AS lat, {lon_c} AS lon,
+                 {DLAT.format(k="c_custkey")} AS dlat,
+                 {DLON.format(k="c_custkey")} AS dlon
+          FROM customer
+        ), rng AS (
+          SELECT c_custkey,
+                 {TX14.format(lon="(lon - dlon)")} AS x0,
+                 {TX14.format(lon="(lon + dlon)")} AS x1,
+                 {TY14.format(lat="(lat + dlat)")} AS y0,
+                 {TY14.format(lat="(lat - dlat)")} AS y1
+          FROM pts
+        )
+        SELECT c_custkey, cast(t.tile_x as int) AS tile_x, cast(u.tile_y as int) AS tile_y
+        FROM rng
+        CROSS JOIN unnest(generate_series(x0, x1)) AS t(tile_x)
+        CROSS JOIN unnest(generate_series(y0, y1)) AS u(tile_y)
+    """
+
+    sql["tile_codec"] = f"""
+        SELECT o_orderkey,
+               '14/' || tile_x || '/' || tile_y AS tile_str,
+               cast(16384 - 1 - tile_y as int) AS tms_y
+        FROM (
+          SELECT o_orderkey, {tx} AS tile_x, {ty} AS tile_y
+          FROM (SELECT o_orderkey, {lat_o} AS lat, {lon_o} AS lon FROM orders)
+        )
+    """
+
+    sql["tile_bounds"] = f"""
+        SELECT tile_x, tile_y,
+               round(degrees(atan((exp(pi() - 2*pi()*(tile_y+1)/16384.0) - exp(-(pi() - 2*pi()*(tile_y+1)/16384.0)))/2)), 9) AS minlat,
+               round(tile_x / 16384.0 * 360.0 - 180.0, 9) AS minlon,
+               round(degrees(atan((exp(pi() - 2*pi()*tile_y/16384.0) - exp(-(pi() - 2*pi()*tile_y/16384.0)))/2)), 9) AS maxlat,
+               round((tile_x + 1) / 16384.0 * 360.0 - 180.0, 9) AS maxlon
+        FROM (
+          SELECT DISTINCT {tx} AS tile_x, {ty} AS tile_y
+          FROM (SELECT {lat_c} AS lat, {lon_c} AS lon FROM customer)
+        )
+    """
+
+    pip_parts = [
+        f"SELECT c_custkey, {pid} AS poly_id FROM pts WHERE {_pip_sql(pid, ring)}"
+        for pid, ring in PIP_POLYGONS.items()
+    ]
+    sql["pip_membership"] = (
+        f"WITH pts AS (SELECT c_custkey, {lat_c} AS lat, {lon_c} AS lon FROM customer)\n"
+        + "\nUNION ALL\n".join(pip_parts)
+    )
+
+    sql["knn9"] = f"""
+        WITH q AS (SELECT c_custkey AS q_id, {X_M.format(k="c_custkey")} AS x, {Z_M.format(k="c_custkey")} AS z FROM customer),
+             s AS (SELECT s_suppkey AS s_id, {X_M.format(k="s_suppkey")} AS x, {Z_M.format(k="s_suppkey")} AS z FROM supplier)
+        SELECT q_id, cast(row_number() OVER w AS int) AS rank, s_id,
+               round(sqrt((q.x - s.x)*(q.x - s.x) + (q.z - s.z)*(q.z - s.z)), 6) AS dist_r
+        FROM q CROSS JOIN s
+        WINDOW w AS (PARTITION BY q_id ORDER BY sqrt((q.x - s.x)*(q.x - s.x) + (q.z - s.z)*(q.z - s.z)), s_id)
+        QUALIFY row_number() OVER w <= 9
+    """
+
+    sql["idw300"] = f"""
+        WITH q AS (SELECT c_custkey AS q_id, {X_M.format(k="c_custkey")} AS x, {Z_M.format(k="c_custkey")} AS z FROM customer),
+             s AS (SELECT {X_M.format(k="s_suppkey")} AS x, {Z_M.format(k="s_suppkey")} AS z, s_acctbal AS y FROM supplier)
+        SELECT q_id, round(sum(y * pow(d, -2.0)) / sum(pow(d, -2.0)), 6) AS ele_r
+        FROM (
+          SELECT q_id, sqrt((q.x - s.x)*(q.x - s.x) + (q.z - s.z)*(q.z - s.z)) AS d, y
+          FROM q CROSS JOIN s
+        )
+        WHERE d < 300.0
+        GROUP BY q_id
+    """
+
+    sql["raster_zonal"] = f"""
+        WITH grid AS (
+          SELECT cast(i % 300 as int) AS px, cast(i // 300 as int) AS py,
+                 ((i % 300) * 7919 + (i // 300) * 104729) % 1000 AS elev
+          FROM unnest(generate_series(0, 89999)) AS t(i)
+        )
+        SELECT {TX14.format(lon=RLON)} AS tile_x,
+               {TY14.format(lat=RLAT)} AS tile_y,
+               count(*) AS n_px, sum(elev) AS sum_elev
+        FROM grid GROUP BY 1, 2
+    """
+
+    seg = (
+        f"SELECT o_orderkey AS key, o_orderkey % 97 AS bucket, "
+        f"{X_M.format(k='o_orderkey')} AS x1, {Z_M.format(k='o_orderkey')} AS z1, "
+        f"{X_M.format(k='o_orderkey * 3 + 1')} AS x2, {Z_M.format(k='o_orderkey * 3 + 1')} AS z2 FROM orders"
+    )
+    sql["ww_intersections"] = f"""
+        WITH seg AS ({seg})
+        SELECT a.key AS a_key, b.key AS b_key,
+               cast(floor((a.x1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.x2 - a.x1)) * 1000.0 + 0.5) as bigint) AS ix_mm,
+               cast(floor((a.z1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.z2 - a.z1)) * 1000.0 + 0.5) as bigint) AS iz_mm
+        FROM seg a JOIN seg b ON a.bucket = b.bucket AND a.key < b.key
+        WHERE abs((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) > 0.0001
+          AND ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1
+          AND ((b.z1 - a.z1)*(a.x2 - a.x1) - (b.x1 - a.x1)*(a.z2 - a.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1
+    """
+
+    sql["extent_agg"] = f"""
+        SELECT c_nationkey, min(lat) AS minlat, max(lat) AS maxlat,
+               min(lon) AS minlon, max(lon) AS maxlon, count(*) AS n
+        FROM (SELECT c_nationkey, {lat_c} AS lat, {lon_c} AS lon FROM customer)
+        GROUP BY c_nationkey
+    """
+
+    sql["topk_orders"] = """
+        SELECT o_orderpriority, cast(row_number() OVER w AS int) AS rnk, o_orderkey, o_totalprice
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        QUALIFY row_number() OVER w <= 5
+    """
+
+    sql["anti_join_tiles"] = f"""
+        WITH cust AS (
+          SELECT DISTINCT {tx} AS tile_x, {ty} AS tile_y
+          FROM (SELECT {lat_c} AS lat, {lon_c} AS lon FROM customer)
+        ), supp AS (
+          SELECT DISTINCT {tx} AS tile_x, {ty} AS tile_y
+          FROM (SELECT {lat_s} AS lat, {lon_s} AS lon FROM supplier)
+        )
+        SELECT * FROM cust
+        WHERE NOT EXISTS (SELECT 1 FROM supp WHERE supp.tile_x = cust.tile_x AND supp.tile_y = cust.tile_y)
+    """
+
+    sql["stats_cube"] = """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs, sum(n_chars) AS sum_chars
+        FROM documents GROUP BY CUBE (lang, source)
+    """
+
+    sql["dedup_exact"] = """
+        SELECT md5(text) AS fp_md5, count(*) AS n_docs,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR) AS doc_ids_str
+        FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """
+
+    ntok = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    sql["token_stats"] = f"""
+        SELECT doc_id, cast({ntok} as int) AS n_tokens, cast(length(text) as int) AS n_chars,
+               cast(floor(cast(length(text) - ({ntok} - 1) as double) / {ntok} * 1000000.0 + 0.5) as bigint) AS avg_token_len_u6
+        FROM documents
+    """
+
+    stop = " + ".join(
+        f"cast((length(text) - length(replace(text, ' {w} ', ''))) / {len(w) + 2} as int)"
+        for w in ("the", "and", "of", "a")
+    )
+    sql["quality_score"] = f"""
+        SELECT doc_id, n_tokens,
+               cast(floor(stop_ratio * 1000000.0 + 0.5) as bigint) AS stopword_ratio_u6,
+               cast(floor(mean_len * 1000000.0 + 0.5) as bigint) AS mean_token_len_u6,
+               cast(floor((least(CAST(1.0 AS DOUBLE), n_tokens / CAST(64 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                     + least(CAST(1.0 AS DOUBLE), stop_ratio * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                     + (CASE WHEN mean_len >= 3.0 AND mean_len <= 8.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) * 1000000.0 + 0.5) as bigint) AS quality_u6
+        FROM (
+          SELECT doc_id, cast({ntok} as int) AS n_tokens,
+                 cast(({stop}) as double) / {ntok} AS stop_ratio,
+                 cast(length(text) - ({ntok} - 1) as double) / {ntok} AS mean_len
+          FROM documents
+        )
+    """
+
+    markers = {
+        "en": (" the ", " and "),
+        "es": (" el ", " la "),
+        "de": (" der ", " und "),
+        "fr": (" le ", " et "),
+    }
+    cnt = {
+        lang: " + ".join(
+            f"cast((length(t) - length(replace(t, '{m}', ''))) / {len(m)} as int)" for m in ms
+        )
+        for lang, ms in markers.items()
+    }
+    sql["lang_id"] = f"""
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'unknown'
+                    WHEN c_en = best THEN 'en'
+                    WHEN c_es = best THEN 'es'
+                    WHEN c_de = best THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM (
+          SELECT doc_id, c_en, c_es, c_de, c_fr, greatest(c_en, c_es, c_de, c_fr) AS best
+          FROM (
+            SELECT doc_id, {cnt['en']} AS c_en, {cnt['es']} AS c_es,
+                   {cnt['de']} AS c_de, {cnt['fr']} AS c_fr
+            FROM (SELECT doc_id, ' ' || text || ' ' AS t FROM documents)
+          )
+        )
+    """
+
+    sql["fingerprint"] = """
+        SELECT doc_id, md5(text) AS fp_md5,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
+        FROM documents
+    """
+
+    shingle_list = (
+        "CASE WHEN len(string_split(text, ' ')) - 2 >= 1 THEN "
+        "list_transform(range(len(string_split(text, ' ')) - 2), "
+        "i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]) "
+        "ELSE [text] END"
+    )
+    sql["ngram_jaccard"] = f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, source AS grp, unnest({shingle_list}) AS shingle
+          FROM documents
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.grp = b.grp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               cast(floor(n_common / cast(sa.n_sh + sb.n_sh - n_common as double) * 1000000.0 + 0.5) as bigint) AS jaccard_u6
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE n_common / cast(sa.n_sh + sb.n_sh - n_common as double) >= CAST(0.05 AS DOUBLE)
+    """
+
+    sql["simhash"] = """
+        WITH toks AS (
+          SELECT doc_id, ('0x' || substr(md5('0|' || tok), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        ), votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h & cast(pow(2, bit) as bigint)) != 0 THEN 1 ELSE -1 END) AS v
+          FROM toks CROSS JOIN unnest(generate_series(0, 59)) AS b(bit)
+          GROUP BY doc_id, bit
+        )
+        SELECT doc_id, sum(CASE WHEN v > 0 THEN cast(pow(2, bit) as bigint) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    """
+
+    dot = "list_sum(list_transform(range(len(q.embedding)), i -> q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))"
+    nrm = "sqrt(list_sum(list_transform(range(len({v}.embedding)), i -> {v}.embedding[i+1]::DOUBLE * {v}.embedding[i+1]::DOUBLE)))"
+    sql["cosine_topk"] = f"""
+        SELECT q_id, cast(row_number() OVER w AS int) AS rank, n_id, cos_sim
+        FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                 round({dot} / ({nrm.format(v='q')} * {nrm.format(v='c')}), 6) AS cos_sim
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        )
+        WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
+        QUALIFY row_number() OVER w <= 5
+    """
+
+    sql["span_roundtrip"] = "SELECT doc_id, text AS rebuilt FROM documents"
+
+    sql["events_hourly"] = """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["collect_sorted"] = """
+        SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+        FROM events GROUP BY user_id
+    """
+
+    return sql

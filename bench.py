@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is documents tiled+joined per second: the flagship
+pipeline (interleaved docs -> elements -> z12/z14 tile assignment +
+typed-overlap spatial self-join) over the deterministic synthetic document
+table (size via $SPARK_GRAFT_BENCH_DOCS, default 40000).
+
+Scaling protocol (BASELINE.md): run this same script at
+SPARK_GRAFT_CPUS=8 and =32 on identical input; efficiency =
+(T32_docs_per_sec / T8_docs_per_sec) / 4. tools/bench_scaling.py drives
+both runs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from osm2world_spark.session import get_spark
+    from osm2world_spark.sources.documents import extract_elements, synthetic_documents
+    from osm2world_spark.operators.spatial_join import spatial_self_join
+    from osm2world_spark.operators.tiling import assign_tiles
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        n = fn()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        return n
+
+    # ---- flagship: docs -> elements -> tiles + spatial self-join
+    docs = synthetic_documents(spark, n_docs, seed=42)
+    t0 = time.monotonic()
+    elements = extract_elements(docs).persist()
+    n_tiles = assign_tiles(elements, with_cells=True).count()
+    n_overlaps = spatial_self_join(elements).count()
+    flagship_sec = time.monotonic() - t0
+    elements.unpersist()
+    timings["flagship_tile_join"] = round(flagship_sec, 3)
+    docs_per_sec = n_docs / flagship_sec
+
+    # ---- representative operator queries on the driver tables
+    qs = entry.queries()
+    for name in (
+        "tile_points_z14",
+        "tile_cover_z14",
+        "pip_membership",
+        "knn9",
+        "idw300",
+        "raster_zonal",
+        "ww_intersections",
+        "dedup_exact",
+        "token_stats",
+        "ngram_jaccard",
+        "cosine_topk",
+        "minhash_near_dups",
+    ):
+        try:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+        except Exception as e:  # a failing query shows up as -1, not a crash
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "documents tiled+joined per second (flagship pipeline)",
+                "value": round(docs_per_sec, 1),
+                "unit": "docs/sec",
+                "total_sec": total,
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "n_tile_rows": n_tiles,
+                "n_overlaps": n_overlaps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+- exact: one hash-groupBy shuffle on md5(text) — map-side partial counts.
+- n-gram Jaccard: shingle explode -> self-join on (group, shingle) ->
+  per-pair intersection counts vs distinct-shingle counts. The join is
+  keyed by shingle, so frequency-skewed shingles are the hot keys; at
+  corpus scale a document-frequency cap (drop shingles with df > N) bounds
+  the blow-up — exposed as `max_df`.
+- MinHash+LSH: k hash functions (md5 with salt -> 60-bit ints) -> per-doc
+  signature -> band buckets -> candidate pairs joining on (band, bucket
+  hash) -> exact Jaccard verify. Entirely groupBy/join; no UDFs.
+- SimHash: per-token 60-bit hash; per-bit +-1 sums via an explode over bit
+  positions; sign -> fingerprint bit; near-dups = equal fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fp_md5, n_docs, doc_ids sorted) for texts occurring more than once."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("fp_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array Column (split on single spaces;
+    docs with fewer than n tokens produce a single whole-text shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs with word-n-gram Jaccard >= threshold:
+    (a_id, b_id, n_common, n_a, n_b, jaccard_u6 in micro-units).
+    `group_col` restricts pairs to the same group (blocking); `max_df`
+    drops ubiquitous shingles."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [F.lit(0).alias("grp")] ),
+        F.explode(_shingles(text_col, n)).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    if max_df:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(df_counts.where(F.col("df") <= max_df), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard_raw") >= threshold)
+        .withColumn("jaccard_u6", F.floor(F.col("jaccard_raw") * 1000000.0 + 0.5).cast("bigint"))
+    )
+    return out.select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard_u6")
+
+
+def _hash60(col, salt: int):
+    """Deterministic 60-bit integer hash via md5 prefix (portable: the same
+    value is computable in any engine with md5 + hex conversion)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig array<bigint> of k minhash values over word-n-gram
+    shingles). One explode + one groupBy; the k mins aggregate map-side."""
+    sh = shingle_table(docs, text_col, id_col, n)
+    mins = [F.min(_hash60(F.col("shingle"), s)).alias(f"h{s}") for s in range(k)]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[F.col(f"h{s}") for s in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket:
+    (a_id, b_id, n_bands_shared). rows = bands per doc; join key =
+    (band_idx, band hash)."""
+    k = None  # rows per band derived from the signature length at runtime
+    sig_len = F.size(F.col("sig"))
+    rows_per_band = (sig_len / bands).cast("int")
+    banded = signatures.select(
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).join(signatures, "doc_id").select(
+        "doc_id",
+        "band",
+        F.hash(F.concat_ws(",", F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band))).alias("bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
+    (a_id, b_id, jaccard >= threshold)."""
+    sigs = minhash_signatures(docs, k, n, text_col, id_col)
+    cand = lsh_candidate_pairs(sigs, bands).select("a_id", "b_id")
+    sh = shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "s")
+    b_sh = sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "s")
+    common = (
+        cand.join(a_sh, "a_id").join(b_sh, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 60-bit simhash: per-token md5-derived hash,
+    per-bit +-1 vote, sign -> bit. Explode over (token, bit) pairs; the
+    bit dimension is a 60-element sequence explode (pure Column)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = toks.withColumn("h", _hash60(F.col("tok"), 0))
+    # F.shiftleft/right need int shift amounts; powers of two are exact in
+    # doubles, so mask = pow(2, bit) cast to bigint + bitwiseAND instead
+    mask = F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+    bits = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("h"),
+    ).withColumn("vote", F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(-1))
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )

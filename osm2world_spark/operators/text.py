@@ -1,0 +1,108 @@
+"""Text-analysis operators for the documents table (training-data pipeline).
+
+These are the generic large-corpus operators a 100 TB document pipeline
+needs alongside the spatial engine: token counting, quality scoring,
+language id, fingerprinting. All pure Column expressions (whole-stage
+codegen; no Python) and all expressed so an ANSI-SQL oracle can reproduce
+them bit-for-bit (arithmetic on lengths/replaces rather than regex, which
+differs subtly between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via replace-count arithmetic:
+    len(text) - len(replace(text,' ','')) + 1 — identical semantics in any
+    ANSI engine (unlike split(), whose empty-string behavior varies)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1).cast("int")
+
+
+def substring_count(text: Column, sub: str) -> Column:
+    """Occurrences of `sub` via length arithmetic."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))) / len(sub)
+    ).cast("int")
+
+
+def micro(x) -> Column:
+    """Fixed-point snap to micro-units: floor(x * 1e6 + 0.5) as bigint.
+    The engine's cross-engine-stable determinism convention (the same idiom
+    as the reference's mm coordinate snap, MetricMapProjection.java:37-39):
+    identical doubles in any engine produce identical integers, unlike
+    round(), whose half-boundary behavior differs between engines."""
+    return F.floor(x * 1000000.0 + 0.5).cast("bigint")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len_u6 in micro-units)."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    n_chars = F.length(t)
+    avg_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        micro(avg_len).alias("avg_token_len_u6"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length/stopword/repetition quality heuristics:
+    (doc_id, n_tokens, stopword_ratio, mean_token_len, quality). The score
+    is a deterministic arithmetic blend — rank-stable, SQL-reproducible."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    stop = sum(substring_count(t, f" {w} ") for w in ("the", "and", "of", "a"))
+    stop_ratio = stop.cast("double") / n_tokens
+    mean_len = (F.length(t) - (n_tokens - 1)).cast("double") / n_tokens
+    quality = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 64.0) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
+        + F.when((mean_len >= 3.0) & (mean_len <= 8.0), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        micro(stop_ratio).alias("stopword_ratio_u6"),
+        micro(mean_len).alias("mean_token_len_u6"),
+        micro(quality).alias("quality_u6"),
+    )
+
+
+# marker words per language for the n-gram-heuristic language id; counts of
+# these decide the label (deterministic CASE cascade)
+_LANG_MARKERS = {
+    "en": (" the ", " and "),
+    "es": (" el ", " la "),
+    "de": (" der ", " und "),
+    "fr": (" le ", " et "),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language id: the language whose markers occur most often
+    wins; ties resolve in fixed (en, es, de, fr) order; no markers ->
+    'unknown'. (doc_id, pred_lang)."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    counts = {
+        lang: sum(substring_count(t, m) for m in markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(_LANG_MARKERS)):
+        pred = F.when((counts[lang] == best) & (best > 0), lang).otherwise(pred)
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the text plus a 60-bit numeric prefix
+    (usable as a join/sort key). (doc_id, fp_md5, fp60)."""
+    h = F.md5(F.col(text_col))
+    fp60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    return docs.select(F.col(id_col), h.alias("fp_md5"), fp60.alias("fp60"))

@@ -1,0 +1,97 @@
+"""Local replica of the driver's oracle gate: run each __spark_entry__
+queries()[name] at a given sf dir and compare against oracle_sql()[name]
+via DuckDB — row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from osm2world_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", app_name="oracle-check")
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                print(f"[rows-only] {name}: {n} rows, cols={df.columns}")
+            except Exception as e:
+                print(f"[rows-only] {name}: FAILED — {e}")
+                failures.append(name)
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            s_rows = [tuple(_norm(r[c]) for c in s_cols) for r in sdf.collect()]
+            o = con.sql(oracles[name])
+            o_cols = sorted(o.columns)
+            idx = [o.columns.index(c) for c in o_cols]
+            o_rows = [tuple(_norm(row[i]) for i in idx) for row in o.fetchall()]
+            ok_schema = s_cols == o_cols
+            ok_count = len(s_rows) == len(o_rows)
+            ok_values = sorted(map(repr, s_rows)) == sorted(map(repr, o_rows))
+            status = "OK" if (ok_schema and ok_count and ok_values) else "MISMATCH"
+            print(f"[oracle] {name}: {status} spark={len(s_rows)} duck={len(o_rows)} cols_ok={ok_schema}")
+            if status != "OK":
+                failures.append(name)
+                if not ok_schema:
+                    print(f"    spark cols: {s_cols}\n    duck cols:  {o_cols}")
+                if ok_schema:
+                    s_set = set(map(repr, s_rows))
+                    o_set = set(map(repr, o_rows))
+                    print(f"    spark-only: {sorted(s_set - o_set)[:3]}")
+                    print(f"    duck-only:  {sorted(o_set - s_set)[:3]}")
+        except Exception as e:
+            print(f"[oracle] {name}: ERROR — {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("ALL ORACLE CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
