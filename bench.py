@@ -49,7 +49,7 @@ def main() -> None:
         return n
 
     # ---- flagship: docs -> elements -> tiles + spatial self-join
-    docs = synthetic_documents(spark, n_docs, seed=42)
+    docs = synthetic_documents(spark, n_docs, seed=42, constant_density=True)
     t0 = time.monotonic()
     elements = extract_elements(docs).persist()
     n_tiles = assign_tiles(elements, with_cells=True).count()

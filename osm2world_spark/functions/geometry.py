@@ -95,7 +95,45 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
 
 def flatten(geoms) -> FlatRings:
     """Flatten a pandas Series / list of geometries (list-of-rings, each a
-    packed [x0,z0,...] array) into a FlatRings batch."""
+    packed [x0,z0,...] array) into a FlatRings batch.
+
+    Fast path: Arrow list offsets (no per-row Python) — the batch becomes
+    three numpy arrays via O(1) buffer views + vectorized offset math."""
+    try:
+        return _flatten_arrow(geoms)
+    except Exception:
+        return _flatten_python(geoms)
+
+
+def _flatten_arrow(geoms) -> FlatRings:
+    import pyarrow as pa
+
+    arr = pa.array(geoms, type=pa.list_(pa.list_(pa.float64())))
+    if arr.null_count:
+        raise ValueError("nulls -> python path")
+    n_rows = len(arr)
+    l1_off = arr.offsets.to_numpy().astype(np.int64)
+    ring_counts = np.diff(l1_off)
+    rings = arr.flatten()
+    l2_off = rings.offsets.to_numpy().astype(np.int64)
+    l2_off = l2_off - l2_off[0]
+    coords = rings.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    ring_npts = np.diff(l2_off) // 2
+    ring_start = l2_off[:-1] // 2
+    ring_row = np.repeat(np.arange(n_rows, dtype=np.int64), ring_counts)
+    ring_idx = _ranges(ring_counts)
+    return FlatRings(
+        n_rows=n_rows,
+        ring_row=ring_row,
+        ring_idx=ring_idx,
+        ring_start=ring_start,
+        ring_npts=ring_npts,
+        px=coords[0::2].copy(),
+        pz=coords[1::2].copy(),
+    )
+
+
+def _flatten_python(geoms) -> FlatRings:
     ring_row, ring_idx, ring_start, ring_npts, chunks = [], [], [], [], []
     pos = 0
     for row, rings in enumerate(geoms):

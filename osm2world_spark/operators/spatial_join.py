@@ -54,7 +54,13 @@ from pyspark.sql.types import (
 
 from ..sources.documents import way_segments
 
-CELL_SIZE_M = 1000.0  # IndexGrid cell scale (OSMToMapDataConverter.java:420-421)
+# Candidate-cell size. The reference's IndexGrid uses ~1000-unit cells
+# (OSMToMapDataConverter.java:420-421) sized for whole-extract bounds; the
+# pair set is IDENTICAL for any cell size (an element is inserted into all
+# covered cells, so overlapping bboxes always share a cell) — only the
+# within-cell cross-product cost changes. 150 m fits building-scale
+# geometry: the dense-cluster n^2 term drops ~40x vs 1000 m.
+CELL_SIZE_M = 150.0
 _CELL_OFFSET = 1 << 20
 EPS_COMMON_NODE = 0.01  # OSMToMapDataConverter.java:676
 
@@ -143,34 +149,85 @@ def metric_cells(minx, minz, maxx, maxz, cell_size: float = CELL_SIZE_M):
     )
 
 
-def candidate_pairs(surface: DataFrame, cell_size: float = CELL_SIZE_M) -> DataFrame:
+def candidate_pairs(
+    surface: DataFrame,
+    cell_size: float = CELL_SIZE_M,
+    salt_buckets: int = 8,
+    dense_threshold: int = 4000,
+) -> DataFrame:
     """Cell-cover explode + self-join on the cell key + pair dedup +
     inclusive bbox prefilter. Inclusive (<=) because SHARE_SEGMENT pairs can
-    meet exactly on their bbox edges."""
+    meet exactly on their bbox edges.
+
+    Skew ("dense urban cells"): besides AQE skew-split, cells holding more
+    than `dense_threshold` elements are TRIANGLE-SPLIT — each element gets a
+    salt s = hash(eid) % S; the self-join key becomes (cell, i, j) where the
+    left side replicates to tasks {(s, j) : j >= s} and the right side to
+    {(i, s) : i <= s}, so one quadratic cell becomes S*(S+1)/2 bounded
+    tasks. The dense-cell list is tiny and broadcast."""
     covered = surface.withColumn(
         "cell", F.explode(metric_cells(F.col("minx"), F.col("minz"), F.col("maxx"), F.col("maxz"), cell_size))
     )
-    a = covered.alias("a")
-    b = covered.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.cell") == F.col("b.cell"),
-                F.col("a.eid") < F.col("b.eid"),
-                F.col("a.minx") <= F.col("b.maxx"),
-                F.col("b.minx") <= F.col("a.maxx"),
-                F.col("a.minz") <= F.col("b.maxz"),
-                F.col("b.minz") <= F.col("a.maxz"),
-            ],
-        )
-        .select(
-            *[F.col(f"a.{c}").alias(f"a_{c}") for c in ("eid", "etype", "way_key", "seg_idx", "x1", "z1", "x2", "z2", "geom")],
-            *[F.col(f"b.{c}").alias(f"b_{c}") for c in ("eid", "etype", "way_key", "seg_idx", "x1", "z1", "x2", "z2", "geom")],
-        )
-        .dropDuplicates(["a_eid", "b_eid"])
+
+    S = salt_buckets
+    dense = (
+        covered.groupBy("cell")
+        .agg(F.count("*").alias("n_in_cell"))
+        .where(F.col("n_in_cell") > dense_threshold)
+        .select("cell")
     )
-    return pairs
+    covered = covered.join(
+        F.broadcast(dense.withColumn("is_dense", F.lit(True))), "cell", "left"
+    ).withColumn(
+        "salt",
+        F.when(F.col("is_dense"), F.pmod(F.xxhash64("eid"), F.lit(S))).otherwise(F.lit(0)).cast("int"),
+    )
+    # left replicas: (salt, j) for j in salt..S-1 (non-dense: only (0, 0))
+    left = covered.withColumn(
+        "tj",
+        F.explode(
+            F.when(F.col("is_dense"), F.sequence(F.col("salt"), F.lit(S - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
+    ).withColumn("ti", F.col("salt"))
+    # right replicas: (i, salt) for i in 0..salt
+    right = covered.withColumn(
+        "ti",
+        F.explode(
+            F.when(F.col("is_dense"), F.sequence(F.lit(0), F.col("salt"))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
+    ).withColumn("tj", F.col("salt"))
+
+    a = left.alias("a")
+    b = right.alias("b")
+    # Diagonal tasks (i == j) see each unordered pair on both sides, so
+    # eid< dedups there; an off-diagonal task sees the pair exactly once
+    # with ARBITRARY side order, so eid< would drop half the pairs —
+    # accept both orders there and canonicalize (swap to eid order) after.
+    cols = ("eid", "etype", "way_key", "seg_idx", "x1", "z1", "x2", "z2", "geom")
+    joined = a.join(
+        b,
+        on=[
+            F.col("a.cell") == F.col("b.cell"),
+            F.col("a.ti") == F.col("b.ti"),
+            F.col("a.tj") == F.col("b.tj"),
+            (F.col("a.ti") != F.col("a.tj")) | (F.col("a.eid") < F.col("b.eid")),
+            F.col("a.eid") != F.col("b.eid"),
+            F.col("a.minx") <= F.col("b.maxx"),
+            F.col("b.minx") <= F.col("a.maxx"),
+            F.col("a.minz") <= F.col("b.maxz"),
+            F.col("b.minz") <= F.col("a.maxz"),
+        ],
+    )
+    swap = F.col("a.eid") > F.col("b.eid")
+    exprs = []
+    for c in cols:
+        exprs.append(F.when(swap, F.col(f"b.{c}")).otherwise(F.col(f"a.{c}")).alias(f"a_{c}"))
+        exprs.append(F.when(swap, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(f"b_{c}"))
+    return joined.select(*exprs).dropDuplicates(["a_eid", "b_eid"])
 
 
 def _oriented(pairs: DataFrame) -> DataFrame:
@@ -499,9 +556,15 @@ def _poly_contains_outer(f_container, f_other, i) -> bool:
 # ----------------------------------------------------------- entry point
 
 def spatial_self_join(elements: DataFrame, cell_size: float = CELL_SIZE_M) -> DataFrame:
-    """Full typed-overlap self-join over an elements DataFrame."""
+    """Full typed-overlap self-join over an elements DataFrame.
+
+    The candidate join is materialized once (localCheckpoint) and the four
+    type-pair refinements read it — otherwise each union branch would
+    re-run the shuffle join. On a cluster the equivalent is a persisted
+    intermediate or an exchange reuse; localCheckpoint also keeps the plan
+    short for AQE."""
     surface = join_surface(elements)
-    pairs = _oriented(candidate_pairs(surface, cell_size))
+    pairs = _oriented(candidate_pairs(surface, cell_size)).localCheckpoint(eager=False)
     ww = _refine_ww(pairs)
     na = _refine_na(pairs)
     wa = _refine_wa(pairs)

@@ -83,22 +83,35 @@ def _u01(i: np.ndarray, stream: int, seed: int) -> np.ndarray:
 
 # ----------------------------------------------------------- generation
 
-def _gen_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
+def _gen_rows(ids: np.ndarray, seed: int, scale: float = 1.0) -> pd.DataFrame:
     """Generate document rows for an array of doc indices (vectorized per
-    span slot; at most 12 slots)."""
-    minlat, minlon, maxlat, maxlon = BBOX
+    span slot; at most 12 slots). `scale` widens the bbox (and the cluster
+    grid) around its center so spatial DENSITY stays constant as the corpus
+    grows — the realistic 100 TB shape (more area, not denser cells); the
+    100x cluster skew is preserved."""
+    b_minlat, b_minlon, b_maxlat, b_maxlon = BBOX
+    c0lat, c0lon = (b_minlat + b_maxlat) / 2, (b_minlon + b_maxlon) / 2
+    minlat = c0lat - (c0lat - b_minlat) * scale
+    maxlat = c0lat + (b_maxlat - c0lat) * scale
+    minlon = c0lon - (c0lon - b_minlon) * scale
+    maxlon = c0lon + (b_maxlon - c0lon) * scale
+    maxlat = min(maxlat, 84.0)
+    minlat = max(minlat, -84.0)
     n = len(ids)
     n_spans = 1 + np.floor(_u01(ids, 0, seed) * 12).astype(np.int64)
 
     # skewed cluster choice: cube-law concentrates docs in low-index centers
-    # (exercises salting + AQE skew-split, FIXTURES.md section 1)
-    center_idx = np.floor(_u01(ids, 1, seed) ** 3 * N_CENTERS).astype(np.int64)
+    # (exercises salting + AQE skew-split, FIXTURES.md section 1); the
+    # number of centers grows with the area so per-center density is stable
+    n_centers = max(N_CENTERS, int(N_CENTERS * scale * scale))
+    center_idx = np.floor(_u01(ids, 1, seed) ** 3 * n_centers).astype(np.int64)
     c_lat = minlat + _u01(center_idx, 900, seed) * (maxlat - minlat)
     c_lon = minlon + _u01(center_idx, 901, seed) * (maxlon - minlon)
 
     words = np.array(
         "the spark tile join scan area point way node query data span doc media river road park".split()
     )
+    bounds = (minlat, minlon, maxlat, maxlon)
 
     spans_per_doc: list[list[dict]] = [[] for _ in range(n)]
     max_spans = int(n_spans.max()) if n else 0
@@ -118,7 +131,7 @@ def _gen_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
         # log-normal radial offset around the doc's cluster center
         u_r = _u01(di, 11 + 7 * j, seed)
         u_t = _u01(di, 12 + 7 * j, seed)
-        r_deg = np.exp(-6.5 + 1.2 * _norminv(u_r))
+        r_deg = np.exp(-6.0 + 1.0 * _norminv(u_r))
         theta = 2 * np.pi * u_t
         lat0 = np.clip(c_lat[idx] + r_deg * np.sin(theta), minlat + 1e-4, maxlat - 1e-4)
         lon0 = np.clip(c_lon[idx] + r_deg * np.cos(theta) * 1.5, minlon + 1e-4, maxlon - 1e-4)
@@ -141,10 +154,11 @@ def _gen_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
                     {"kind": "geo_point", "text": _fmt_pts([(la, lo)]), "media_ref": "", "offset": j}
                 )
             elif kc == 3:
-                pts = _walk(i, j, la, lo, seed, npts=2 + int(_u01(np.array([i]), 13 + 7 * j, seed)[0] * 5))
+                pts = _walk(i, j, la, lo, seed, bounds,
+                            npts=2 + int(_u01(np.array([i]), 13 + 7 * j, seed)[0] * 5))
                 spans_per_doc[k].append({"kind": "geo_way", "text": _fmt_pts(pts), "media_ref": "", "offset": j})
             else:
-                txt = _area_text(i, j, la, lo, seed)
+                txt = _area_text(i, j, la, lo, seed, bounds)
                 spans_per_doc[k].append({"kind": "geo_area", "text": txt, "media_ref": "", "offset": j})
 
     return pd.DataFrame(
@@ -163,34 +177,34 @@ def _fmt_pts(pts) -> str:
     return " ".join(f"{la:.7f},{lo:.7f}" for la, lo in pts)
 
 
-def _walk(i: int, j: int, lat: float, lon: float, seed: int, npts: int):
+def _walk(i: int, j: int, lat: float, lon: float, seed: int, bounds, npts: int):
     pts = [(lat, lon)]
     for s in range(1, npts):
-        dla = (_u01(np.array([i * 97 + s]), 40 + j, seed)[0] - 0.5) * 0.002
-        dlo = (_u01(np.array([i * 89 + s]), 41 + j, seed)[0] - 0.5) * 0.003
-        la = min(max(pts[-1][0] + dla, BBOX[0]), BBOX[2])
-        lo = min(max(pts[-1][1] + dlo, BBOX[1]), BBOX[3])
+        dla = (_u01(np.array([i * 97 + s]), 40 + j, seed)[0] - 0.5) * 0.0008
+        dlo = (_u01(np.array([i * 89 + s]), 41 + j, seed)[0] - 0.5) * 0.0012
+        la = min(max(pts[-1][0] + dla, bounds[0]), bounds[2])
+        lo = min(max(pts[-1][1] + dlo, bounds[1]), bounds[3])
         pts.append((la, lo))
     return pts
 
 
-def _area_text(i: int, j: int, lat: float, lon: float, seed: int) -> str:
+def _area_text(i: int, j: int, lat: float, lon: float, seed: int, bounds) -> str:
     nv = 4 + int(_u01(np.array([i * 53 + j]), 50, seed)[0] * 5)  # 4..8 vertices
-    rad = 0.0003 + _u01(np.array([i * 59 + j]), 51, seed)[0] * 0.0015
-    ring = _regular_ring(lat, lon, rad, nv, phase=_u01(np.array([i + j]), 52, seed)[0])
+    rad = 0.00006 + _u01(np.array([i * 59 + j]), 51, seed)[0] * 0.0004
+    ring = _regular_ring(lat, lon, rad, nv, bounds, phase=_u01(np.array([i + j]), 52, seed)[0])
     txt = _fmt_pts(ring)
     if _u01(np.array([i * 61 + j]), 53, seed)[0] < 0.2:  # 20% get one hole
-        hole = _regular_ring(lat, lon, rad * 0.4, 4, phase=0.1)
+        hole = _regular_ring(lat, lon, rad * 0.4, 4, bounds, phase=0.1)
         txt += " hole:" + _fmt_pts(hole)
     return txt
 
 
-def _regular_ring(lat: float, lon: float, rad: float, nv: int, phase: float):
+def _regular_ring(lat: float, lon: float, rad: float, nv: int, bounds, phase: float):
     ang = 2 * np.pi * (phase + np.arange(nv) / nv)
     pts = [
         (
-            min(max(lat + rad * np.sin(a), BBOX[0]), BBOX[2]),
-            min(max(lon + rad * 1.5 * np.cos(a), BBOX[1]), BBOX[3]),
+            min(max(lat + rad * np.sin(a), bounds[0]), bounds[2]),
+            min(max(lon + rad * 1.5 * np.cos(a), bounds[1]), bounds[3]),
         )
         for a in ang
     ]
@@ -198,15 +212,26 @@ def _regular_ring(lat: float, lon: float, rad: float, nv: int, phase: float):
     return pts
 
 
-def synthetic_documents(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def synthetic_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    constant_density: bool = False,
+) -> DataFrame:
     """Deterministic interleaved-document table, generated distributively:
     spark.range drives doc indices; each Arrow batch materializes its rows
-    as a pure function of (seed, index)."""
+    as a pure function of (seed, index, n_docs).
+
+    constant_density=True widens the bbox with sqrt(n_docs/5000) so per-cell
+    density (and thus per-cell join cost) is independent of corpus size —
+    the realistic planetary-scale shape used for throughput benchmarks."""
     rng = spark.range(0, n_docs, numPartitions=partitions)
+    scale = max(1.0, (n_docs / 2000.0) ** 0.5) if constant_density else 1.0
 
     def gen(batches):
         for pdf in batches:
-            yield _gen_rows(pdf["id"].values, seed)
+            yield _gen_rows(pdf["id"].values, seed, scale)
 
     return rng.mapInPandas(gen, schema=DOCS_SCHEMA)
 

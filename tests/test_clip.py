@@ -1,0 +1,79 @@
+"""Clip operator tests: center-in-tile ownership and Sutherland-Hodgman /
+Liang-Barsky tile clipping (MeshStore.ClipToBounds semantics)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2world_spark.operators.clip import (
+    _clip_polyline,
+    _clip_segment,
+    _sh_clip_ring,
+    clip_to_tiles,
+    owner_tile,
+)
+from osm2world_spark.sources.documents import (
+    DEFAULT_ORIGIN,
+    extract_elements,
+    synthetic_documents,
+)
+
+
+def test_sh_clip_square_overlap():
+    ring = np.array([0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0])
+    res = _sh_clip_ring(ring[0::2], ring[1::2], 5.0, 5.0, 20.0, 20.0)
+    xs, zs = res
+    # clipped to the [5,10]x[5,10] square
+    assert xs.min() == 5.0 and xs.max() == 10.0
+    assert zs.min() == 5.0 and zs.max() == 10.0
+    assert xs[0] == xs[-1] and zs[0] == zs[-1]  # closed
+
+
+def test_sh_clip_fully_inside_and_outside():
+    ring = np.array([1.0, 1.0, 2.0, 1.0, 2.0, 2.0, 1.0, 2.0, 1.0, 1.0])
+    res = _sh_clip_ring(ring[0::2], ring[1::2], 0.0, 0.0, 10.0, 10.0)
+    np.testing.assert_array_equal(res[0], ring[0::2])
+    assert _sh_clip_ring(ring[0::2], ring[1::2], 5.0, 5.0, 10.0, 10.0) is None
+
+
+def test_clip_segment():
+    assert _clip_segment(-5, 5, 15, 5, 0, 0, 10, 10) == ((0.0, 5.0), (10.0, 5.0))
+    assert _clip_segment(-5, -5, -1, -1, 0, 0, 10, 10) is None
+    assert _clip_segment(1, 1, 2, 2, 0, 0, 10, 10) == ((1, 1), (2, 2))
+
+
+def test_clip_polyline_crossing():
+    xs = np.array([-5.0, 15.0])
+    zs = np.array([5.0, 5.0])
+    cx, cz = _clip_polyline(xs, zs, 0, 0, 10, 10)
+    assert cx.tolist() == [0.0, 10.0] and cz.tolist() == [5.0, 5.0]
+
+
+def test_owner_unique_and_clip_cover(spark):
+    docs = synthetic_documents(spark, 200, seed=42)
+    els = extract_elements(docs).cache()
+    owned = owner_tile(els, zoom=12)
+    # exactly one owner row per element
+    assert owned.count() == els.count()
+
+    clipped = clip_to_tiles(els, DEFAULT_ORIGIN, zoom=14).cache()
+    n = clipped.count()
+    assert n >= els.count() * 0.5  # most elements survive somewhere
+    # every clipped area ring is closed and within its tile's metric box
+    # (spot-check a few rows)
+    rows = clipped.where("element_type = 'area'").limit(10).collect()
+    from osm2world_spark.functions.tiles import py_tile_bounds
+    from osm2world_spark.functions.projection import np_to_xz
+
+    for r in rows:
+        minlat, minlon, maxlat, maxlon = py_tile_bounds(r.zoom, r.tile_x, r.tile_y)
+        xa, za = np_to_xz(np.array([minlat, maxlat]), np.array([minlon, maxlon]), DEFAULT_ORIGIN)
+        minx, maxx = sorted(xa)
+        minz, maxz = sorted(za)
+        for ring in r.geom:
+            xs, zs = np.array(ring[0::2]), np.array(ring[1::2])
+            assert xs.min() >= minx - 1e-6 and xs.max() <= maxx + 1e-6
+            assert zs.min() >= minz - 1e-6 and zs.max() <= maxz + 1e-6
+            assert xs[0] == xs[-1] and zs[0] == zs[-1]
+    clipped.unpersist()
+    els.unpersist()

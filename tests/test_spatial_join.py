@@ -115,3 +115,23 @@ def test_synthetic_smoke(spark):
     total = overlaps.count()
     distinct = overlaps.dropDuplicates(["a_id", "b_id"]).count()
     assert total == distinct
+
+
+def test_salting_preserves_results(spark):
+    """Triangle-split salting of dense cells must not change the pair set:
+    run with salting forced on every cell vs effectively off."""
+    from osm2world_spark.operators.spatial_join import (
+        _oriented,
+        candidate_pairs,
+        join_surface,
+    )
+    from osm2world_spark.sources.documents import extract_elements, synthetic_documents
+
+    docs = synthetic_documents(spark, 300, seed=11)
+    surface = join_surface(extract_elements(docs)).cache()
+    plain = candidate_pairs(surface, dense_threshold=10**9)
+    salted = candidate_pairs(surface, salt_buckets=4, dense_threshold=1)
+    p = sorted((r.a_eid, r.b_eid) for r in plain.select("a_eid", "b_eid").collect())
+    s = sorted((r.a_eid, r.b_eid) for r in salted.select("a_eid", "b_eid").collect())
+    assert p == s
+    surface.unpersist()
