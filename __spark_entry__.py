@@ -560,6 +560,206 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["collect_sorted"] = collect_sorted
 
+    # --- P1/P2: metric Mercator projection with mm snap (MetricMapProjection)
+    def mercator_xz(spark, sf_dir):
+        from osm2world_spark.functions.projection import to_lat, to_lon, to_x, to_z
+        from osm2world_spark.sources.documents import DEFAULT_ORIGIN as ORG
+
+        pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey")
+        x = to_x(F.col("lon"), ORG)
+        z = to_z(F.col("lat"), ORG)
+        return pts.select(
+            F.col("key").alias("o_orderkey"),
+            F.floor(x * 1000.0 + 0.5).cast("bigint").alias("x_mm"),
+            F.floor(z * 1000.0 + 0.5).cast("bigint").alias("z_mm"),
+            # inverse round-trip, snapped to 1e-9 deg
+            F.floor(to_lat(z, ORG) * 1e9 + 0.5).cast("bigint").alias("lat_n9"),
+            F.floor(to_lon(x, ORG) * 1e9 + 0.5).cast("bigint").alias("lon_n9"),
+        )
+
+    q["mercator_xz"] = mercator_xz
+
+    # --- A2/P10: shoelace area + centroid + winding over the REAL numpy
+    # kernel (ring_signed_area/ring_centroid, SimplePolygonXZ.java:664-672,
+    # :214-236, :240-245); polygons are an L-shape scaled+translated by
+    # integer key arithmetic so every vertex coordinate is an exact double
+    def centroid_area(spark, sf_dir):
+        import pandas as pd
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        base = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0)]
+        c = _t(spark, sf_dir, "customer")
+        s = (1 + F.col("c_custkey") % 7).cast("double")
+        tx = ((F.col("c_custkey") * 31) % 1000).cast("double")
+        tz = ((F.col("c_custkey") * 17) % 1000).cast("double")
+        packed = F.array(*[v for px_, pz_ in base for v in (s * px_ + tx, s * pz_ + tz)])
+        src = c.select(F.col("c_custkey"), packed.alias("ring"))
+
+        out_schema = StructType(
+            [
+                StructField("c_custkey", LongType()),
+                StructField("area_x2", LongType()),
+                StructField("winding", StringType()),
+                StructField("cx_u6", LongType()),
+                StructField("cz_u6", LongType()),
+            ]
+        )
+
+        def kernel(batches):
+            import numpy as np
+
+            from osm2world_spark.functions.geometry import (
+                flatten,
+                ring_centroid,
+                ring_signed_area,
+            )
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                flat = flatten([[r] for r in pdf["ring"]])
+                signed = ring_signed_area(flat)
+                cx, cz = ring_centroid(flat)
+                yield pd.DataFrame(
+                    {
+                        "c_custkey": pdf["c_custkey"].values,
+                        "area_x2": np.floor(2.0 * np.abs(signed) + 0.5).astype(np.int64),
+                        "winding": np.where(signed > 0, "CCW", "CW"),
+                        "cx_u6": np.floor(cx * 1e6 + 0.5).astype(np.int64),
+                        "cz_u6": np.floor(cz * 1e6 + 0.5).astype(np.int64),
+                    }
+                )
+
+        return src.mapInPandas(kernel, schema=out_schema)
+
+    q["centroid_area"] = centroid_area
+
+    # --- GeometryUtil interpolateBetween: equally spaced points on segments
+    def polyline_interp(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        seg = o.select(
+            F.col("o_orderkey"),
+            F.expr(X_M.format(k="o_orderkey")).alias("x1"),
+            F.expr(Z_M.format(k="o_orderkey")).alias("z1"),
+            F.expr(X_M.format(k="o_orderkey * 3 + 1")).alias("x2"),
+            F.expr(Z_M.format(k="o_orderkey * 3 + 1")).alias("z2"),
+        )
+        t = F.col("i").cast("double") / F.lit(4).cast("double")
+        return seg.select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"),
+            "x1", "z1", "x2", "z2",
+        ).select(
+            "o_orderkey",
+            F.col("i").cast("int").alias("i"),
+            F.floor((F.col("x1") + (F.col("x2") - F.col("x1")) * t) * 1e6 + 0.5).cast("bigint").alias("px_u6"),
+            F.floor((F.col("z1") + (F.col("z2") - F.col("z1")) * t) * 1e6 + 0.5).cast("bigint").alias("pz_u6"),
+        )
+
+    q["polyline_interp"] = polyline_interp
+
+    # --- 2.7 string codecs: element-id (n1/w2/r3) + SRTM tile filename
+    def codec_strings(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        etype = F.element_at(
+            F.array(F.lit("n"), F.lit("w"), F.lit("r")),
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+        )
+        eid = F.concat(etype, F.col("o_orderkey").cast("string"))
+        lat = F.expr(LAT.format(k="o_orderkey"))
+        lon = F.expr(LON.format(k="o_orderkey"))
+        srtm = F.format_string(
+            "N%02dE%03d.hgt", F.floor(lat).cast("int"), F.floor(lon).cast("int")
+        )
+        return o.select(
+            F.col("o_orderkey"),
+            eid.alias("eid_str"),
+            F.regexp_extract(eid, r"^([nwr])(\d+)$", 1).alias("parsed_type"),
+            F.regexp_extract(eid, r"^([nwr])(\d+)$", 2).cast("bigint").alias("parsed_id"),
+            srtm.alias("srtm_name"),
+        )
+
+    q["codec_strings"] = codec_strings
+
+    # --- S7/J1: broadcast dimension join (customer -> nation -> region)
+    def dim_join_agg(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        return (
+            c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_cust"),
+                F.sum(F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint")).alias("sum_acct_cents"),
+            )
+        )
+
+    q["dim_join_agg"] = dim_join_agg
+
+    # --- J11: nearest-surface attachment join (min 3D distance)
+    def nearest_attach_q(spark, sf_dir):
+        from osm2world_spark.operators.attach import nearest_attach
+
+        connectors = _planar(_t(spark, sf_dir, "customer"), "c_custkey").select(
+            F.col("key").alias("c_id"), "x", F.lit(0.0).alias("y"), "z"
+        )
+        surfaces = _planar(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
+            F.col("key").alias("s_id"), "x", (F.col("key") % 50).cast("double").alias("y"), "z"
+        )
+        out = nearest_attach(connectors, surfaces, radius=500.0)
+        return out.select(
+            "c_id",
+            "s_id",
+            F.floor(F.col("dist_xz") * 1e6 + 0.5).cast("bigint").alias("dxz_u6"),
+            F.floor(F.col("dist_3d") * 1e6 + 0.5).cast("bigint").alias("d3d_u6"),
+        )
+
+    q["nearest_attach"] = nearest_attach_q
+
+    # --- P16: huge-area clip (shrinkHugeAreas) over the real SH kernel
+    def huge_clip(spark, sf_dir):
+        from osm2world_spark.operators.clip import shrink_huge_areas
+
+        c = _planar(_t(spark, sf_dir, "customer"), "c_custkey")
+        h = F.when(F.col("key") % 97 == 0, F.lit(20000.0)).otherwise(F.lit(40.0))
+        nodes = c.select(
+            F.col("key").cast("string").alias("doc_id"),
+            F.lit(0).alias("span_idx"),
+            F.lit("node").alias("element_type"),
+            F.array(F.array(F.col("x"), F.col("z"))).alias("geom"),
+            F.col("x").alias("minx"), F.col("z").alias("minz"),
+            F.col("x").alias("maxx"), F.col("z").alias("maxz"),
+        )
+        areas = c.select(
+            F.concat(F.lit("a"), F.col("key")).alias("doc_id"),
+            F.lit(1).alias("span_idx"),
+            F.lit("area").alias("element_type"),
+            F.array(
+                F.array(
+                    F.col("x") - h, F.col("z") - h,
+                    F.col("x") + h, F.col("z") - h,
+                    F.col("x") + h, F.col("z") + h,
+                    F.col("x") - h, F.col("z") + h,
+                    F.col("x") - h, F.col("z") - h,
+                )
+            ).alias("geom"),
+            (F.col("x") - h).alias("minx"), (F.col("z") - h).alias("minz"),
+            (F.col("x") + h).alias("maxx"), (F.col("z") + h).alias("maxz"),
+        )
+        out = shrink_huge_areas(nodes.unionByName(areas))
+        return out.where(F.col("element_type") == "area").select(
+            F.col("doc_id"),
+            F.col("clipped"),
+            F.floor(F.col("minx") * 1000.0 + 0.5).cast("bigint").alias("minx_mm"),
+            F.floor(F.col("minz") * 1000.0 + 0.5).cast("bigint").alias("minz_mm"),
+            F.floor(F.col("maxx") * 1000.0 + 0.5).cast("bigint").alias("maxx_mm"),
+            F.floor(F.col("maxz") * 1000.0 + 0.5).cast("bigint").alias("maxz_mm"),
+        )
+
+    q["huge_clip"] = huge_clip
+
     # ----------------- rows-only checks (non-SQL-expressible operators)
 
     def spatial_overlaps(spark, sf_dir):
@@ -617,6 +817,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return interpolate_29nn(queries_df, sites).select("q_id", F.round("ele", 6).alias("ele_r"))
 
     q["knn_elevation"] = knn_elevation
+
+    def triangulate_areas(spark, sf_dir):
+        from osm2world_spark.operators.triangulate import triangulate
+        from osm2world_spark.sources.documents import extract_elements
+
+        docs = _geo_docs_from_driver_documents(spark, sf_dir)
+        tris = triangulate(extract_elements(docs))
+        a2 = (F.col("bx") - F.col("ax")) * (F.col("cz") - F.col("az")) - (
+            F.col("cx") - F.col("ax")
+        ) * (F.col("bz") - F.col("az"))
+        return tris.groupBy("eid").agg(
+            F.count("*").alias("n_tris"),
+            F.floor(F.sum(a2) / 2.0 * 1e6 + 0.5).cast("bigint").alias("area_u6"),
+        )
+
+    q["triangulate_areas"] = triangulate_areas
+
+    def assemble_rings(spark, sf_dir):
+        from osm2world_spark.operators.rings import assemble_multipolygons
+
+        # synthetic relations: per rel, an outer square split into two
+        # fragments + a closed hole; built from pure Column math
+        r = spark.range(200).select(F.col("id").alias("rel"))
+        cx = (F.col("rel") * 137 % 1000).cast("double")
+        cz = (F.col("rel") * 59 % 1000).cast("double")
+        frag1 = F.array(cx - 10, cz - 10, cx + 10, cz - 10, cx + 10, cz + 10)
+        frag2 = F.array(cx + 10, cz + 10, cx - 10, cz + 10, cx - 10, cz - 10)
+        hole = F.array(cx - 2, cz - 2, cx + 2, cz - 2, cx + 2, cz + 2, cx - 2, cz + 2, cx - 2, cz - 2)
+        ways = r.select(
+            F.col("rel").cast("string").alias("rel_id"),
+            F.posexplode(F.array(frag1, frag2, hole)).alias("way_idx", "coords"),
+        )
+        return assemble_multipolygons(ways)
+
+    q["assemble_rings"] = assemble_rings
+
+    def lsq_elevation(spark, sf_dir):
+        from osm2world_spark.operators.knn import lsq_interpolate
+
+        queries_df = _planar(_t(spark, sf_dir, "customer"), "c_custkey").select(
+            F.col("key").alias("q_id"), "x", "z"
+        )
+        sites = _planar(_t(spark, sf_dir, "orders"), "o_orderkey").where(
+            F.col("key") % 17 == 0
+        ).select(
+            F.col("key").alias("s_id"), "x", "z",
+            (F.col("x") / 100.0 + F.col("z") / 200.0).alias("y"),
+        )
+        return lsq_interpolate(queries_df, sites).select(
+            "q_id", F.round("ele", 6).alias("ele_r")
+        )
+
+    q["lsq_elevation"] = lsq_elevation
 
     return q
 
@@ -915,6 +1168,114 @@ def oracle_sql() -> dict[str, str]:
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
         QUALIFY row_number() OVER w <= 5
+    """
+
+    # MetricMapProjection constants for Origin(48.56687, 13.45127)
+    # (DEFAULT_ORIGIN): repr round-trips to the identical double
+    S_ = "CAST(26519461.53981074 AS DOUBLE)"
+    OX_ = "CAST(14250620.873868175 AS DOUBLE)"
+    OY_ = "CAST(17363668.058513626 AS DOUBLE)"
+    TWO_PI = "CAST(6.283185307179586 AS DOUBLE)"
+    PI_ = "CAST(3.141592653589793 AS DOUBLE)"
+    sql["mercator_xz"] = f"""
+        WITH pts AS (SELECT o_orderkey, {lat_o} AS lat, {lon_o} AS lon FROM orders),
+        proj AS (
+          SELECT o_orderkey,
+                 floor(((lon + 180.0) / 360.0 * {S_} - {OX_}) * 1000.0 + 0.5) / 1000.0 AS x,
+                 floor(((ln((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat)))) / (4.0 * {PI_}) + 0.5) * {S_} - {OY_}) * 1000.0 + 0.5) / 1000.0 AS z
+          FROM pts
+        )
+        SELECT o_orderkey,
+               cast(floor(x * 1000.0 + 0.5) as bigint) AS x_mm,
+               cast(floor(z * 1000.0 + 0.5) as bigint) AS z_mm,
+               cast(floor((360.0 * atan(exp(((z + {OY_}) / {S_} - 0.5) * {TWO_PI})) / {PI_} - 90.0) * 1000000000.0 + 0.5) as bigint) AS lat_n9,
+               cast(floor((360.0 * ((x + {OX_}) / {S_} - 0.5)) * 1000000000.0 + 0.5) as bigint) AS lon_n9
+        FROM proj
+    """
+
+    sql["centroid_area"] = """
+        SELECT c_custkey,
+               cast(24 * s * s as bigint) AS area_x2,
+               'CCW' AS winding,
+               cast(floor(((5 * s) / CAST(3 AS DOUBLE) + tx) * 1000000.0 + 0.5) as bigint) AS cx_u6,
+               cast(floor(((5 * s) / CAST(3 AS DOUBLE) + tz) * 1000000.0 + 0.5) as bigint) AS cz_u6
+        FROM (
+          SELECT c_custkey, 1 + c_custkey % 7 AS s,
+                 (c_custkey * 31) % 1000 AS tx, (c_custkey * 17) % 1000 AS tz
+          FROM customer
+        )
+    """
+
+    sql["polyline_interp"] = f"""
+        WITH seg AS (
+          SELECT o_orderkey,
+                 {X_M.format(k='o_orderkey')} AS x1, {Z_M.format(k='o_orderkey')} AS z1,
+                 {X_M.format(k='o_orderkey * 3 + 1')} AS x2, {Z_M.format(k='o_orderkey * 3 + 1')} AS z2
+          FROM orders
+        )
+        SELECT o_orderkey, cast(i as int) AS i,
+               cast(floor((x1 + (x2 - x1) * (cast(i as double) / CAST(4 AS DOUBLE))) * 1000000.0 + 0.5) as bigint) AS px_u6,
+               cast(floor((z1 + (z2 - z1) * (cast(i as double) / CAST(4 AS DOUBLE))) * 1000000.0 + 0.5) as bigint) AS pz_u6
+        FROM seg CROSS JOIN unnest(generate_series(0, 4)) AS t(i)
+    """
+
+    sql["codec_strings"] = f"""
+        SELECT o_orderkey,
+               eid_str,
+               regexp_extract(eid_str, '^([nwr])([0-9]+)$', 1) AS parsed_type,
+               cast(regexp_extract(eid_str, '^([nwr])([0-9]+)$', 2) as bigint) AS parsed_id,
+               printf('N%02dE%03d.hgt', cast(floor(lat) as int), cast(floor(lon) as int)) AS srtm_name
+        FROM (
+          SELECT o_orderkey,
+                 (CASE o_orderkey % 3 WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END) || o_orderkey AS eid_str,
+                 {lat_o} AS lat, {lon_o} AS lon
+          FROM orders
+        )
+    """
+
+    sql["dim_join_agg"] = """
+        SELECT r_name, count(*) AS n_cust,
+               sum(cast(floor(c_acctbal * 100.0 + 0.5) as bigint)) AS sum_acct_cents
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sql["nearest_attach"] = f"""
+        WITH c AS (SELECT c_custkey AS c_id, {X_M.format(k="c_custkey")} AS x, CAST(0.0 AS DOUBLE) AS y, {Z_M.format(k="c_custkey")} AS z FROM customer),
+             s AS (SELECT s_suppkey AS s_id, {X_M.format(k="s_suppkey")} AS x, CAST(s_suppkey % 50 AS DOUBLE) AS y, {Z_M.format(k="s_suppkey")} AS z FROM supplier)
+        SELECT c_id, s_id,
+               cast(floor(dxz * 1000000.0 + 0.5) as bigint) AS dxz_u6,
+               cast(floor(d3d * 1000000.0 + 0.5) as bigint) AS d3d_u6
+        FROM (
+          SELECT c.c_id, s.s_id,
+                 sqrt((s.x - c.x)*(s.x - c.x) + (s.z - c.z)*(s.z - c.z)) AS dxz,
+                 sqrt((s.x - c.x)*(s.x - c.x) + (s.y - c.y)*(s.y - c.y) + (s.z - c.z)*(s.z - c.z)) AS d3d
+          FROM c CROSS JOIN s
+        )
+        WHERE dxz <= 500.0
+        QUALIFY row_number() OVER (PARTITION BY c_id ORDER BY d3d, s_id) = 1
+    """
+
+    sql["huge_clip"] = f"""
+        WITH c AS (
+          SELECT c_custkey AS key, {X_M.format(k="c_custkey")} AS x, {Z_M.format(k="c_custkey")} AS z,
+                 CASE WHEN c_custkey % 97 = 0 THEN CAST(20000.0 AS DOUBLE) ELSE CAST(40.0 AS DOUBLE) END AS h
+          FROM customer
+        ), b AS (
+          SELECT min(x) AS bminx, min(z) AS bminz, max(x) AS bmaxx, max(z) AS bmaxz FROM c
+        )
+        SELECT 'a' || key AS doc_id, clipped,
+               cast(floor((CASE WHEN clipped THEN greatest(bminx - 1.0, x - h) ELSE x - h END) * 1000.0 + 0.5) as bigint) AS minx_mm,
+               cast(floor((CASE WHEN clipped THEN greatest(bminz - 1.0, z - h) ELSE z - h END) * 1000.0 + 0.5) as bigint) AS minz_mm,
+               cast(floor((CASE WHEN clipped THEN least(bmaxx + 1.0, x + h) ELSE x + h END) * 1000.0 + 0.5) as bigint) AS maxx_mm,
+               cast(floor((CASE WHEN clipped THEN least(bmaxz + 1.0, z + h) ELSE z + h END) * 1000.0 + 0.5) as bigint) AS maxz_mm
+        FROM (
+          SELECT key, x, z, h, bminx, bminz, bmaxx, bmaxz,
+                 ((x + h) - (x - h)) * ((z + h) - (z - h)) > 5.0 * ((bmaxx - bminx) * (bmaxz - bminz)) AS clipped
+          FROM c CROSS JOIN b
+        )
     """
 
     sql["span_roundtrip"] = "SELECT doc_id, text AS rebuilt FROM documents"

@@ -62,7 +62,9 @@ def to_x(lon, origin: Origin) -> Column:
     """lon -> metric X (east), mm-snapped (MetricMapProjection.java:33,37)."""
     lon = _lit(lon)
     x = (lon + 180.0) / 360.0 * origin.scale - origin.origin_x
-    return F.round(x * 1000.0) / 1000.0
+    # Java Math.round == floor(v + 0.5); keeps the Column and numpy
+    # variants bit-identical even at exact .5 mm boundaries
+    return F.floor(x * 1000.0 + 0.5) / 1000.0
 
 
 def to_z(lat, origin: Origin) -> Column:
@@ -70,7 +72,7 @@ def to_z(lat, origin: Origin) -> Column:
     rad = F.radians(_lit(lat))
     y01 = F.log((1.0 + F.sin(rad)) / (1.0 - F.sin(rad))) / (4.0 * math.pi) + 0.5
     z = y01 * origin.scale - origin.origin_y
-    return F.round(z * 1000.0) / 1000.0
+    return F.floor(z * 1000.0 + 0.5) / 1000.0
 
 
 def to_lon(x, origin: Origin) -> Column:

@@ -191,6 +191,87 @@ def clip_to_tiles(elements: DataFrame, origin, zoom: int = 14) -> DataFrame:
     return cover.mapInPandas(kernel, schema=CLIPPED_SCHEMA)
 
 
+def shrink_huge_areas(
+    elements: DataFrame,
+    threshold: float = 5.0,
+    pad: float = 1.0,
+) -> DataFrame:
+    """Huge-area clip (OSMToMapDataConverter.shrinkHugeAreas, /root/
+    reference/core/.../map_data/creation/OSMToMapDataConverter.java:78-156):
+    areas whose bbox area exceeds `threshold` x the dataset boundary's area
+    (:85) are clipped to the boundary padded by `pad` (:86) — the reference
+    intersects via CAG (:106-115); the padded boundary is an axis-aligned
+    rectangle, so Sutherland-Hodgman half-plane clipping is exact.
+
+    The boundary is the NODE extent (the reference's dataBoundary is the
+    file bbox union node extent, MapData.java:53-79 — area bboxes do NOT
+    widen it, which is exactly why pathological areas can exceed it) — a
+    4-number aggregate broadcast into the clip predicate, so the common
+    case (no huge areas) costs one cheap scan + a filter that keeps
+    geometry untouched. Falls back to the all-element bbox if there are no
+    nodes.
+
+    Output: the input rows with `geom` replaced where clipped and a
+    `clipped` flag column.
+    """
+    nodes = elements.where(F.col("element_type") == "node")
+    src = nodes if not nodes.isEmpty() else elements
+    b = src.agg(
+        F.min("minx").alias("bminx"),
+        F.min("minz").alias("bminz"),
+        F.max("maxx").alias("bmaxx"),
+        F.max("maxz").alias("bmaxz"),
+    ).first()
+    if b["bminx"] is None:
+        return elements.withColumn("clipped", F.lit(False))
+    bminx, bminz = b["bminx"] - pad, b["bminz"] - pad
+    bmaxx, bmaxz = b["bmaxx"] + pad, b["bmaxz"] + pad
+    boundary_area = max(b["bmaxx"] - b["bminx"], 0.0) * max(b["bmaxz"] - b["bminz"], 0.0)
+
+    is_huge = (
+        (F.col("element_type") == "area")
+        & (
+            (F.col("maxx") - F.col("minx")) * (F.col("maxz") - F.col("minz"))
+            > threshold * F.lit(boundary_area)
+        )
+    )
+    flagged = elements.withColumn("clipped", is_huge)
+    normal = flagged.where(~F.col("clipped"))
+    huge = flagged.where(F.col("clipped"))
+
+    out_schema = flagged.schema
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            new_geoms = []
+            for geom in pdf["geom"]:
+                rings_out = []
+                for ring in geom:
+                    arr = np.asarray(ring, dtype=np.float64)
+                    res = _sh_clip_ring(arr[0::2].copy(), arr[1::2].copy(), bminx, bminz, bmaxx, bmaxz)
+                    if res is not None:
+                        packed = np.empty(len(res[0]) * 2)
+                        packed[0::2], packed[1::2] = res
+                        rings_out.append(packed.tolist())
+                new_geoms.append(rings_out)
+            pdf = pdf.copy()
+            pdf["geom"] = new_geoms
+            # recompute the bbox columns from the clipped geometry
+            for col, fn, idx in (("minx", np.min, 0), ("minz", np.min, 1), ("maxx", np.max, 0), ("maxz", np.max, 1)):
+                if col in pdf.columns:
+                    vals = []
+                    for g in new_geoms:
+                        pts = np.concatenate([np.asarray(r)[idx::2] for r in g]) if g else np.array([np.nan])
+                        vals.append(float(fn(pts)))
+                    pdf[col] = vals
+            yield pdf
+
+    clipped = huge.mapInPandas(kernel, schema=out_schema)
+    return normal.unionByName(clipped)
+
+
 def _clip_polyline(xs, zs, minx, minz, maxx, maxz):
     """Liang-Barsky-style polyline clip: keeps the in-rect portion of each
     segment; returns a single clipped polyline (the in-rect vertex chain

@@ -191,6 +191,105 @@ def idw_join(
     )
 
 
+def lsq_interpolate(queries: DataFrame, sites: DataFrame) -> DataFrame:
+    """Full LeastSquaresInterpolator pipeline
+    (LeastSquaresInterpolator.java:59-135):
+
+    1. per-SITE quadratic fit: each site's 9 nearest sites (itself
+       included — the site sits in its own grid) populate a 9x6 design
+       matrix over the basis [1, x, z, x^2, x*z, z^2]
+       (DefaultPolynomial.populateMatrix :245-255) solved least-squares
+       (:91-92; QR there, batched normal equations here);
+       any coefficient > 10e3 disqualifies the site's polynomial (:96-100)
+    2. per-QUERY interpolation: 29-NN over the sites that HAVE a
+       polynomial (requirePolynomial=true, :115-116), weight
+       max(1 - d/120, 0), ele = sum(w * poly(q)) / sum(w) (:118-133).
+
+    The fit is Arrow-batched: all sites' normal equations are solved as
+    one stacked (N,6,6) `np.linalg.solve` per partition — no per-row
+    Python. queries (q_id, x, z) x sites (s_id, x, z, y) -> (q_id, ele).
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+
+    s_as_q = sites.select(F.col("s_id").alias("q_id"), "x", "z")
+    nn9 = knn_join(s_as_q, sites, k=9)
+    neigh = nn9.join(
+        sites.select(F.col("s_id"), F.col("x").alias("n_x"), F.col("z").alias("n_z"), F.col("y").alias("n_y")),
+        "s_id",
+    )
+    grouped = neigh.groupBy("q_id").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "n_x", "n_z", "n_y"))).alias("nn")
+    )
+
+    id_type = dict(zip(sites.schema.names, sites.schema.fields))["s_id"].dataType
+    fit_schema = StructType(
+        [
+            StructField("s_id", id_type),
+            StructField("coeffs", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fit(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_ids, mats, ys = [], [], []
+            for sid, nn in zip(pdf["q_id"], pdf["nn"]):
+                if len(nn) < 9:
+                    continue
+                xs = np.array([r["n_x"] for r in nn])
+                zs = np.array([r["n_z"] for r in nn])
+                yv = np.array([r["n_y"] for r in nn])
+                A = np.stack([np.ones(9), xs, zs, xs * xs, xs * zs, zs * zs], axis=1)
+                keep_ids.append(sid)
+                mats.append(A)
+                ys.append(yv)
+            if not keep_ids:
+                continue
+            A = np.stack(mats)                      # (N, 9, 6)
+            yv = np.stack(ys)                       # (N, 9)
+            AtA = np.einsum("nij,nik->njk", A, A)   # (N, 6, 6)
+            Aty = np.einsum("nij,ni->nj", A, yv)    # (N, 6)
+            try:
+                coef = np.linalg.solve(AtA, Aty)
+            except np.linalg.LinAlgError:
+                coef = np.stack([np.linalg.lstsq(a, b, rcond=None)[0] for a, b in zip(A, yv)])
+            ok = ~(coef > 10e3).any(axis=1)         # :96-100
+            yield pd.DataFrame(
+                {
+                    "s_id": np.array(keep_ids, dtype=object)[ok],
+                    "coeffs": [c.tolist() for c in coef[ok]],
+                }
+            )
+
+    polys = grouped.mapInPandas(fit, schema=fit_schema)
+    sites_poly = sites.join(polys, "s_id")  # requirePolynomial=true
+
+    nn29 = knn_join(queries, sites_poly.select("s_id", "x", "z"), k=29)
+    cand = nn29.join(polys, "s_id").join(
+        queries.select("q_id", F.col("x").alias("q_x"), F.col("z").alias("q_z")), "q_id"
+    )
+    c = F.col("coeffs")
+    poly_at_q = (
+        c[0]
+        + c[1] * F.col("q_x")
+        + c[2] * F.col("q_z")
+        + c[3] * F.col("q_x") * F.col("q_x")
+        + c[4] * F.col("q_x") * F.col("q_z")
+        + c[5] * F.col("q_z") * F.col("q_z")
+    )
+    w = F.greatest(F.lit(0.0), 1.0 - F.col("dist") / 120.0)
+    return (
+        cand.withColumn("w", w)
+        .withColumn("pv", poly_at_q)
+        .groupBy("q_id")
+        .agg((F.sum(F.col("w") * F.col("pv")) / F.sum("w")).alias("ele"))
+    )
+
+
 def interpolate_29nn(queries: DataFrame, sites: DataFrame) -> DataFrame:
     """29-NN linear-falloff interpolation
     (LeastSquaresInterpolator.interpolateEle :113-135): weight
