@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
 
     from pyspark.sql import functions as F
 
@@ -48,6 +48,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         return n
 
+    # ---- warmup: spin up Python workers + JIT on a tiny slice so the
+    # measured window is steady-state throughput, not process startup
+    warm = synthetic_documents(spark, 500, seed=1, constant_density=True)
+    spatial_self_join(extract_elements(warm)).count()
+
     # ---- flagship: docs -> elements -> tiles + spatial self-join
     docs = synthetic_documents(spark, n_docs, seed=42, constant_density=True)
     t0 = time.monotonic()
@@ -60,8 +65,8 @@ def main() -> None:
     docs_per_sec = n_docs / flagship_sec
 
     # ---- representative operator queries on the driver tables
-    qs = entry.queries()
-    for name in (
+    # (skipped in flagship-only mode, used by the scaling protocol runs)
+    names = () if os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY") else (
         "tile_points_z14",
         "tile_cover_z14",
         "pip_membership",
@@ -74,7 +79,9 @@ def main() -> None:
         "ngram_jaccard",
         "cosine_topk",
         "minhash_near_dups",
-    ):
+    )
+    qs = entry.queries() if names else {}
+    for name in names:
         try:
             timed(name, lambda n=name: qs[n](spark, sf_dir).count())
         except Exception as e:  # a failing query shows up as -1, not a crash

@@ -204,6 +204,42 @@ def contains_point(qx: np.ndarray, qz: np.ndarray, flat: FlatRings) -> np.ndarra
     return outer & ~in_hole
 
 
+def contains_points_multi(
+    qx: np.ndarray, qz: np.ndarray, qrow: np.ndarray, flat: FlatRings
+) -> np.ndarray:
+    """Point-in-polygon-with-holes for MANY query points per row: query k
+    (qx[k], qz[k]) is tested against the rings of row qrow[k]. Fully
+    vectorized: one expansion of (query x edges-of-its-row) combos.
+    Returns bool[len(qx)]."""
+    nq = len(qx)
+    if nq == 0:
+        return np.zeros(0, dtype=bool)
+    x1, z1, x2, z2, edge_row, edge_ring = flat.edges()
+    if len(x1) == 0:
+        return np.zeros(nq, dtype=bool)
+    # edges are emitted grouped by row (ring_row is nondecreasing)
+    n_edges_row = np.bincount(edge_row, minlength=flat.n_rows)
+    edge_start_row = np.concatenate([[0], np.cumsum(n_edges_row)[:-1]])
+    m = n_edges_row[qrow]
+    comb_q = np.repeat(np.arange(nq, dtype=np.int64), m)
+    comb_e = edge_start_row[qrow[comb_q]] + _ranges(m)
+
+    pqx, pqz = qx[comb_q], qz[comb_q]
+    ex1, ez1, ex2, ez2 = x1[comb_e], z1[comb_e], x2[comb_e], z2[comb_e]
+    straddle = (ez1 > pqz) != (ez2 > pqz)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (ex2 - ex1) * (pqz - ez1) / (ez2 - ez1) + ex1
+    cross = straddle & (pqx < xint)
+
+    # parity per (query, local ring index of the row)
+    local_ring = flat.ring_idx[edge_ring]  # local ring idx per edge
+    max_ring = int(local_ring.max()) + 1 if len(local_ring) else 1
+    acc = np.zeros((nq, max_ring), dtype=np.int64)
+    np.add.at(acc, (comb_q, local_ring[comb_e]), cross)
+    odd = (acc % 2) == 1
+    return odd[:, 0] & ~odd[:, 1:].any(axis=1)
+
+
 # ---------------------------------------------------- segment intersection
 
 def segment_intersection(

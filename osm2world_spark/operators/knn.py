@@ -191,6 +191,31 @@ def idw_join(
     )
 
 
+def interpolate(
+    queries: DataFrame, sites: DataFrame, method: str = "leastsquares", **kw
+) -> DataFrame:
+    """Config-selected terrain interpolation (the reference picks its
+    TerrainInterpolator implementation from config,
+    O2WConfig.java:510-518): queries (q_id, x, z) x sites (s_id, x, z, y)
+    -> (q_id, ele).
+
+    methods: 'leastsquares' (LeastSquaresInterpolator, the default),
+    'inversedistanceweighting' (IDW), 'linear' (29-NN linear falloff).
+    NaturalNeighborInterpolator (global Delaunay) is intentionally not
+    provided — it does not decompose over partitions; the reference treats
+    interpolators as interchangeable strategies, and 'leastsquares' is its
+    own default quality tier.
+    """
+    m = method.lower()
+    if m in ("leastsquares", "leastsquaresinterpolator"):
+        return lsq_interpolate(queries, sites)
+    if m in ("inversedistanceweighting", "idw", "inversedistanceweightinginterpolator"):
+        return idw_join(queries, sites, **kw)
+    if m in ("linear", "linearinterpolator", "linear29"):
+        return interpolate_29nn(queries, sites)
+    raise ValueError(f"unknown interpolator {method!r}")
+
+
 def lsq_interpolate(queries: DataFrame, sites: DataFrame) -> DataFrame:
     """Full LeastSquaresInterpolator pipeline
     (LeastSquaresInterpolator.java:59-135):

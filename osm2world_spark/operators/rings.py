@@ -120,6 +120,193 @@ def _pack(ring: np.ndarray, ccw: bool) -> list[float]:
     return ring.reshape(-1).tolist()
 
 
+def _is_right_of(px, pz, ax, az, bx, bz) -> bool:
+    """GeometryUtil.isRightOf (:283-287): p right of ray a->b (cross < 0
+    in the x-east/z-north plane)."""
+    return (bx - ax) * (pz - az) - (bz - az) * (px - ax) < 0
+
+
+def _seg_intersection(p1, p2, r1, r2):
+    """Inclusive segment x segment intersection
+    (GeometryUtil.getLineSegmentIntersection :222-260); None if parallel or
+    outside either segment."""
+    vx, vz = p2[0] - p1[0], p2[1] - p1[1]
+    qx, qz = r2[0] - r1[0], r2[1] - r1[1]
+    denom = vz * qx - vx * qz
+    if abs(denom) < 1e-12:
+        return None
+    dx, dz = r1[0] - p1[0], r1[1] - p1[1]
+    t = (dz * qx - dx * qz) / denom          # along p1->p2
+    u = (dz * vx - dx * vz) / denom          # along r1->r2
+    if -0.0 <= t <= 1.0 and -0.0 <= u <= 1.0:
+        return (p1[0] + t * vx, p1[1] + t * vz), u
+    return None
+
+
+def _coastline_rings_for_group(seqs, minx, minz, maxx, maxz, is_at_sea):
+    """createAreasForCoastlines (MultipolygonAreaBuilder.java:357-617) for
+    one bbox: clip coastlines to the bbox, synthesize bbox sections between
+    outgoing and incoming crossings, stitch into closed rings. Returns the
+    ring list (None if unclosable)."""
+    TL, TR = (minx, maxz), (maxx, maxz)
+    BR, BL = (maxx, minz), (minx, minz)
+    sides = [(TL, TR), (TR, BR), (BR, BL), (BL, TL)]  # :621-629 clockwise
+
+    # --- insert bbox intersection nodes into the coastlines (:400-458)
+    side_hits = [[] for _ in sides]  # (dist_from_p1, point, outgoing)
+    coastlines = []
+    for seq in seqs:
+        pts = [tuple(p) for p in seq]
+        out_pts = []
+        i = 0
+        while i < len(pts):
+            out_pts.append(pts[i])
+            if i + 1 < len(pts):
+                a, b = pts[i], pts[i + 1]
+                hits = []
+                for k, (s1, s2) in enumerate(sides):
+                    res = _seg_intersection(s1, s2, a, b)
+                    if res is not None:
+                        q, u = res
+                        outgoing = _is_right_of(a[0], a[1], s1[0], s1[1], s2[0], s2[1])
+                        hits.append((u, q, k, outgoing))
+                hits.sort()
+                for u, q, k, outgoing in hits:
+                    node = a if q == a else (b if q == b else q)
+                    d = ((node[0] - sides[k][0][0]) ** 2 + (node[1] - sides[k][0][1]) ** 2) ** 0.5
+                    side_hits[k].append((d, node, outgoing))
+                    if node not in (a, b):
+                        out_pts.append(node)
+            i += 1
+        coastlines.append(out_pts)
+
+    bbox_nodes = []  # (point, outgoing|None) walked clockwise (:443-458)
+    on_bbox = set()
+    for k, (s1, s2) in enumerate(sides):
+        for d, node, outgoing in sorted(side_hits[k], key=lambda h: h[0]):
+            bbox_nodes.append((node, outgoing))
+            on_bbox.add(node)
+        bbox_nodes.append((s2, None))  # corner
+
+    # --- drop outside portions, splitting sequences (:461-495)
+    def inside(p):
+        return minx <= p[0] <= maxx and minz <= p[1] <= maxz
+
+    modified = []
+    for pts in coastlines:
+        cur = []
+        for p in pts:
+            if inside(p) or p in on_bbox:
+                cur.append(p)
+            elif cur:
+                modified.append(cur)
+                cur = []
+        if cur:
+            modified.append(cur)
+
+    # --- bbox sections between outgoing and incoming crossings (:499-550)
+    sections = []
+    has_crossings = any(o is not None for _, o in bbox_nodes)
+    if has_crossings:
+        first_out = -1
+        idx = 0
+        cur = None
+        while idx != first_out:
+            node, outgoing = bbox_nodes[idx]
+            if outgoing is None:  # plain corner node
+                if cur is not None:
+                    cur.append(node)
+            elif bool(outgoing):
+                cur = [node]
+                if first_out == -1:
+                    first_out = idx
+            else:
+                if cur is not None:
+                    cur.append(node)
+                    sections.append(cur)
+                    cur = None
+            idx = (idx + 1) % len(bbox_nodes)
+            if first_out == -1 and idx == 0:
+                break  # no outgoing crossing at all
+
+    seq_arrays = [np.asarray(s, dtype=np.float64) for s in modified + sections if len(s) >= 2]
+    rings = _stitch(seq_arrays)
+    if rings is None:
+        return None
+
+    # --- island / all-sea tiles: wrap with the bbox ring (:565-597)
+    if not sections:
+        has_island = any(
+            _signed_area2(r[:-1, 0], r[:-1, 1]) > 0 for r in rings
+        )
+        if has_island or is_at_sea:
+            boundary = np.asarray([BL, BR, TR, TL, BL], dtype=np.float64)
+            rings.append(boundary)
+    return rings
+
+
+def coastline_water_areas(coastlines: DataFrame, is_at_sea: bool = False) -> DataFrame:
+    """Coastline ways -> natural=water areas per tile group
+    (MultipolygonAreaBuilder.createAreasForCoastlines :357-617): coastlines
+    carry water on the RIGHT of their direction; crossings with the tile
+    bbox synthesize boundary sections; closed rings become a synthetic
+    water multipolygon (outer/holes classified exactly like assembled
+    relations). Island-only and all-sea groups get the full bbox ring.
+
+    Input: (group_id, way_idx, coords array<double>, minx, minz, maxx,
+    maxz) — the bbox columns are constant within a group (one tile = one
+    group; groups process in parallel across the cluster).
+    Output: (rel_id=group_id, area_idx, status, n_holes, geom).
+    """
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf["group_id"].iloc[0]
+        pdf = pdf.sort_values("way_idx")
+        seqs = [np.asarray(c, dtype=np.float64).reshape(-1, 2) for c in pdf["coords"]]
+        rings = _coastline_rings_for_group(
+            seqs,
+            float(pdf["minx"].iloc[0]),
+            float(pdf["minz"].iloc[0]),
+            float(pdf["maxx"].iloc[0]),
+            float(pdf["maxz"].iloc[0]),
+            is_at_sea,
+        )
+        if rings is None:
+            return pd.DataFrame(
+                {"rel_id": [gid], "area_idx": [0], "status": ["unclosed"],
+                 "n_holes": [0], "geom": [None]}
+            )
+        rows = []
+        remaining = list(rings)
+        area_idx = 0
+        while remaining:
+            outer = None
+            for cand in remaining:
+                if not any(o is not cand and _ring_contains_ring(o, cand) for o in remaining):
+                    outer = cand
+                    break
+            if outer is None:
+                rows.append((gid, area_idx, "unclosed", 0, None))
+                break
+            holes = [
+                r for r in remaining
+                if r is not outer and _ring_contains_ring(outer, r)
+                and not any(
+                    o is not r and o is not outer and _ring_contains_ring(o, r)
+                    for o in remaining
+                )
+            ]
+            geom = [_pack(outer, ccw=True)] + [_pack(h, ccw=False) for h in holes]
+            rows.append((gid, area_idx, "ok", len(holes), geom))
+            area_idx += 1
+            remaining = [r for r in remaining if r is not outer and not any(r is h for h in holes)]
+        if not rows:
+            return pd.DataFrame(columns=["rel_id", "area_idx", "status", "n_holes", "geom"])
+        return pd.DataFrame(rows, columns=["rel_id", "area_idx", "status", "n_holes", "geom"])
+
+    return coastlines.groupBy("group_id").applyInPandas(run, schema=ASSEMBLED_SCHEMA)
+
+
 def assemble_multipolygons(ways: DataFrame) -> DataFrame:
     """ways (rel_id, way_idx, coords: array<double> packed x,z polyline)
     -> assembled polygons (rel_id, area_idx, status, n_holes,

@@ -22,15 +22,21 @@ map_data/creation/OSMToMapDataConverter.java):
   rows carry (contained, container) order :705-711.
 - NA :720-733 — node x area: point-in-polygon -> CONTAIN.
 
-Spark shape: metric-grid cell-cover explode -> hash self-join on the cell
-key (a.eid < b.eid dedups unordered pairs) -> dropDuplicates for pairs
-meeting in several cells -> inclusive bbox prefilter -> per-type-pair
-refinement. WW refinement is pure Column math (whole-stage codegen); the
-polygon kernels run as Arrow-batched numpy over packed coordinate arrays.
+Spark shape (the scalable path, `spatial_self_join`): ONE hash shuffle of
+the cell-covered surface -> per-group pair generation + refinement in a
+single vectorized mapInPandas pass. Cross-cell dedup is the
+reference-point rule (each pair emitted only by the cell holding the
+lower corner of the two bboxes' intersection — a pure local test; no
+global dropDuplicates exchange), and candidate pairs never touch the
+shuffle at all. All geometry kernels are Arrow-batched numpy over packed
+coordinate arrays; there is no per-row Python on the hot path.
 
-Scale: the cell key is the shuffle key; dense urban cells are exactly the
-skew case — AQE skew-join split is on by default (session.py) and
-`salt_cells` adds explicit salting for the heaviest keys.
+Scale/skew: dense urban cells get ADAPTIVE triangle-split salting — a
+cell with n elements is split into S ~ n/256 salt buckets, so every
+(i, j) salt-pair group is a bounded, independently schedulable unit of
+work regardless of density; the straggler cap that keeps wall-clock
+scaling with cores. (A join-based candidate generator with the same
+semantics, `candidate_pairs`, is kept for comparison/testing.)
 
 Output (the MapOverlap golden row format, map_data/data/overlaps/):
     a_id, a_type, b_id, b_type, overlap_kind in
@@ -246,327 +252,599 @@ def _oriented(pairs: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------- refinement
+#
+# All four type-pair refinements run in ONE mapInPandas pass over the
+# candidate pairs (single scan, no materialization barrier): per Arrow
+# batch the kernel splits by (a_etype, b_etype) and runs a fully
+# vectorized numpy kernel per combination. No per-row Python loops on the
+# hot path — Python-level iteration only builds the (small) INTERSECT
+# position payload lists.
 
-def _refine_ww(pairs: DataFrame) -> DataFrame:
-    """segment x segment, pure Column math (GeometryUtil.java:222-260 with
-    approxZero eps=1e-4 :799-804). Connected segments skip
-    (line1.isConnectedTo(line2), OSMToMapDataConverter.java:489): under the
-    document model node identity == same way + adjacent seg_idx."""
-    p = pairs.where((F.col("a_etype") == "segment") & (F.col("b_etype") == "segment"))
-    connected = (F.col("a_way_key") == F.col("b_way_key")) & (
-        F.abs(F.col("a_seg_idx") - F.col("b_seg_idx")) <= 1
+
+def _excl_cumsum(counts: np.ndarray) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+
+def _pair_combos(na: np.ndarray, nb: np.ndarray):
+    """Row-wise cross-product expansion: for row i with na[i] left items
+    and nb[i] right items (both stored contiguously row-major), returns
+    (comb_row, left_global_idx, right_global_idx)."""
+    from ..functions.geometry import _ranges
+
+    n = len(na)
+    a_start = _excl_cumsum(na)
+    b_start = _excl_cumsum(nb)
+    m = na * nb
+    comb_row = np.repeat(np.arange(n, dtype=np.int64), m)
+    local = _ranges(m)
+    nb_r = nb[comb_row]
+    ii = a_start[comb_row] + local // nb_r
+    jj = b_start[comb_row] + local % nb_r
+    return comb_row, ii, jj
+
+
+def _out_frame(a_ids, a_type, b_ids, b_type, kinds, positions) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "a_id": a_ids,
+            "a_type": a_type,
+            "b_id": b_ids,
+            "b_type": b_type,
+            "overlap_kind": kinds,
+            "positions": positions,
+        }
     )
-    vx = F.col("a_x2") - F.col("a_x1")
-    vz = F.col("a_z2") - F.col("a_z1")
-    qx = F.col("b_x2") - F.col("b_x1")
-    qz = F.col("b_z2") - F.col("b_z1")
+
+
+def _ww_rows(pdf: pd.DataFrame) -> pd.DataFrame | None:
+    """segment x segment (OSMToMapDataConverter.java:486-509): skip
+    connected segments (same way, adjacent indices), else the parametric
+    2x2 solve (GeometryUtil.getLineSegmentIntersection :222-260,
+    approxZero eps=1e-4)."""
+    if len(pdf) == 0:
+        return None
+    ax1 = pdf["a_x1"].to_numpy(np.float64)
+    az1 = pdf["a_z1"].to_numpy(np.float64)
+    ax2 = pdf["a_x2"].to_numpy(np.float64)
+    az2 = pdf["a_z2"].to_numpy(np.float64)
+    bx1 = pdf["b_x1"].to_numpy(np.float64)
+    bz1 = pdf["b_z1"].to_numpy(np.float64)
+    bx2 = pdf["b_x2"].to_numpy(np.float64)
+    bz2 = pdf["b_z2"].to_numpy(np.float64)
+    same_way = pdf["a_way_key"].values == pdf["b_way_key"].values
+    dseg = np.abs(
+        pdf["a_seg_idx"].to_numpy(np.float64) - pdf["b_seg_idx"].to_numpy(np.float64)
+    )
+    connected = same_way & (dseg <= 1)
+
+    vx, vz = ax2 - ax1, az2 - az1
+    qx, qz = bx2 - bx1, bz2 - bz1
     denom = vz * qx - vx * qz
-    amcx = F.col("b_x1") - F.col("a_x1")
-    amcz = F.col("b_z1") - F.col("a_z1")
-    t = (amcz * qx - amcx * qz) / denom
-    s = (amcz * vx - amcx * vz) / denom
+    amcx, amcz = bx1 - ax1, bz1 - az1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (amcz * qx - amcx * qz) / denom
+        s = (amcz * vx - amcx * vz) / denom
     hit = (
         ~connected
-        & (F.abs(denom) > 0.0001)
+        & (np.abs(denom) > 0.0001)
         & (t >= 0) & (t <= 1) & (s >= 0) & (s <= 1)
     )
-    ix = F.col("a_x1") + t * vx
-    iz = F.col("a_z1") + t * vz
-    return p.where(hit).select(
-        F.col("a_eid").alias("a_id"),
-        F.lit("segment").alias("a_type"),
-        F.col("b_eid").alias("b_id"),
-        F.lit("segment").alias("b_type"),
-        F.lit("INTERSECT").alias("overlap_kind"),
-        F.array(F.struct(ix.alias("x"), iz.alias("z"))).alias("positions"),
+    if not hit.any():
+        return None
+    ix = (ax1 + t * vx)[hit]
+    iz = (az1 + t * vz)[hit]
+    return _out_frame(
+        pdf["a_eid"].values[hit],
+        "segment",
+        pdf["b_eid"].values[hit],
+        "segment",
+        "INTERSECT",
+        [[{"x": float(x), "z": float(z)}] for x, z in zip(ix, iz)],
     )
 
 
-def _refine_na(pairs: DataFrame) -> DataFrame:
+def _na_rows(pdf: pd.DataFrame) -> pd.DataFrame | None:
     """node x area -> CONTAIN via batched even-odd ray cast
     (OSMToMapDataConverter.java:720-733)."""
-    p = pairs.where((F.col("a_etype") == "node") & (F.col("b_etype") == "area"))
+    from ..functions.geometry import contains_point, flatten
 
-    def kernel(batches):
-        from osm2world_spark.functions.geometry import contains_point, flatten
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat = flatten(pdf["b_geom"])
-            inside = contains_point(pdf["a_x1"].values, pdf["a_z1"].values, flat)
-            sub = pdf[inside]
-            yield pd.DataFrame(
-                {
-                    "a_id": sub["a_eid"],
-                    "a_type": "node",
-                    "b_id": sub["b_eid"],
-                    "b_type": "area",
-                    "overlap_kind": "CONTAIN",
-                    "positions": [[] for _ in range(len(sub))],
-                }
-            )
-
-    return p.mapInPandas(kernel, schema=OVERLAPS_SCHEMA)
-
-
-def _refine_wa(pairs: DataFrame) -> DataFrame:
-    """segment x area (OSMToMapDataConverter.java:515-620)."""
-    p = pairs.where((F.col("a_etype") == "segment") & (F.col("b_etype") == "area"))
-
-    def kernel(batches):
-        from osm2world_spark.functions.geometry import (
-            contains_point,
-            flatten,
-            segment_ring_intersections,
-        )
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            n = len(pdf)
-            flat = flatten(pdf["b_geom"])
-            sx1 = pdf["a_x1"].values
-            sz1 = pdf["a_z1"].values
-            sx2 = pdf["a_x2"].values
-            sz2 = pdf["a_z2"].values
-
-            # --- SHARE_SEGMENT: both endpoints equal one area edge's ends
-            ex1, ez1, ex2, ez2, erow, _ = flat.edges()
-            fwd = (ex1 == sx1[erow]) & (ez1 == sz1[erow]) & (ex2 == sx2[erow]) & (ez2 == sz2[erow])
-            rev = (ex1 == sx2[erow]) & (ez1 == sz2[erow]) & (ex2 == sx1[erow]) & (ez2 == sz1[erow])
-            share = np.zeros(n, dtype=bool)
-            hitrows = erow[fwd | rev]
-            if len(hitrows):
-                share[hitrows] = True
-
-            # --- connectivity: a segment endpoint equals any area vertex
-            pt_row = np.repeat(flat.ring_row, flat.ring_npts)
-            p1_match = (flat.px == sx1[pt_row]) & (flat.pz == sz1[pt_row])
-            p2_match = (flat.px == sx2[pt_row]) & (flat.pz == sz2[pt_row])
-            connected = np.zeros(n, dtype=bool)
-            np.logical_or.at(connected, pt_row[p1_match | p2_match], True)
-
-            # --- true intersections with every ring edge
-            irow, _, ix, iz, ta = segment_ring_intersections(sx1, sz1, sx2, sz2, flat)
-
-            seg_len = np.sqrt((sx2 - sx1) ** 2 + (sz2 - sz1) ** 2)
-            d1 = np.sqrt((ix - sx1[irow]) ** 2 + (iz - sz1[irow]) ** 2)
-            d2 = np.sqrt((ix - sx2[irow]) ** 2 + (iz - sz2[irow]) ** 2)
-            far_from_ends = (d1 > seg_len[irow] / 100) & (d2 > seg_len[irow] / 100)
-
-            any_int = np.zeros(n, dtype=bool)
-            if len(irow):
-                np.logical_or.at(any_int, irow, True)
-            any_far_int = np.zeros(n, dtype=bool)
-            if len(irow):
-                np.logical_or.at(any_far_int, irow[far_from_ends], True)
-
-            # intersects: connected rows need the 1%-length epsilon rule
-            intersects = np.where(connected, any_far_int, any_int) & ~share
-
-            # contains: not connected -> both endpoints inside & no ring
-            # intersection; connected -> center inside & not intersects
-            in1 = contains_point(sx1, sz1, flat)
-            in2 = contains_point(sx2, sz2, flat)
-            cx = (sx1 + sx2) / 2
-            cz = (sz1 + sz2) / 2
-            in_c = contains_point(cx, cz, flat)
-            contains = np.where(connected, in_c, in1 & in2 & ~any_int) & ~intersects & ~share
-
-            rows = []
-            share_idx = np.nonzero(share)[0]
-            for i in share_idx:
-                rows.append((i, "SHARE_SEGMENT", []))
-            int_idx = np.nonzero(intersects)[0]
-            if len(int_idx):
-                order = np.argsort(ta, kind="stable")
-                irow_s, ix_s, iz_s, ta_s = irow[order], ix[order], iz[order], ta[order]
-                for i in int_idx:
-                    m = irow_s == i
-                    pos = [{"x": float(a), "z": float(b)} for a, b in zip(ix_s[m], iz_s[m])]
-                    rows.append((i, "INTERSECT", pos))
-            for i in np.nonzero(contains)[0]:
-                rows.append((i, "CONTAIN", []))
-
-            if not rows:
-                continue
-            ridx = [r[0] for r in rows]
-            yield pd.DataFrame(
-                {
-                    "a_id": pdf["a_eid"].values[ridx],
-                    "a_type": "segment",
-                    "b_id": pdf["b_eid"].values[ridx],
-                    "b_type": "area",
-                    "overlap_kind": [r[1] for r in rows],
-                    "positions": [r[2] for r in rows],
-                }
-            )
-
-    return p.mapInPandas(kernel, schema=OVERLAPS_SCHEMA)
-
-
-def _refine_aa(pairs: DataFrame) -> DataFrame:
-    """area x area (OSMToMapDataConverter.java:623-718). CONTAIN rows are
-    emitted as (contained, container) per the reference's constructor-arg
-    convention (:705-711)."""
-    p = pairs.where((F.col("a_etype") == "area") & (F.col("b_etype") == "area"))
-
-    def kernel(batches):
-        from osm2world_spark.functions.geometry import (
-            flatten,
-            ring_crossings,
-            true_segment_intersection,
-        )
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            n = len(pdf)
-            fa = flatten(pdf["a_geom"])
-            fb = flatten(pdf["b_geom"])
-            out_kind = np.array([""] * n, dtype=object)
-            contained_first = np.zeros(n, dtype=bool)  # True -> b contains a
-
-            ax1, az1, ax2, az2, arow, _ = fa.edges()
-            bx1, bz1, bx2, bz2, brow, _ = fb.edges()
-
-            for i in range(n):
-                am = arow == i
-                bm = brow == i
-                ea = np.nonzero(am)[0]
-                eb = np.nonzero(bm)[0]
-                if len(ea) == 0 or len(eb) == 0:
-                    continue
-                ii, jj = np.meshgrid(ea, eb, indexing="ij")
-                ii, jj = ii.ravel(), jj.ravel()
-
-                # shared segment (exact, either direction)
-                sf = (ax1[ii] == bx1[jj]) & (az1[ii] == bz1[jj]) & (ax2[ii] == bx2[jj]) & (az2[ii] == bz2[jj])
-                sr = (ax1[ii] == bx2[jj]) & (az1[ii] == bz2[jj]) & (ax2[ii] == bx1[jj]) & (az2[ii] == bz1[jj])
-                if (sf | sr).any():
-                    out_kind[i] = "SHARE_SEGMENT"
-                    continue
-
-                # common nodes (vertex coordinate equality, both polygons)
-                a_pts_m = np.repeat(fa.ring_row, fa.ring_npts) == i
-                b_pts_m = np.repeat(fb.ring_row, fb.ring_npts) == i
-                apx, apz = fa.px[a_pts_m], fa.pz[a_pts_m]
-                bpx, bpz = fb.px[b_pts_m], fb.pz[b_pts_m]
-                common = apx[:, None] == bpx[None, :]
-                common &= apz[:, None] == bpz[None, :]
-                cn_x = apx[common.any(axis=1)]
-                cn_z = apz[common.any(axis=1)]
-
-                # true ring-x-ring intersections
-                hit, ix, iz = true_segment_intersection(
-                    ax1[ii], az1[ii], ax2[ii], az2[ii], bx1[jj], bz1[jj], bx2[jj], bz2[jj]
-                )
-                intersects = False
-                if hit.any():
-                    hx, hz = ix[hit], iz[hit]
-                    if len(cn_x):
-                        d2 = (hx[:, None] - cn_x[None, :]) ** 2 + (hz[:, None] - cn_z[None, :]) ** 2
-                        near = (d2 < EPS_COMMON_NODE**2).any(axis=1)
-                        intersects = bool((~near).any())
-                    else:
-                        intersects = True
-                if intersects:
-                    out_kind[i] = "INTERSECT"
-                    continue
-
-                # vertex-based containment (PolygonShapeXZ.java:84-91)
-                if _poly_contains_outer(fa, fb, i):
-                    out_kind[i] = "CONTAIN"       # a contains b -> (b, a)
-                    contained_first[i] = False
-                elif _poly_contains_outer(fb, fa, i):
-                    out_kind[i] = "CONTAIN"       # b contains a -> (a, b)
-                    contained_first[i] = True
-
-            keep = out_kind != ""
-            idx = np.nonzero(keep)[0]
-            if len(idx) == 0:
-                continue
-            a_ids = pdf["a_eid"].values
-            b_ids = pdf["b_eid"].values
-            first, second = [], []
-            for i in idx:
-                if out_kind[i] == "CONTAIN" and not contained_first[i]:
-                    first.append(b_ids[i])   # contained
-                    second.append(a_ids[i])  # container
-                else:
-                    first.append(a_ids[i])
-                    second.append(b_ids[i])
-            yield pd.DataFrame(
-                {
-                    "a_id": first,
-                    "a_type": "area",
-                    "b_id": second,
-                    "b_type": "area",
-                    "overlap_kind": out_kind[idx],
-                    "positions": [[] for _ in idx],
-                }
-            )
-
-    return p.mapInPandas(kernel, schema=OVERLAPS_SCHEMA)
-
-
-def _poly_contains_outer(f_container, f_other, i) -> bool:
-    """PolygonShapeXZ.contains(PolygonShapeXZ) vertex rule
-    (PolygonShapeXZ.java:84-91): every vertex of the other polygon's OUTER
-    ring is either an exact vertex of the container or inside it (with
-    holes). Kept vertex-based on purpose (the reference FIXME)."""
-    from osm2world_spark.functions.geometry import FlatRings, contains_point
-
-    import numpy as np
-
-    o_m = (f_other.ring_row == i) & (f_other.ring_idx == 0)
-    if not o_m.any():
-        return False
-    r = np.nonzero(o_m)[0][0]
-    s, np_ = f_other.ring_start[r], f_other.ring_npts[r]
-    qx = f_other.px[s : s + np_]
-    qz = f_other.pz[s : s + np_]
-
-    c_pts_m = np.repeat(f_container.ring_row, f_container.ring_npts) == i
-    cpx, cpz = f_container.px[c_pts_m], f_container.pz[c_pts_m]
-    is_vertex = ((qx[:, None] == cpx[None, :]) & (qz[:, None] == cpz[None, :])).any(axis=1)
-
-    # PIP for the non-vertex queries against container rings of row i
-    need = ~is_vertex
-    if not need.any():
-        return True
-    rings_m = f_container.ring_row == i
-    sel = np.nonzero(rings_m)[0]
-    sub = FlatRings(
-        n_rows=1,
-        ring_row=np.zeros(len(sel), dtype=np.int64),
-        ring_idx=f_container.ring_idx[sel],
-        ring_start=f_container.ring_start[sel],
-        ring_npts=f_container.ring_npts[sel],
-        px=f_container.px,
-        pz=f_container.pz,
+    if len(pdf) == 0:
+        return None
+    flat = flatten(pdf["b_geom"])
+    inside = contains_point(
+        pdf["a_x1"].to_numpy(np.float64), pdf["a_z1"].to_numpy(np.float64), flat
     )
-    for x, z in zip(qx[need], qz[need]):
-        if not contains_point(np.array([x]), np.array([z]), sub)[0]:
-            return False
-    return True
+    if not inside.any():
+        return None
+    return _out_frame(
+        pdf["a_eid"].values[inside],
+        "node",
+        pdf["b_eid"].values[inside],
+        "area",
+        "CONTAIN",
+        [[] for _ in range(int(inside.sum()))],
+    )
+
+
+def _wa_rows(pdf: pd.DataFrame) -> pd.DataFrame | None:
+    """segment x area (OSMToMapDataConverter.java:515-620): SHARE_SEGMENT /
+    INTERSECT (with ordered positions) / CONTAIN with the 1%-of-length
+    epsilon rule near shared nodes and midpoint-containment for connected
+    segments."""
+    from ..functions.geometry import contains_point, flatten, segment_ring_intersections
+
+    n = len(pdf)
+    if n == 0:
+        return None
+    flat = flatten(pdf["b_geom"])
+    sx1 = pdf["a_x1"].to_numpy(np.float64)
+    sz1 = pdf["a_z1"].to_numpy(np.float64)
+    sx2 = pdf["a_x2"].to_numpy(np.float64)
+    sz2 = pdf["a_z2"].to_numpy(np.float64)
+
+    # SHARE_SEGMENT: both endpoints equal one area edge's ends (:522-536)
+    ex1, ez1, ex2, ez2, erow, _ = flat.edges()
+    fwd = (ex1 == sx1[erow]) & (ez1 == sz1[erow]) & (ex2 == sx2[erow]) & (ez2 == sz2[erow])
+    rev = (ex1 == sx2[erow]) & (ez1 == sz2[erow]) & (ex2 == sx1[erow]) & (ez2 == sz1[erow])
+    share = np.zeros(n, dtype=bool)
+    hitrows = erow[fwd | rev]
+    if len(hitrows):
+        share[hitrows] = True
+
+    # connectivity: a segment endpoint equals any area vertex
+    pt_row = np.repeat(flat.ring_row, flat.ring_npts)
+    p1_match = (flat.px == sx1[pt_row]) & (flat.pz == sz1[pt_row])
+    p2_match = (flat.px == sx2[pt_row]) & (flat.pz == sz2[pt_row])
+    connected = np.zeros(n, dtype=bool)
+    np.logical_or.at(connected, pt_row[p1_match | p2_match], True)
+
+    # true intersections with every ring edge
+    irow, _, ix, iz, ta = segment_ring_intersections(sx1, sz1, sx2, sz2, flat)
+
+    seg_len = np.sqrt((sx2 - sx1) ** 2 + (sz2 - sz1) ** 2)
+    d1 = np.sqrt((ix - sx1[irow]) ** 2 + (iz - sz1[irow]) ** 2)
+    d2 = np.sqrt((ix - sx2[irow]) ** 2 + (iz - sz2[irow]) ** 2)
+    far_from_ends = (d1 > seg_len[irow] / 100) & (d2 > seg_len[irow] / 100)
+
+    any_int = np.zeros(n, dtype=bool)
+    any_far_int = np.zeros(n, dtype=bool)
+    if len(irow):
+        np.logical_or.at(any_int, irow, True)
+        np.logical_or.at(any_far_int, irow[far_from_ends], True)
+
+    intersects = np.where(connected, any_far_int, any_int) & ~share
+
+    in1 = contains_point(sx1, sz1, flat)
+    in2 = contains_point(sx2, sz2, flat)
+    in_c = contains_point((sx1 + sx2) / 2, (sz1 + sz2) / 2, flat)
+    contains = np.where(connected, in_c, in1 & in2 & ~any_int) & ~intersects & ~share
+
+    kinds = np.array([""] * n, dtype=object)
+    kinds[share] = "SHARE_SEGMENT"
+    kinds[intersects] = "INTERSECT"
+    kinds[contains] = "CONTAIN"
+    keep = kinds != ""
+    if not keep.any():
+        return None
+
+    # ordered positions for INTERSECT rows (distance-from-start order,
+    # MapOverlapWA.java:69-74): group the hits by row after a (row, ta) sort
+    positions = [[] for _ in range(int(keep.sum()))]
+    if len(irow):
+        out_pos_idx = np.full(n, -1, dtype=np.int64)
+        out_pos_idx[keep] = np.arange(int(keep.sum()))
+        order = np.lexsort((ta, irow))
+        irow_s, ix_s, iz_s = irow[order], ix[order], iz[order]
+        want = intersects[irow_s]
+        irow_s, ix_s, iz_s = irow_s[want], ix_s[want], iz_s[want]
+        if len(irow_s):
+            bounds = np.searchsorted(irow_s, np.unique(irow_s), side="left")
+            uniq = np.unique(irow_s)
+            ends = np.append(bounds[1:], len(irow_s))
+            for r, s0, s1 in zip(uniq, bounds, ends):
+                positions[out_pos_idx[r]] = [
+                    {"x": float(x), "z": float(z)}
+                    for x, z in zip(ix_s[s0:s1], iz_s[s0:s1])
+                ]
+    return _out_frame(
+        pdf["a_eid"].values[keep],
+        "segment",
+        pdf["b_eid"].values[keep],
+        "area",
+        kinds[keep],
+        positions,
+    )
+
+
+def _vertex_rule_contains(f_c, f_o, row_mask: np.ndarray) -> np.ndarray:
+    """PolygonShapeXZ.contains(PolygonShapeXZ) vertex rule, vectorized
+    (PolygonShapeXZ.java:84-91): for each masked row, every vertex of the
+    OTHER polygon's outer ring is an exact vertex of the container or
+    inside it (holes respected). Kept vertex-based on purpose (the
+    reference's own FIXME semantics)."""
+    from ..functions.geometry import contains_points_multi
+
+    n = len(row_mask)
+    o_pt_ring = np.repeat(np.arange(f_o.n_rings, dtype=np.int64), f_o.ring_npts)
+    o_pt_row = f_o.ring_row[o_pt_ring]
+    q_mask = (f_o.ring_idx[o_pt_ring] == 0) & row_mask[o_pt_row]
+    if not q_mask.any():
+        return np.zeros(n, dtype=bool)
+    qx, qz, qrow = f_o.px[q_mask], f_o.pz[q_mask], o_pt_row[q_mask]
+
+    # exact-vertex membership: expansion (query pts x container pts of row)
+    c_pt_ring = np.repeat(np.arange(f_c.n_rings, dtype=np.int64), f_c.ring_npts)
+    c_pt_row = f_c.ring_row[c_pt_ring]
+    n_c_pts = np.bincount(c_pt_row, minlength=n)
+    c_start = _excl_cumsum(n_c_pts)
+    from ..functions.geometry import _ranges
+
+    mq = n_c_pts[qrow]
+    comb_q = np.repeat(np.arange(len(qx), dtype=np.int64), mq)
+    comb_c = c_start[qrow[comb_q]] + _ranges(mq)
+    eq = (f_c.px[comb_c] == qx[comb_q]) & (f_c.pz[comb_c] == qz[comb_q])
+    is_vertex = np.zeros(len(qx), dtype=bool)
+    if eq.any():
+        np.logical_or.at(is_vertex, comb_q[eq], True)
+
+    ok = is_vertex.copy()
+    need = ~is_vertex
+    if need.any():
+        ok[need] = contains_points_multi(qx[need], qz[need], qrow[need], f_c)
+
+    bad = np.zeros(n, dtype=bool)
+    if (~ok).any():
+        np.logical_or.at(bad, qrow[~ok], True)
+    has_pts = np.zeros(n, dtype=bool)
+    has_pts[qrow] = True
+    return row_mask & has_pts & ~bad
+
+
+def _aa_rows(pdf: pd.DataFrame) -> pd.DataFrame | None:
+    """area x area (OSMToMapDataConverter.java:623-718), fully vectorized:
+    SHARE_SEGMENT on any exactly-equal edge pair (:630-643); INTERSECT if
+    any true crossing farther than 0.01 from every common vertex
+    (:656-685); else the vertex containment rule with (contained,
+    container) output order (:689-711)."""
+    from ..functions.geometry import flatten, true_segment_intersection
+
+    n = len(pdf)
+    if n == 0:
+        return None
+    fa = flatten(pdf["a_geom"])
+    fb = flatten(pdf["b_geom"])
+    ax1, az1, ax2, az2, arow, _ = fa.edges()
+    bx1, bz1, bx2, bz2, brow, _ = fb.edges()
+    na_e = np.bincount(arow, minlength=n)
+    nb_e = np.bincount(brow, minlength=n)
+    comb_row, ii, jj = _pair_combos(na_e, nb_e)
+
+    # shared segment (exact, either direction)
+    sf = (ax1[ii] == bx1[jj]) & (az1[ii] == bz1[jj]) & (ax2[ii] == bx2[jj]) & (az2[ii] == bz2[jj])
+    sr = (ax1[ii] == bx2[jj]) & (az1[ii] == bz2[jj]) & (ax2[ii] == bx1[jj]) & (az2[ii] == bz1[jj])
+    share = np.zeros(n, dtype=bool)
+    anyshare = sf | sr
+    if anyshare.any():
+        np.logical_or.at(share, comb_row[anyshare], True)
+
+    # common vertices (coordinate equality across the two polygons)
+    a_pt_ring = np.repeat(np.arange(fa.n_rings, dtype=np.int64), fa.ring_npts)
+    b_pt_ring = np.repeat(np.arange(fb.n_rings, dtype=np.int64), fb.ring_npts)
+    a_pt_row = fa.ring_row[a_pt_ring]
+    b_pt_row = fb.ring_row[b_pt_ring]
+    npa = np.bincount(a_pt_row, minlength=n)
+    npb = np.bincount(b_pt_row, minlength=n)
+    prow, pi, pj = _pair_combos(npa, npb)
+    eq = (fa.px[pi] == fb.px[pj]) & (fa.pz[pi] == fb.pz[pj])
+    cn_row = prow[eq]
+    cn_x = fa.px[pi[eq]]
+    cn_z = fa.pz[pi[eq]]
+    n_cn = np.bincount(cn_row, minlength=n)
+    has_cn = n_cn > 0
+
+    # true ring-x-ring crossings; eps rule near common vertices
+    hit, hx_all, hz_all = true_segment_intersection(
+        ax1[ii], az1[ii], ax2[ii], az2[ii], bx1[jj], bz1[jj], bx2[jj], bz2[jj]
+    )
+    intersect = np.zeros(n, dtype=bool)
+    if hit.any():
+        hrow = comb_row[hit]
+        hx = hx_all[hit]
+        hz = hz_all[hit]
+        no_cn = ~has_cn[hrow]
+        if no_cn.any():
+            np.logical_or.at(intersect, hrow[no_cn], True)
+        sel = ~no_cn
+        if sel.any():
+            from ..functions.geometry import _ranges
+
+            h2row, h2x, h2z = hrow[sel], hx[sel], hz[sel]
+            cn_start = _excl_cumsum(n_cn)
+            mh = n_cn[h2row]
+            ch = np.repeat(np.arange(len(h2row), dtype=np.int64), mh)
+            cidx = cn_start[h2row[ch]] + _ranges(mh)
+            d2 = (h2x[ch] - cn_x[cidx]) ** 2 + (h2z[ch] - cn_z[cidx]) ** 2
+            near_hit = np.zeros(len(h2row), dtype=bool)
+            nr = d2 < EPS_COMMON_NODE ** 2
+            if nr.any():
+                np.logical_or.at(near_hit, ch[nr], True)
+            far = ~near_hit
+            if far.any():
+                np.logical_or.at(intersect, h2row[far], True)
+    intersect &= ~share
+
+    # containment (reference order: a-contains-b first, :705-711)
+    cand = ~share & ~intersect
+    a_contains_b = _vertex_rule_contains(fa, fb, cand)
+    b_contains_a = _vertex_rule_contains(fb, fa, cand & ~a_contains_b)
+
+    kinds = np.array([""] * n, dtype=object)
+    kinds[share] = "SHARE_SEGMENT"
+    kinds[intersect] = "INTERSECT"
+    kinds[a_contains_b | b_contains_a] = "CONTAIN"
+    keep = kinds != ""
+    if not keep.any():
+        return None
+    a_ids = pdf["a_eid"].values
+    b_ids = pdf["b_eid"].values
+    # CONTAIN rows emit (contained, container)
+    first = np.where(a_contains_b, b_ids, a_ids)[keep]
+    second = np.where(a_contains_b, a_ids, b_ids)[keep]
+    return _out_frame(
+        first, "area", second, "area", kinds[keep], [[] for _ in range(int(keep.sum()))]
+    )
+
+
+def _refine_kernel(batches):
+    """Single-pass refinement over candidate-pair batches."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        at = pdf["a_etype"].values
+        bt = pdf["b_etype"].values
+        outs = []
+        for fn, m in (
+            (_ww_rows, (at == "segment") & (bt == "segment")),
+            (_na_rows, (at == "node") & (bt == "area")),
+            (_wa_rows, (at == "segment") & (bt == "area")),
+            (_aa_rows, (at == "area") & (bt == "area")),
+        ):
+            if m.any():
+                out = fn(pdf[m])
+                if out is not None and len(out):
+                    outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+
+# ------------------------------------------- single-shuffle cell grouping
+#
+# The scalable path: ONE hash shuffle of the cell-covered surface, then
+# everything — pair generation, cross-cell dedup, refinement — runs
+# vectorized inside one mapInPandas pass over cell-sorted partitions.
+#
+# Cross-cell dedup is the REFERENCE-POINT rule (no dropDuplicates shuffle):
+# two bbox-overlapping elements share exactly the cells covering their
+# bbox intersection (1-D Helly: pairwise-intersecting intervals share a
+# point), so the pair is emitted only by the cell containing the
+# intersection's lower corner (max(minx), max(minz)) — a pure local test.
+#
+# Dense-cell skew keeps the triangle-split salting: an element with salt s
+# in a dense cell is replicated to the S groups {(cell, min(s,t),
+# max(s,t)) : t}, and group (i, j) emits only (salt_i x salt_j) pairs, so
+# one quadratic cell becomes S(S+1)/2 bounded, independently-scheduled
+# groups.
+
+_SMALL_GROUP = 64          # groups up to this size are pair-expanded en masse
+_PAIR_BLOCK = 2_000_000    # combo-chunk bound for large groups
+
+
+# adaptive salting: a dense cell with n elements gets S ~ n / _TARGET_SIDE
+# salt buckets (capped), so every (i, j) group's pair-combo count is
+# bounded by ~(2 * _TARGET_SIDE)^2 regardless of how dense the city is —
+# the straggler cap that makes wall-clock scale with cores
+_TARGET_SIDE = 256
+_MAX_SALT = 32
+
+
+def _dense_cells(covered: DataFrame, threshold: int) -> DataFrame:
+    s_cell = F.least(
+        F.lit(_MAX_SALT),
+        F.greatest(F.lit(2), F.ceil(F.col("n_in_cell") / F.lit(_TARGET_SIDE)).cast("int")),
+    )
+    return (
+        covered.groupBy("cell")
+        .agg(F.count("*").alias("n_in_cell"))
+        .where(F.col("n_in_cell") > threshold)
+        .select("cell", s_cell.alias("s_cell"))
+    )
+
+
+def _grouped_surface(
+    surface: DataFrame,
+    cell_size: float,
+    salt_buckets: int,
+    dense_threshold: int,
+) -> DataFrame:
+    """surface -> cell-cover explode -> salted group keys, hash-partitioned
+    and sorted by group so each group is contiguous within its partition."""
+    covered = surface.withColumn(
+        "cell",
+        F.explode(metric_cells(F.col("minx"), F.col("minz"), F.col("maxx"), F.col("maxz"), cell_size)),
+    )
+    covered = covered.join(F.broadcast(_dense_cells(covered, dense_threshold)), "cell", "left")
+    covered = covered.withColumn("s_cell", F.coalesce(F.col("s_cell"), F.lit(1)))
+    covered = covered.withColumn(
+        "salt", F.pmod(F.xxhash64("eid"), F.col("s_cell")).cast("int")
+    )
+    t = F.explode(F.sequence(F.lit(0), F.col("s_cell") - 1))
+    replicated = covered.withColumn("t", t).select(
+        "*",
+        F.least("salt", "t").alias("gi"),
+        F.greatest("salt", "t").alias("gj"),
+    )
+    # one sortable bigint group key: cell in the high bits, (gi, gj) low
+    gkey = (F.col("cell") * (_MAX_SALT * _MAX_SALT)) + F.col("gi") * _MAX_SALT + F.col("gj")
+    cols = ["eid", "etype", "way_key", "seg_idx", "x1", "z1", "x2", "z2",
+            "geom", "minx", "minz", "maxx", "maxz", "salt"]
+    # explicit partition count: repartition(col) without one lets AQE
+    # coalesce the exchange down to a handful of partitions (its size
+    # estimate ignores the quadratic per-group kernel cost), starving the
+    # executors — observed as 50% idle CPUs on local[16]
+    n_parts = int(surface.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        replicated.select(gkey.alias("gkey"), F.col("cell"), F.col("gi"), F.col("gj"), *cols)
+        .repartition(2 * n_parts, F.col("gkey"))
+        .sortWithinPartitions("gkey", "eid")
+    )
+
+
+_TYPE_RANK = {"node": 0, "segment": 1, "area": 2}
+
+
+def _emit_group_pairs(pdf: pd.DataFrame, cell_size: float, salt_buckets: int):
+    """Vectorized pair generation for a frame of WHOLE groups (sorted by
+    (gkey, eid)). Diagonal groups (gi == gj) expand TRIANGULAR combos
+    directly — row order within a group is eid order, so each unordered
+    pair appears exactly once, already eid-ascending. Off-diagonal (salted)
+    groups expand left-side (salt == gi) x right-side (salt == gj) only.
+    No per-combo dedup predicates needed. Returns a pairs DataFrame in
+    refinement layout, or None."""
+    from ..functions.geometry import _ranges
+
+    n = len(pdf)
+    if n == 0:
+        return None
+    gkey = pdf["gkey"].to_numpy(np.int64)
+    change = np.nonzero(np.diff(gkey))[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+
+    minx = pdf["minx"].to_numpy(np.float64)
+    minz = pdf["minz"].to_numpy(np.float64)
+    maxx = pdf["maxx"].to_numpy(np.float64)
+    maxz = pdf["maxz"].to_numpy(np.float64)
+    salt = pdf["salt"].to_numpy(np.int64)
+    gi_row = pdf["gi"].to_numpy(np.int64)
+    gj_row = pdf["gj"].to_numpy(np.int64)
+    eid = pdf["eid"].values
+
+    grp_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+    local = np.arange(n, dtype=np.int64) - starts[grp_of_row]
+    diag_row = gi_row == gj_row
+
+    ii_parts, jj_parts = [], []
+
+    # diagonal groups: triangular expansion (pairs-to-the-right per row)
+    if diag_row.any():
+        rows = np.nonzero(diag_row)[0]
+        cnt = (sizes[grp_of_row] - 1 - local)[rows]
+        ii_parts.append(np.repeat(rows, cnt))
+        jj_parts.append(np.repeat(rows + 1, cnt) + _ranges(cnt))
+
+    # off-diagonal groups: left-side x right-side cross product
+    if (~diag_row).any():
+        l_rows = np.nonzero(~diag_row & (salt == gi_row))[0]
+        r_rows = np.nonzero(~diag_row & (salt == gj_row))[0]
+        if len(l_rows) and len(r_rows):
+            ng = len(starts)
+            nl = np.bincount(grp_of_row[l_rows], minlength=ng)
+            nr = np.bincount(grp_of_row[r_rows], minlength=ng)
+            m = nl * nr
+            comb_g = np.repeat(np.arange(ng, dtype=np.int64), m)
+            loc = _ranges(m)
+            l_start = np.concatenate([[0], np.cumsum(nl)[:-1]])
+            r_start = np.concatenate([[0], np.cumsum(nr)[:-1]])
+            nr_g = nr[comb_g]
+            ii_parts.append(l_rows[l_start[comb_g] + loc // nr_g])
+            jj_parts.append(r_rows[r_start[comb_g] + loc % nr_g])
+
+    if not ii_parts:
+        return None
+    ii = np.concatenate(ii_parts)
+    jj = np.concatenate(jj_parts)
+    if len(ii) == 0:
+        return None
+
+    # inclusive bbox overlap prefilter
+    keep = (minx[ii] <= maxx[jj]) & (minx[jj] <= maxx[ii])
+    keep &= (minz[ii] <= maxz[jj]) & (minz[jj] <= maxz[ii])
+    if not keep.any():
+        return None
+    ii, jj = ii[keep], jj[keep]
+
+    # reference-point dedup: the pair belongs to the cell holding the
+    # lower corner of the bbox intersection
+    cell = pdf["cell"].to_numpy(np.int64)[ii]
+    rcx = np.floor(np.maximum(minx[ii], minx[jj]) / cell_size).astype(np.int64)
+    rcz = np.floor(np.maximum(minz[ii], minz[jj]) / cell_size).astype(np.int64)
+    own = (((rcx + _CELL_OFFSET) << 21) + (rcz + _CELL_OFFSET)) == cell
+    if not own.any():
+        return None
+    ii, jj = ii[own], jj[own]
+
+    # canonical order: eid-ascending (diag pairs already are; code the
+    # survivor eids once for the off-diag swaps), then type rank
+    sub = np.concatenate([ii, jj])
+    _, codes = np.unique(eid[sub].astype(str), return_inverse=True)
+    ci, cj = codes[: len(ii)], codes[len(ii):]
+    swap_eid = ci > cj
+    a = np.where(swap_eid, jj, ii)
+    b = np.where(swap_eid, ii, jj)
+    rank = pdf["etype"].map(_TYPE_RANK).to_numpy(np.int64)
+    swap_t = rank[a] > rank[b]
+    a, b = np.where(swap_t, b, a), np.where(swap_t, a, b)
+
+    cols = {}
+    for c in ("eid", "etype", "way_key", "seg_idx", "x1", "z1", "x2", "z2", "geom"):
+        vals = pdf[c].values
+        cols[f"a_{c}"] = vals[a]
+        cols[f"b_{c}"] = vals[b]
+    return pd.DataFrame(cols)
+
+
+def _cell_join_kernel(cell_size: float, salt_buckets: int):
+    def kernel(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # hold back the (possibly incomplete) trailing group
+            gk = pdf["gkey"].to_numpy(np.int64)
+            last = gk[-1]
+            cut = int(np.searchsorted(gk, last, side="left"))
+            carry = pdf.iloc[cut:]
+            ready = pdf.iloc[:cut]
+            pairs = _emit_group_pairs(ready, cell_size, salt_buckets)
+            if pairs is not None and len(pairs):
+                yield from _refine_kernel([pairs])
+        if carry is not None and len(carry):
+            pairs = _emit_group_pairs(carry, cell_size, salt_buckets)
+            if pairs is not None and len(pairs):
+                yield from _refine_kernel([pairs])
+
+    return kernel
 
 
 # ----------------------------------------------------------- entry point
 
-def spatial_self_join(elements: DataFrame, cell_size: float = CELL_SIZE_M) -> DataFrame:
-    """Full typed-overlap self-join over an elements DataFrame.
-
-    The candidate join is materialized once (localCheckpoint) and the four
-    type-pair refinements read it — otherwise each union branch would
-    re-run the shuffle join. On a cluster the equivalent is a persisted
-    intermediate or an exchange reuse; localCheckpoint also keeps the plan
-    short for AQE."""
+def spatial_self_join(
+    elements: DataFrame,
+    cell_size: float = CELL_SIZE_M,
+    salt_buckets: int = 8,
+    dense_threshold: int = 768,
+) -> DataFrame:
+    """Full typed-overlap self-join over an elements DataFrame in ONE
+    shuffle: cell-cover explode -> hash repartition + sort by group key ->
+    a single mapInPandas pass that generates candidate pairs per cell
+    group (reference-point cross-cell dedup, no global dropDuplicates),
+    and refines them with the vectorized type-pair kernels in place. The
+    only wide exchange is the covered surface itself; pairs never hit the
+    shuffle."""
     surface = join_surface(elements)
-    pairs = _oriented(candidate_pairs(surface, cell_size)).localCheckpoint(eager=False)
-    ww = _refine_ww(pairs)
-    na = _refine_na(pairs)
-    wa = _refine_wa(pairs)
-    aa = _refine_aa(pairs)
-    return ww.unionByName(na).unionByName(wa).unionByName(aa)
+    grouped = _grouped_surface(surface, cell_size, salt_buckets, dense_threshold)
+    return grouped.mapInPandas(
+        _cell_join_kernel(cell_size, salt_buckets), schema=OVERLAPS_SCHEMA
+    )

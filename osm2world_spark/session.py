@@ -35,6 +35,8 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     _ensure_package_on_worker_path()
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
@@ -53,6 +55,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # shuffle/spill on tmpfs when available: the sandbox VM's disk is
+        # slow+shared and becomes a serial bottleneck for shuffle-heavy
+        # stages; a real cluster uses local NVMe via spark.local.dir
+        .config("spark.local.dir", "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
