@@ -760,6 +760,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["huge_clip"] = huge_clip
 
+    # --- EmptyTerrainBuilder: 30m patch grid, pure Column generator
+    def terrain_patches(spark, sf_dir):
+        from osm2world_spark.operators.terrain import empty_terrain_patches
+
+        b = _planar(_t(spark, sf_dir, "supplier"), "s_suppkey").agg(
+            F.min("x"), F.min("z"), F.max("x"), F.max("z")
+        ).first()
+        patches = empty_terrain_patches(spark, b[0], b[1], b[2], b[3])
+        xs = F.filter(
+            F.transform(F.col("ring"), lambda v, i: F.struct(v.alias("v"), i.alias("i"))),
+            lambda s: s["i"] % 2 == 0,
+        )
+        zs = F.filter(
+            F.transform(F.col("ring"), lambda v, i: F.struct(v.alias("v"), i.alias("i"))),
+            lambda s: s["i"] % 2 == 1,
+        )
+        vmin = lambda arr: F.array_min(F.transform(arr, lambda s: s["v"]))
+        vmax = lambda arr: F.array_max(F.transform(arr, lambda s: s["v"]))
+        return patches.select(
+            "patch_x",
+            "patch_z",
+            (F.size("ring") / 2).cast("int").alias("n_pts"),
+            F.floor(vmin(xs) * 1000.0 + 0.5).cast("bigint").alias("minx_mm"),
+            F.floor(vmin(zs) * 1000.0 + 0.5).cast("bigint").alias("minz_mm"),
+            F.floor(vmax(xs) * 1000.0 + 0.5).cast("bigint").alias("maxx_mm"),
+            F.floor(vmax(zs) * 1000.0 + 0.5).cast("bigint").alias("maxz_mm"),
+        )
+
+    q["terrain_patches"] = terrain_patches
+
+    # --- P6: tag ruleset predicates over a synthesized map<string,string>
+    def tag_rules(spark, sf_dir):
+        from osm2world_spark.functions.tags import (
+            is_area_tagged,
+            is_land_tagged,
+            is_sea_tagged,
+        )
+
+        c = _t(spark, sf_dir, "customer")
+        keys = ["building", "highway", "natural", "leisure", "route"]
+        vals = ["yes", "water", "pitch", "ferry"]
+        k1 = F.element_at(F.array(*[F.lit(k) for k in keys]), (F.col("c_custkey") % 5 + 1).cast("int"))
+        v1 = F.element_at(F.array(*[F.lit(v) for v in vals]), (F.col("c_custkey") % 4 + 1).cast("int"))
+        tags = F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.map_from_arrays(F.array(k1, F.lit("area")), F.array(v1, F.lit("no"))),
+        ).otherwise(F.map_from_arrays(F.array(k1), F.array(v1)))
+        d = c.select("c_custkey", tags.alias("tags"))
+        return d.select(
+            "c_custkey",
+            is_area_tagged(F.col("tags")).alias("is_area"),
+            is_land_tagged(F.col("tags")).alias("is_land"),
+            is_sea_tagged(F.col("tags")).alias("is_sea"),
+        )
+
+    q["tag_rules"] = tag_rules
+
     # ----------------- rows-only checks (non-SQL-expressible operators)
 
     def spatial_overlaps(spark, sf_dir):
@@ -870,6 +927,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["lsq_elevation"] = lsq_elevation
+
+    def coastline_water(spark, sf_dir):
+        from osm2world_spark.operators.rings import coastline_water_areas
+
+        g = spark.range(150).select(F.col("id").alias("g"))
+        cz = (F.col("g") * 37 % 800 + 100).cast("double")
+        ix, iz = (F.col("g") * 53 % 600 + 200).cast("double"), (F.col("g") * 29 % 600 + 200).cast("double")
+        crossing = F.array(F.lit(-50.0), cz, F.lit(500.0), cz + 30.0, F.lit(1050.0), cz)
+        island = F.array(
+            ix, iz, ix + 40.0, iz, ix + 40.0, iz + 40.0, ix, iz + 40.0, ix, iz
+        )
+        ways = g.select(
+            F.col("g").cast("string").alias("group_id"),
+            F.posexplode(F.array(crossing, island)).alias("way_idx", "coords"),
+            F.lit(0.0).alias("minx"), F.lit(0.0).alias("minz"),
+            F.lit(1000.0).alias("maxx"), F.lit(1000.0).alias("maxz"),
+        ).select("group_id", "way_idx", "coords", "minx", "minz", "maxx", "maxz")
+        out = coastline_water_areas(ways)
+        return out.select("rel_id", "area_idx", "status", "n_holes")
+
+    q["coastline_water"] = coastline_water
 
     return q
 
@@ -1275,6 +1353,51 @@ def oracle_sql() -> dict[str, str]:
           SELECT key, x, z, h, bminx, bminz, bmaxx, bmaxz,
                  ((x + h) - (x - h)) * ((z + h) - (z - h)) > 5.0 * ((bmaxx - bminx) * (bmaxz - bminz)) AS clipped
           FROM c CROSS JOIN b
+        )
+    """
+
+    sql["terrain_patches"] = f"""
+        WITH b AS (
+          SELECT min(x) AS bminx, min(z) AS bminz, max(x) AS bmaxx, max(z) AS bmaxz
+          FROM (SELECT {X_M.format(k="s_suppkey")} AS x, {Z_M.format(k="s_suppkey")} AS z FROM supplier)
+        ), g AS (
+          SELECT cast(ceil((bminx - 30.0 + 0.01) / 30.0) as int) AS start_x,
+                 cast(ceil((bminz - 30.0 + 0.01) / 30.0) as int) AS start_z,
+                 cast(floor((bmaxx + 30.0 - 0.01) / 30.0) as int) AS end_x,
+                 cast(floor((bmaxz + 30.0 - 0.01) / 30.0) as int) AS end_z
+          FROM b
+        ), s AS (
+          SELECT start_x, start_z, end_x - start_x + 1 AS size_x, end_z - start_z + 1 AS size_z FROM g
+        ), p AS (
+          SELECT start_x, start_z, size_x, size_z,
+                 cast(px as int) AS patch_x, cast(pz as int) AS patch_z
+          FROM s
+          CROSS JOIN unnest(generate_series(0, (size_x + 8) // 10 - 1)) AS tx(px)
+          CROSS JOIN unnest(generate_series(0, (size_z + 8) // 10 - 1)) AS tz(pz)
+        )
+        SELECT patch_x, patch_z,
+               cast(2 * (least(patch_x * 10 + 11, size_x) - patch_x * 10)
+                  + 2 * (least(patch_z * 10 + 11, size_z) - patch_z * 10) - 3 as int) AS n_pts,
+               cast(floor((start_x + patch_x * 10) * 30.0 * 1000.0 + 0.5) as bigint) AS minx_mm,
+               cast(floor((start_z + patch_z * 10) * 30.0 * 1000.0 + 0.5) as bigint) AS minz_mm,
+               cast(floor((start_x + least(patch_x * 10 + 11, size_x) - 1) * 30.0 * 1000.0 + 0.5) as bigint) AS maxx_mm,
+               cast(floor((start_z + least(patch_z * 10 + 11, size_z) - 1) * 30.0 * 1000.0 + 0.5) as bigint) AS maxz_mm
+        FROM p
+    """
+
+    sql["tag_rules"] = """
+        SELECT c_custkey,
+               ((k1 IN ('building', 'leisure') OR (k1 = 'natural' AND v1 = 'water'))
+                AND NOT (c_custkey % 11 = 0)) AS is_area,
+               (k1 = 'natural' AND v1 = 'water') AS is_land,
+               (k1 = 'route' AND v1 = 'ferry') AS is_sea
+        FROM (
+          SELECT c_custkey,
+                 (CASE c_custkey % 5 WHEN 0 THEN 'building' WHEN 1 THEN 'highway'
+                       WHEN 2 THEN 'natural' WHEN 3 THEN 'leisure' ELSE 'route' END) AS k1,
+                 (CASE c_custkey % 4 WHEN 0 THEN 'yes' WHEN 1 THEN 'water'
+                       WHEN 2 THEN 'pitch' ELSE 'ferry' END) AS v1
+          FROM customer
         )
     """
 
