@@ -1,0 +1,161 @@
+"""Public API facade: the engine's `O2WConverter` analogue.
+
+Reference surface (/root/reference/core-jvm/src/main/java/org/osm2world/
+O2WConverter.java:30-89): `setConfig(O2WConfig)` :45, `convert(reader, ...)`
+:71, and the test-oriented `convert(MapData, ...)` :89 that skips parsing.
+Config keys mirror O2WConfig where an analytics analogue exists
+(`conversion/O2WConfig.java`): projection origin (:465-470),
+terrainInterpolator (:510-518), clipToBounds (TilesetCommand.java:185-190).
+
+`DocumentBuilder` is the `MapDataBuilder` analogue
+(map_data/creation/MapDataBuilder.java:24-70): tests and fixtures inject
+synthetic scenes as interleaved documents (`doc_id`,
+`spans: array<struct<kind,text,media_ref,offset>>`), the input_hint shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.projection import Origin
+
+
+@dataclass
+class EngineConfig:
+    """O2WConfig analogue — strategy choices resolved once per run."""
+
+    origin: Origin | None = None          # None -> dataset default origin
+    interpolator: str = "leastsquares"    # O2WConfig.terrainInterpolator
+    cell_size_m: float = 150.0            # spatial-join candidate grid
+    golden_zoom: int = 12                 # tile key for partitioned outputs
+    cell_zoom: int = 14
+    clip_to_bounds: bool = True           # TilesetCommand per-tile default
+    extras: dict = field(default_factory=dict)
+
+
+class Engine:
+    """High-level conversion API over the operator library.
+
+    >>> eng = Engine(spark)
+    >>> elements = eng.elements(docs)
+    >>> tiles = eng.tile_assignments(elements)
+    >>> overlaps = eng.overlaps(elements)
+    >>> result = eng.convert(docs, out_dir="/data/out")   # resumable run
+    """
+
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+        self.spark = spark
+        self.config = config or EngineConfig()
+
+    # ------------------------------------------------------ building blocks
+
+    def _origin(self) -> Origin:
+        if self.config.origin is not None:
+            return self.config.origin
+        from .sources.documents import DEFAULT_ORIGIN
+
+        return DEFAULT_ORIGIN
+
+    def elements(self, docs: DataFrame) -> DataFrame:
+        """documents -> projected elements (MapData analogue)."""
+        from .sources.documents import extract_elements
+
+        return extract_elements(docs, self._origin())
+
+    def tile_assignments(self, elements: DataFrame, with_cells: bool = True) -> DataFrame:
+        from .operators.tiling import assign_tiles
+
+        return assign_tiles(elements, with_cells=with_cells)
+
+    def overlaps(self, elements: DataFrame) -> DataFrame:
+        """Typed-overlap spatial self-join (the MapData overlaps)."""
+        from .operators.spatial_join import spatial_self_join
+
+        return spatial_self_join(elements, cell_size=self.config.cell_size_m)
+
+    def elevations(self, queries: DataFrame, sites: DataFrame) -> DataFrame:
+        """Terrain interpolation with the configured strategy
+        (O2WConfig.terrainInterpolator dispatch)."""
+        from .operators.knn import interpolate
+
+        return interpolate(queries, sites, method=self.config.interpolator)
+
+    def clip(self, elements: DataFrame, zoom: int | None = None) -> DataFrame:
+        from .operators.clip import clip_to_tiles
+
+        return clip_to_tiles(elements, self._origin(), zoom=zoom or self.config.cell_zoom)
+
+    # ------------------------------------------------------------- convert
+
+    def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",
+                with_overlaps: bool = True) -> dict:
+        """Full resumable pipeline: docs -> per-tile tile_assignments +
+        overlaps parquet with commit manifest and lineage (the `tileset`
+        bulk flow, TilesetCommand.java:99-137)."""
+        from .plans.pipeline import TilePipeline
+
+        return TilePipeline(self.spark, out_dir, self._origin()).run(
+            docs, run_ts=run_ts, with_overlaps=with_overlaps
+        )
+
+
+class DocumentBuilder:
+    """MapDataBuilder analogue: assemble synthetic interleaved documents.
+
+    Geometry spans encode rings as the documents source expects:
+    "lat,lon lat,lon ..." with holes appended as " hole:..." groups.
+    Span order per document is preserved (offset == list position), which
+    is the span-sequence invariant the engine must keep end to end.
+    """
+
+    def __init__(self) -> None:
+        self._docs: dict[str, list[tuple[str, str, str]]] = {}
+
+    def _add(self, doc_id: str, kind: str, text: str, media_ref: str = "") -> "DocumentBuilder":
+        self._docs.setdefault(doc_id, []).append((kind, text, media_ref))
+        return self
+
+    def add_text(self, doc_id: str, text: str) -> "DocumentBuilder":
+        return self._add(doc_id, "text", text)
+
+    def add_media(self, doc_id: str, media_ref: str, caption: str = "") -> "DocumentBuilder":
+        return self._add(doc_id, "media", caption, media_ref)
+
+    @staticmethod
+    def _fmt(points) -> str:
+        return " ".join(f"{lat:.7f},{lon:.7f}" for lat, lon in points)
+
+    def add_node(self, doc_id: str, lat: float, lon: float) -> "DocumentBuilder":
+        return self._add(doc_id, "geo_point", self._fmt([(lat, lon)]))
+
+    def add_way(self, doc_id: str, points) -> "DocumentBuilder":
+        return self._add(doc_id, "geo_way", self._fmt(points))
+
+    @staticmethod
+    def _closed(ring):
+        ring = list(ring)
+        if ring and tuple(ring[0]) != tuple(ring[-1]):
+            ring.append(ring[0])
+        return ring
+
+    def add_area(self, doc_id: str, outer, holes=()) -> "DocumentBuilder":
+        text = self._fmt(self._closed(outer))
+        for h in holes:
+            text += " hole:" + self._fmt(self._closed(h))
+        return self._add(doc_id, "geo_area", text)
+
+    def build(self, spark: SparkSession) -> DataFrame:
+        rows = []
+        for doc_id in sorted(self._docs):
+            spans = [
+                {"kind": k, "text": t, "media_ref": m, "offset": i}
+                for i, (k, t, m) in enumerate(self._docs[doc_id])
+            ]
+            rows.append({"doc_id": doc_id, "spans": spans})
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind string, text string, "
+            "media_ref string, offset int>>",
+        )

@@ -1,0 +1,59 @@
+"""Engine facade + DocumentBuilder tests (O2WConverter / MapDataBuilder
+analogues, SURVEY.md section 3.3)."""
+
+import pytest
+
+
+def test_builder_and_engine_roundtrip(spark, tmp_path):
+    from osm2world_spark.api import DocumentBuilder, Engine, EngineConfig
+    from osm2world_spark.functions.projection import Origin
+
+    lat0, lon0 = 48.566, 13.451
+    b = DocumentBuilder()
+    b.add_text("d1", "a small scene")
+    b.add_node("d1", lat0 + 0.0001, lon0 + 0.0001)
+    b.add_area(
+        "d1",
+        [(lat0, lon0), (lat0, lon0 + 0.001), (lat0 + 0.001, lon0 + 0.001), (lat0 + 0.001, lon0)],
+    )
+    b.add_way("d2", [(lat0 - 0.0005, lon0 - 0.0005), (lat0 + 0.002, lon0 + 0.002)])
+    b.add_media("d2", "media://x")
+    docs = b.build(spark)
+
+    # span-sequence invariant: kinds and offsets in insertion order
+    spans = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    assert [s["kind"] for s in spans["d1"]] == ["text", "geo_point", "geo_area"]
+    assert [s["offset"] for s in spans["d2"]] == [0, 1]
+
+    eng = Engine(spark, EngineConfig(origin=Origin(lat0, lon0)))
+    elements = eng.elements(docs).cache()
+    by_type = {r["element_type"]: r for r in elements.collect()}
+    assert set(by_type) == {"node", "area", "way"}
+
+    tiles = eng.tile_assignments(elements)
+    assert tiles.where("zoom = 12").count() >= 2
+
+    overlaps = eng.overlaps(elements)
+    kinds = {r["overlap_kind"] for r in overlaps.collect()}
+    # the node sits inside the area; the way crosses it
+    assert "CONTAIN" in kinds and "INTERSECT" in kinds
+
+    # full resumable convert
+    out = str(tmp_path / "out")
+    report = eng.convert(docs, out_dir=out)
+    assert report["tile_assignments"] >= 1
+    report2 = eng.convert(docs, out_dir=out, run_ts="run1")
+    assert report2["tile_assignments"] == 0  # all tiles committed -> skipped
+
+
+def test_engine_interpolator_config(spark):
+    from osm2world_spark.api import Engine, EngineConfig
+
+    sites = spark.createDataFrame(
+        [(f"s{i}", float(i % 6) * 20.0, float(i // 6) * 20.0, 5.0) for i in range(36)],
+        "s_id string, x double, z double, y double",
+    )
+    queries = spark.createDataFrame([("q", 51.0, 49.0)], "q_id string, x double, z double")
+    eng = Engine(spark, EngineConfig(interpolator="idw"))
+    rows = eng.elevations(queries, sites).collect()
+    assert len(rows) == 1 and abs(rows[0]["ele"] - 5.0) < 1e-9
