@@ -93,9 +93,10 @@ def _ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
     outer ring (vertex-based, consistent with the reference's polygon
     containment idiom). Uses the even-odd kernel on the shared geometry
     module."""
-    from ..functions.geometry import FlatRings, contains_point
+    from ..functions.geometry import FlatRings, contains_points_multi
 
-    oxs, ozs = outer[:-1, 0], outer[:-1, 1]
+    # FlatRings stores CLOSED rings (first == last; edges() emits npts-1)
+    oxs, ozs = outer[:, 0], outer[:, 1]
     flat = FlatRings(
         n_rows=1,
         ring_row=np.zeros(1, dtype=np.int64),
@@ -110,7 +111,10 @@ def _ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
     need = ~on_vertex
     if not need.any():
         return True
-    return bool(contains_point(qx[need], qz[need], flat).all())
+    inside = contains_points_multi(
+        qx[need], qz[need], np.zeros(int(need.sum()), dtype=np.int64), flat
+    )
+    return bool(inside.all())
 
 
 def _pack(ring: np.ndarray, ccw: bool) -> list[float]:
