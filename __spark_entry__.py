@@ -817,6 +817,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tag_rules"] = tag_rules
 
+    # --- J13: polygon boolean ops (CAG) over the triangle-decomposition
+    # kernel; rectangles so the oracle has a closed form
+    def poly_boolean(spark, sf_dir):
+        from osm2world_spark.operators.boolean import polygon_boolean
+
+        c = _planar(_t(spark, sf_dir, "customer"), "c_custkey")
+        hax = (40 + F.col("key") % 20).cast("double")
+        haz = (30 + F.col("key") % 25).cast("double")
+        dx = ((F.col("key") * 13 % 120) - 60).cast("double")
+        dz = ((F.col("key") * 7 % 100) - 50).cast("double")
+
+        def rect(cx, cz, hx, hz):
+            return F.array(
+                F.array(
+                    cx - hx, cz - hz, cx + hx, cz - hz, cx + hx, cz + hz,
+                    cx - hx, cz + hz, cx - hx, cz - hz,
+                )
+            )
+
+        pairs = c.select(
+            F.col("key").cast("string").alias("pair_id"),
+            rect(F.col("x"), F.col("z"), hax, haz).alias("a_geom"),
+            rect(F.col("x") + dx, F.col("z") + dz, F.lit(35.0), F.lit(45.0)).alias("b_geom"),
+        )
+        out = polygon_boolean(pairs)
+        return out.select(
+            "pair_id",
+            F.floor(F.col("area_a") * 1e6 + 0.5).cast("bigint").alias("area_a_u6"),
+            F.floor(F.col("area_b") * 1e6 + 0.5).cast("bigint").alias("area_b_u6"),
+            F.floor(F.col("area_intersection") * 1e6 + 0.5).cast("bigint").alias("inter_u6"),
+            F.floor(F.col("area_a_minus_b") * 1e6 + 0.5).cast("bigint").alias("a_minus_b_u6"),
+        )
+
+    q["poly_boolean"] = poly_boolean
+
     # ----------------- rows-only checks (non-SQL-expressible operators)
 
     def spatial_overlaps(spark, sf_dir):
@@ -1398,6 +1433,35 @@ def oracle_sql() -> dict[str, str]:
                  (CASE c_custkey % 4 WHEN 0 THEN 'yes' WHEN 1 THEN 'water'
                        WHEN 2 THEN 'pitch' ELSE 'ferry' END) AS v1
           FROM customer
+        )
+    """
+
+    sql["poly_boolean"] = f"""
+        WITH p AS (
+          SELECT c_custkey,
+                 {X_M.format(k="c_custkey")} AS x, {Z_M.format(k="c_custkey")} AS z,
+                 CAST(40 + c_custkey % 20 AS DOUBLE) AS hax,
+                 CAST(30 + c_custkey % 25 AS DOUBLE) AS haz,
+                 CAST((c_custkey * 13 % 120) - 60 AS DOUBLE) AS dx,
+                 CAST((c_custkey * 7 % 100) - 50 AS DOUBLE) AS dz
+          FROM customer
+        ), r AS (
+          SELECT c_custkey, hax, haz,
+                 x - hax AS ax0, z - haz AS az0, x + hax AS ax1, z + haz AS az1,
+                 (x + dx) - 35.0 AS bx0, (z + dz) - 45.0 AS bz0,
+                 (x + dx) + 35.0 AS bx1, (z + dz) + 45.0 AS bz1
+          FROM p
+        )
+        SELECT cast(c_custkey as varchar) AS pair_id,
+               cast(floor((2*hax) * (2*haz) * 1000000.0 + 0.5) as bigint) AS area_a_u6,
+               cast(floor(70.0 * 90.0 * 1000000.0 + 0.5) as bigint) AS area_b_u6,
+               cast(floor(inter * 1000000.0 + 0.5) as bigint) AS inter_u6,
+               cast(floor(((2*hax) * (2*haz) - inter) * 1000000.0 + 0.5) as bigint) AS a_minus_b_u6
+        FROM (
+          SELECT c_custkey, hax, haz,
+                 greatest(0.0, least(ax1, bx1) - greatest(ax0, bx0))
+                 * greatest(0.0, least(az1, bz1) - greatest(az0, bz0)) AS inter
+          FROM r
         )
     """
 

@@ -74,6 +74,12 @@ def _ear_clip(xs: np.ndarray, zs: np.ndarray) -> list[tuple[int, int, int]]:
             others = np.array([j for j in idx if j not in (i0, i1, i2)], dtype=np.int64)
             if len(others):
                 px, pz = xs[others], zs[others]
+                # bridge duplicates coincide with ear corners exactly; a
+                # coincident vertex must not block the ear
+                dup = ((px == ax) & (pz == az)) | ((px == bx) & (pz == bz)) | (
+                    (px == cx) & (pz == cz)
+                )
+                px, pz = px[~dup], pz[~dup]
                 d1 = (bx - ax) * (pz - az) - (bz - az) * (px - ax)
                 d2 = (cx - bx) * (pz - bz) - (cz - bz) * (px - bx)
                 d3 = (ax - cx) * (pz - cz) - (az - cz) * (px - cx)
