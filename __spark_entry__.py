@@ -852,6 +852,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_boolean"] = poly_boolean
 
+    # --- dedup: embedding-cosine near-duplicates (exact baseline)
+    def embedding_near_dups_q(spark, sf_dir):
+        from osm2world_spark.operators.similarity import embedding_near_dups
+
+        e = _t(spark, sf_dir, "embeddings")
+        return embedding_near_dups(e, threshold=0.4, exact=True)
+
+    q["embedding_near_dups"] = embedding_near_dups_q
+
     # ----------------- rows-only checks (non-SQL-expressible operators)
 
     def spatial_overlaps(spark, sf_dir):
@@ -983,6 +992,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("rel_id", "area_idx", "status", "n_holes")
 
     q["coastline_water"] = coastline_water
+
+    def ivf_ann(spark, sf_dir):
+        from osm2world_spark.operators.similarity import ivf_topk
+
+        e = _t(spark, sf_dir, "embeddings")
+        return ivf_topk(e.where(F.col("vec_id") < 20), e, k=5, n_cells=16, n_probe=4)
+
+    q["ivf_ann"] = ivf_ann
+
+    def near_dups_lsh(spark, sf_dir):
+        from osm2world_spark.operators.similarity import embedding_near_dups
+
+        e = _t(spark, sf_dir, "embeddings")
+        dim = len(e.select("embedding").first()[0])
+        return embedding_near_dups(e, threshold=0.4, dim=dim)
+
+    q["near_dups_lsh"] = near_dups_lsh
 
     return q
 
@@ -1463,6 +1489,15 @@ def oracle_sql() -> dict[str, str]:
                  * greatest(0.0, least(az1, bz1) - greatest(az0, bz0)) AS inter
           FROM r
         )
+    """
+
+    sql["embedding_near_dups"] = f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({dot.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}
+                     / ({nrm.format(v='a')} * {nrm.format(v='b')}), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({dot.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}
+                    / ({nrm.format(v='a')} * {nrm.format(v='b')}), 6) >= CAST(0.4 AS DOUBLE)
     """
 
     sql["span_roundtrip"] = "SELECT doc_id, text AS rebuilt FROM documents"

@@ -84,6 +84,163 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
     return bucket
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cos_sim) for
+    every unordered pair with cosine >= threshold.
+
+    exact=False (the scale path): sign-LSH bucket self-join with 1-bit
+    multi-probe pruning before the exact filter — near-identical vectors
+    agree on almost all hyperplane signs, so candidates collapse into
+    shared buckets instead of a cross join.
+    exact=True: full cross product (correctness baseline; quadratic)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if exact:
+        a = c.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
+        b = c.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
+        cand = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for the LSH path")
+        withb = c.withColumn("bucket", lsh_bucket(F.col("vec"), dim, n_planes))
+        flips = F.array(*([F.lit(0)] + [F.lit(1 << p) for p in range(n_planes)]))
+        probed = withb.select(
+            "id",
+            "vec",
+            F.explode(
+                F.transform(flips, lambda f: F.col("bucket").bitwiseXOR(f.cast("bigint")))
+            ).alias("bucket"),
+        )
+        a = probed.select(
+            F.col("id").alias("a_id"), F.col("vec").alias("a_vec"), "bucket"
+        )
+        b = withb.select(
+            F.col("id").alias("b_id"), F.col("vec").alias("b_vec"), "bucket"
+        )
+        cand = (
+            a.join(b, "bucket")
+            .where(F.col("a_id") < F.col("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    sim = F.round(
+        _dot(F.col("a_vec"), F.col("b_vec"))
+        / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))),
+        6,
+    )
+    return (
+        cand.withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic spherical k-means over an ordered sample (collected to
+    the driver — the coarse codebook is tiny and broadcast back). Returns a
+    normalized (n_cells, dim) numpy array."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(X))
+    C = X[:: max(1, len(X) // n_cells)][:n_cells].copy()  # strided init, deterministic
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_cells):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: a coarse spherical-k-means codebook routes
+    each corpus vector to its nearest centroid cell; queries probe their
+    `n_probe` nearest cells and rerank exactly within them. The inverted
+    index is the partitioning — at scale the corpus is written partitioned
+    by cell and a probe reads n_probe/n_cells of the data."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = train_ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    C_list = C.tolist()
+
+    def make_assign(n_top: int):
+        def assign(s):
+            import numpy as np
+
+            Cn = np.asarray(C_list)
+            if len(s) == 0:
+                return pd.Series([], dtype=object)
+            X = np.asarray([list(v) for v in s], dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = X @ Cn.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+            return pd.Series([row.tolist() for row in top])
+
+        # `from __future__ import annotations` stringifies hints, which
+        # pandas_udf can't resolve from a nested scope — set real objects
+        assign.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(assign, ArrayType(IntegerType()))
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.element_at(make_assign(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(make_assign(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("n_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        q.join(c, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos_sim")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

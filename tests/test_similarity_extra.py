@@ -1,0 +1,53 @@
+"""Embedding near-dup + IVF ANN tests."""
+
+import numpy as np
+import pytest
+
+
+def _clustered_vectors(n=120, dim=16, n_clusters=4, seed=7):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 3
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        v = centers[c] + rng.randn(dim) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def test_embedding_near_dups_exact_and_lsh(spark):
+    from osm2world_spark.operators.similarity import embedding_near_dups
+
+    rows = _clustered_vectors()
+    # plant a near-identical duplicate of vector 0
+    dup = [v * 1.0001 for v in rows[0][1]]
+    rows.append((999, dup))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    ex = embedding_near_dups(df, threshold=0.999, exact=True).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in ex}
+    assert (0, 999) in pairs
+
+    approx = embedding_near_dups(df, threshold=0.999, dim=16).collect()
+    assert (0, 999) in {(r["a_id"], r["b_id"]) for r in approx}
+    # LSH candidates are a subset of the exact result after filtering
+    assert {(r["a_id"], r["b_id"]) for r in approx} <= pairs
+
+
+def test_ivf_topk_recall(spark):
+    from osm2world_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rows = _clustered_vectors(n=200)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where("vec_id < 12")
+
+    exact = cosine_topk(queries, df, k=5)
+    approx = ivf_topk(queries, df, k=5, n_cells=8, n_probe=3)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["q_id"], set()).add(r["n_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8  # clustered data routes well
