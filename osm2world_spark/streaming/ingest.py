@@ -1,0 +1,81 @@
+"""Streaming ingestion: continuous document arrival -> per-tile state.
+
+The reference has NO streaming semantics (SURVEY.md §2.8) — its
+"incremental" surface is batch-level skip-existing resume. This module is
+therefore not reference parity; it is the engine's scale-path for
+CONTINUOUS document arrival: the same batch operators (element
+extraction, tile assignment, the resumable TilePipeline) applied through
+Structured Streaming.
+
+Design:
+- `stream_documents(spark, path)`: a file-source stream of interleaved
+  document parquet (new files under `path` are discovered per
+  micro-batch; schema is the input_hint document shape).
+- `stream_tile_counts(docs_stream)`: stateless transformation chain
+  (extract -> assign tiles) + grouped aggregation; in append/update mode
+  Spark maintains the per-tile running counts as streaming state. The
+  transformation plan is IDENTICAL to the batch plan — `assign_tiles`
+  and `extract_elements` are stream-agnostic DataFrame functions.
+- `stream_into_pipeline(docs_stream, out_dir)`: `foreachBatch` bridge —
+  every micro-batch runs through the commit-manifest TilePipeline, so a
+  crashed stream resumes exactly like a killed batch job (checkpointed
+  source offsets + idempotent per-tile dynamic-partition overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = (
+    "doc_id string, spans array<struct<kind string, text string, "
+    "media_ref string, offset int>>"
+)
+
+
+def stream_documents(spark: SparkSession, path: str, max_files: int = 64) -> DataFrame:
+    """File-source document stream (new parquet files under `path`)."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def stream_tile_counts(docs_stream: DataFrame) -> DataFrame:
+    """docs stream -> streaming per-tile element counts (update-mode
+    aggregation state keyed by tile). The plan is the batch plan — the
+    operators are stream-agnostic."""
+    from ..operators.tiling import assign_tiles
+    from ..sources.documents import extract_elements
+
+    elements = extract_elements(docs_stream)
+    tiles = assign_tiles(elements, with_cells=False)
+    return tiles.groupBy("zoom", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_elements")
+    )
+
+
+def stream_into_pipeline(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    with_overlaps: bool = True,
+):
+    """foreachBatch bridge into the resumable TilePipeline: each
+    micro-batch is one pipeline run; tile commits + source-offset
+    checkpoints together give exactly-once per-tile effects (a replayed
+    batch anti-joins away its already-committed tiles)."""
+    from ..plans.pipeline import TilePipeline
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline = TilePipeline(batch_df.sparkSession, out_dir)
+        pipeline.run(batch_df, run_ts=f"batch{batch_id}", with_overlaps=with_overlaps)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
