@@ -85,7 +85,7 @@ def knn_join(
     # out: settle every remaining query (the reference leaves this as
     # "TODO error handling (not enough sites)", :205)
     ext = sites_p.agg(
-        F.min("s_x"), F.max("s_x"), F.min("s_z"), F.max("s_z")
+        F.min("s_x"), F.max("s_x"), F.min("s_z"), F.max("s_z"), F.count("*")
     ).first()
     if ext[0] is None:
         return queries.sparkSession.createDataFrame(
@@ -104,8 +104,16 @@ def knn_join(
     )
     r_cover = int(math.ceil(span / cell_size)) + 2
 
+    # density-seeded initial radius: the expected kth-neighbor distance is
+    # ~sqrt(k / (pi * density)); starting there skips rounds that cannot
+    # settle anything (each round costs a join + window + barrier). The
+    # settlement proof is unchanged, so results stay exact.
+    n_sites = ext[4]
+    area = max((ext[1] - ext[0]) * (ext[3] - ext[2]), 1e-9)
+    density = max(n_sites / area, 1e-12)
+    r_seed = int(math.ceil(math.sqrt(k / (math.pi * density)) / cell_size))
     results = None
-    r = 1
+    r = min(max(1, r_seed), max(1, r_cover))
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
