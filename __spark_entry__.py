@@ -83,6 +83,22 @@ def _pip_udf(packed: list[float]):
     return F.pandas_udf(inside, BooleanType())
 
 
+def _canon_safe(df: DataFrame) -> DataFrame:
+    """Project complex-typed columns (array/struct/map) through to_json so
+    the driver's pandas-side canonicalizer (sort_values + factorize) can
+    hash them — lists aren't hashable in pandas. Operators keep returning
+    typed arrays; only the driver-facing query surface stringifies."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def _planar(df: DataFrame, key: str) -> DataFrame:
     return df.select(
         F.col(key).alias("key"),
@@ -868,7 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from osm2world_spark.operators.spatial_join import spatial_self_join
 
         docs = _geo_docs_from_driver_documents(spark, sf_dir)
-        return spatial_self_join(extract_elements(docs))
+        return _canon_safe(spatial_self_join(extract_elements(docs)))
 
     q["spatial_overlaps"] = spatial_overlaps
 
@@ -902,7 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from osm2world_spark.operators.multimodal import extract_features, media_table
 
         docs = _geo_docs_from_driver_documents(spark, sf_dir)
-        return extract_features(media_table(docs))
+        return _canon_safe(extract_features(media_table(docs)))
 
     q["media_features"] = media_features
 
@@ -950,7 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rel").cast("string").alias("rel_id"),
             F.posexplode(F.array(frag1, frag2, hole)).alias("way_idx", "coords"),
         )
-        return assemble_multipolygons(ways)
+        return _canon_safe(assemble_multipolygons(ways))
 
     q["assemble_rings"] = assemble_rings
 
@@ -1137,7 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT {TX14.format(lon=RLON)} AS tile_x,
                {TY14.format(lat=RLAT)} AS tile_y,
-               count(*) AS n_px, sum(elev) AS sum_elev
+               count(*) AS n_px, cast(sum(elev) as bigint) AS sum_elev
         FROM grid GROUP BY 1, 2
     """
 
@@ -1185,7 +1201,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["stats_cube"] = """
         SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-               count(*) AS n_docs, sum(n_chars) AS sum_chars
+               count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
         FROM documents GROUP BY CUBE (lang, source)
     """
 
@@ -1291,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
           FROM toks CROSS JOIN unnest(generate_series(0, 59)) AS b(bit)
           GROUP BY doc_id, bit
         )
-        SELECT doc_id, sum(CASE WHEN v > 0 THEN cast(pow(2, bit) as bigint) ELSE 0 END) AS simhash
+        SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN cast(pow(2, bit) as bigint) ELSE 0 END) as bigint) AS simhash
         FROM votes GROUP BY doc_id
     """
 
@@ -1374,7 +1390,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dim_join_agg"] = """
         SELECT r_name, count(*) AS n_cust,
-               sum(cast(floor(c_acctbal * 100.0 + 0.5) as bigint)) AS sum_acct_cents
+               cast(sum(cast(floor(c_acctbal * 100.0 + 0.5) as bigint)) as bigint) AS sum_acct_cents
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey

@@ -112,10 +112,17 @@ def knn_join(
     area = max((ext[1] - ext[0]) * (ext[3] - ext[2]), 1e-9)
     density = max(n_sites / area, 1e-12)
     r_seed = int(math.ceil(math.sqrt(k / (math.pi * density)) / cell_size))
+    dist_expr = F.sqrt(
+        (F.col("s_x") - F.col("q_x")) ** 2 + (F.col("s_z") - F.col("q_z")) ** 2
+    )
+    out_cols = ["q_id", "rank", "s_id", "dist"] + (["y"] if has_y else [])
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("s_id").asc())
+
     results = None
     r = min(max(1, r_seed), max(1, r_cover))
     rounds = 0
-    while rounds < max_rounds:
+    settled_all = False
+    while rounds < max_rounds and r < r_cover:
         rounds += 1
         qcx, qcz = _cell_of(F.col("q_x"), F.col("q_z"), cell_size)
         offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dz).alias("dz")) for dx, dz in _disk_offsets(r)])
@@ -128,35 +135,49 @@ def knn_join(
         cand = q_cells.join(sites_p, "s_cell").select(
             "q_id", "q_x", "q_z", *s_cols
         )
-        dist = F.sqrt(
-            (F.col("s_x") - F.col("q_x")) ** 2 + (F.col("s_z") - F.col("q_z")) ** 2
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("s_id").asc())
         ranked = (
-            cand.withColumn("dist", dist)
+            cand.withColumn("dist", dist_expr)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
         )
         # settle queries whose kth distance is covered by the processed disk
-        exhaustive = r >= r_cover
         stats = ranked.groupBy("q_id").agg(
             F.count("*").alias("n"), F.max("dist").alias("kth")
         )
-        if exhaustive:
-            settled = stats.select("q_id")  # disk covers all sites
-        else:
-            settled = stats.where(
-                (F.col("n") >= k) & (F.col("kth") <= r * cell_size)
-            ).select("q_id")
-        done = ranked.join(settled, "q_id", "left_semi").select(
-            "q_id", "rank", "s_id", "dist", *(["y"] if has_y else [])
-        )
+        settled = stats.where(
+            (F.col("n") >= k) & (F.col("kth") <= r * cell_size)
+        ).select("q_id")
+        done = ranked.join(settled, "q_id", "left_semi").select(*out_cols)
         done = done.localCheckpoint(eager=True)  # cut the iterative lineage
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(settled, "q_id", "left_anti").localCheckpoint(eager=True)
-        if exhaustive or remaining.isEmpty():
+        if remaining.isEmpty():
+            settled_all = True
             break
         r = min(r * 2, r_cover)
+
+    if not settled_all:
+        # Exhaustive tail: the ring walk either hit max_rounds or its disk
+        # would cover the full extent. Never drop queries (the reference
+        # leaves under-supplied grids as a TODO, :205; we settle them
+        # exactly). Instead of exploding (2r+1)^2 cells per straggler —
+        # quadratic in extent — cross-join the remainder against sites,
+        # broadcasting the smaller side: stragglers are few by
+        # construction, or sites are few (sparse grid), so one side is
+        # always broadcastable.
+        n_rem = remaining.count()
+        if n_rem > 0:
+            if n_sites <= n_rem:
+                tail_cand = remaining.crossJoin(F.broadcast(sites_p.drop("s_cell")))
+            else:
+                tail_cand = F.broadcast(remaining).crossJoin(sites_p.drop("s_cell"))
+            tail = (
+                tail_cand.withColumn("dist", dist_expr)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(*out_cols)
+            )
+            results = tail if results is None else results.unionByName(tail)
     return results
 
 
@@ -315,11 +336,18 @@ def lsq_interpolate(queries: DataFrame, sites: DataFrame) -> DataFrame:
         + c[5] * F.col("q_z") * F.col("q_z")
     )
     w = F.greatest(F.lit(0.0), 1.0 - F.col("dist") / 120.0)
+    # all 29 NN beyond the 120 m falloff => sum(w) == 0; the reference's
+    # Java double 0/0 yields NaN (interpolateEle :133), not an error
     return (
         cand.withColumn("w", w)
         .withColumn("pv", poly_at_q)
         .groupBy("q_id")
-        .agg((F.sum(F.col("w") * F.col("pv")) / F.sum("w")).alias("ele"))
+        .agg(
+            F.coalesce(
+                F.try_divide(F.sum(F.col("w") * F.col("pv")), F.sum("w")),
+                F.lit(float("nan")),
+            ).alias("ele")
+        )
     )
 
 
@@ -335,5 +363,10 @@ def interpolate_29nn(queries: DataFrame, sites: DataFrame) -> DataFrame:
     return (
         nn.withColumn("w", w)
         .groupBy("q_id")
-        .agg((F.sum(F.col("w") * F.col("y")) / F.sum("w")).alias("ele"))
+        .agg(
+            F.coalesce(
+                F.try_divide(F.sum(F.col("w") * F.col("y")), F.sum("w")),
+                F.lit(float("nan")),
+            ).alias("ele")
+        )
     )
