@@ -166,8 +166,7 @@ def clip_to_tiles(elements: DataFrame, origin, zoom: int = 14) -> DataFrame:
                             rings_out.append(ring)
                         continue
                     if row.element_type == "way":
-                        keep_x, keep_z = _clip_polyline(xs, zs, minx, minz, maxx, maxz)
-                        if keep_x is not None:
+                        for keep_x, keep_z in _clip_polyline(xs, zs, minx, minz, maxx, maxz):
                             packed = np.empty(len(keep_x) * 2)
                             packed[0::2], packed[1::2] = keep_x, keep_z
                             rings_out.append(packed.tolist())
@@ -274,22 +273,36 @@ def shrink_huge_areas(
 
 def _clip_polyline(xs, zs, minx, minz, maxx, maxz):
     """Liang-Barsky-style polyline clip: keeps the in-rect portion of each
-    segment; returns a single clipped polyline (the in-rect vertex chain
-    with boundary intersections), or None if fully outside."""
+    segment; returns a LIST of (xs, zs) polyline pieces. A way that exits
+    the rect and re-enters yields disjoint pieces — split-mode clipping
+    (MeshStore.ClipToBounds :738-766) never fabricates a segment joining
+    the exit point to the re-entry point. Empty list if fully outside."""
+    pieces = []
     pts_x, pts_z = [], []
+
+    def flush():
+        if len(pts_x) >= 2:
+            pieces.append((np.asarray(pts_x), np.asarray(pts_z)))
+
     for i in range(len(xs) - 1):
         seg = _clip_segment(xs[i], zs[i], xs[i + 1], zs[i + 1], minx, minz, maxx, maxz)
         if seg is None:
+            flush()
+            pts_x, pts_z = [], []
             continue
         (ax, az), (bx, bz) = seg
-        if not pts_x or pts_x[-1] != ax or pts_z[-1] != az:
+        if pts_x and (pts_x[-1] != ax or pts_z[-1] != az):
+            # clipped segment doesn't continue the current chain (previous
+            # segment was truncated at the boundary): start a new piece
+            flush()
+            pts_x, pts_z = [], []
+        if not pts_x:
             pts_x.append(ax)
             pts_z.append(az)
         pts_x.append(bx)
         pts_z.append(bz)
-    if len(pts_x) < 2:
-        return None, None
-    return np.asarray(pts_x), np.asarray(pts_z)
+    flush()
+    return pieces
 
 
 def _clip_segment(x1, z1, x2, z2, minx, minz, maxx, maxz):

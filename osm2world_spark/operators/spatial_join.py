@@ -472,17 +472,22 @@ def _vertex_rule_contains(f_c, f_o, row_mask: np.ndarray) -> np.ndarray:
         return np.zeros(n, dtype=bool)
     qx, qz, qrow = f_o.px[q_mask], f_o.pz[q_mask], o_pt_row[q_mask]
 
-    # exact-vertex membership: expansion (query pts x container pts of row)
+    # exact-vertex membership: expansion (query pts x container OUTER-ring
+    # pts of row). vertices() in the reference is outerPolygon.vertices()
+    # (PolygonWithHolesXZ), so a query vertex matching only a HOLE vertex
+    # must fall through to the PIP check, not shortcut to "inside".
     c_pt_ring = np.repeat(np.arange(f_c.n_rings, dtype=np.int64), f_c.ring_npts)
     c_pt_row = f_c.ring_row[c_pt_ring]
-    n_c_pts = np.bincount(c_pt_row, minlength=n)
+    c_outer = f_c.ring_idx[c_pt_ring] == 0
+    ox, oz, orow = f_c.px[c_outer], f_c.pz[c_outer], c_pt_row[c_outer]
+    n_c_pts = np.bincount(orow, minlength=n)
     c_start = _excl_cumsum(n_c_pts)
     from ..functions.geometry import _ranges
 
     mq = n_c_pts[qrow]
     comb_q = np.repeat(np.arange(len(qx), dtype=np.int64), mq)
     comb_c = c_start[qrow[comb_q]] + _ranges(mq)
-    eq = (f_c.px[comb_c] == qx[comb_q]) & (f_c.pz[comb_c] == qz[comb_q])
+    eq = (ox[comb_c] == qx[comb_q]) & (oz[comb_c] == qz[comb_q])
     is_vertex = np.zeros(len(qx), dtype=bool)
     if eq.any():
         np.logical_or.at(is_vertex, comb_q[eq], True)
@@ -573,15 +578,19 @@ def _aa_rows(pdf: pd.DataFrame) -> pd.DataFrame | None:
                 np.logical_or.at(intersect, h2row[far], True)
     intersect &= ~share
 
-    # containment (reference order: a-contains-b first, :705-711)
-    cand = ~share & ~intersect
+    # containment (reference order: a-contains-b first, :688-711). The
+    # reference computes containment UNCONDITIONALLY (not gated on
+    # ~intersects) and lets CONTAIN win when both hold — reachable with
+    # concave containers whose outline truly crosses the contained ring
+    # while every contained vertex still passes the vertex rule.
+    cand = ~share
     a_contains_b = _vertex_rule_contains(fa, fb, cand)
     b_contains_a = _vertex_rule_contains(fb, fa, cand & ~a_contains_b)
 
     kinds = np.array([""] * n, dtype=object)
     kinds[share] = "SHARE_SEGMENT"
     kinds[intersect] = "INTERSECT"
-    kinds[a_contains_b | b_contains_a] = "CONTAIN"
+    kinds[a_contains_b | b_contains_a] = "CONTAIN"  # overrides INTERSECT
     keep = kinds != ""
     if not keep.any():
         return None
@@ -635,8 +644,7 @@ def _refine_kernel(batches):
 # one quadratic cell becomes S(S+1)/2 bounded, independently-scheduled
 # groups.
 
-_SMALL_GROUP = 64          # groups up to this size are pair-expanded en masse
-_PAIR_BLOCK = 2_000_000    # combo-chunk bound for large groups
+_PAIR_BLOCK = 2_000_000    # combo-count bound per expansion block
 
 
 # adaptive salting: a dense cell with n elements gets S ~ n / _TARGET_SIDE
@@ -700,6 +708,39 @@ def _grouped_surface(
 
 
 _TYPE_RANK = {"node": 0, "segment": 1, "area": 2}
+
+
+def _group_blocks(pdf: pd.DataFrame, max_combos: int):
+    """Slice a frame of whole groups (sorted by gkey) into sub-frames whose
+    summed pair-combo count stays near `max_combos`, so peak expansion
+    memory is bounded regardless of cell density. Group granularity is the
+    floor: one group's combos are bounded by the adaptive salting
+    (~(n_cell/_MAX_SALT)^2 worst case once the salt cap bites), and a
+    single over-budget group still becomes its own block rather than OOMing
+    the whole partition's worth of groups at once."""
+    n = len(pdf)
+    gkey = pdf["gkey"].to_numpy(np.int64)
+    change = np.nonzero(np.diff(gkey))[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    gi = pdf["gi"].to_numpy(np.int64)
+    gj = pdf["gj"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int64)
+    grp_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+    diag = gi[starts] == gj[starts]
+    nl = np.bincount(grp_of_row[salt == gi], minlength=len(starts))
+    nr = np.bincount(grp_of_row[salt == gj], minlength=len(starts))
+    combos = np.where(diag, sizes * (sizes - 1) // 2, nl * nr)
+    block = np.concatenate([[0], np.cumsum(combos)[:-1]]) // max(max_combos, 1)
+    bchange = np.nonzero(np.diff(block))[0] + 1
+    if len(bchange) == 0:
+        yield pdf
+        return
+    bstarts = np.concatenate([[0], bchange])
+    bends = np.append(bstarts[1:], len(starts))
+    for s, e in zip(bstarts, bends):
+        yield pdf.iloc[starts[s]:ends[e - 1]]
 
 
 def _emit_group_pairs(pdf: pd.DataFrame, cell_size: float, salt_buckets: int):
@@ -803,7 +844,7 @@ def _emit_group_pairs(pdf: pd.DataFrame, cell_size: float, salt_buckets: int):
     return pd.DataFrame(cols)
 
 
-def _cell_join_kernel(cell_size: float, salt_buckets: int):
+def _cell_join_kernel(cell_size: float, salt_buckets: int, pair_block: int = _PAIR_BLOCK):
     def kernel(batches):
         carry = None
         for pdf in batches:
@@ -817,13 +858,16 @@ def _cell_join_kernel(cell_size: float, salt_buckets: int):
             cut = int(np.searchsorted(gk, last, side="left"))
             carry = pdf.iloc[cut:]
             ready = pdf.iloc[:cut]
-            pairs = _emit_group_pairs(ready, cell_size, salt_buckets)
-            if pairs is not None and len(pairs):
-                yield from _refine_kernel([pairs])
+            if len(ready):
+                for blk in _group_blocks(ready, pair_block):
+                    pairs = _emit_group_pairs(blk, cell_size, salt_buckets)
+                    if pairs is not None and len(pairs):
+                        yield from _refine_kernel([pairs])
         if carry is not None and len(carry):
-            pairs = _emit_group_pairs(carry, cell_size, salt_buckets)
-            if pairs is not None and len(pairs):
-                yield from _refine_kernel([pairs])
+            for blk in _group_blocks(carry, pair_block):
+                pairs = _emit_group_pairs(blk, cell_size, salt_buckets)
+                if pairs is not None and len(pairs):
+                    yield from _refine_kernel([pairs])
 
     return kernel
 
@@ -835,6 +879,7 @@ def spatial_self_join(
     cell_size: float = CELL_SIZE_M,
     salt_buckets: int = 8,
     dense_threshold: int = 768,
+    pair_block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """Full typed-overlap self-join over an elements DataFrame in ONE
     shuffle: cell-cover explode -> hash repartition + sort by group key ->
@@ -846,5 +891,5 @@ def spatial_self_join(
     surface = join_surface(elements)
     grouped = _grouped_surface(surface, cell_size, salt_buckets, dense_threshold)
     return grouped.mapInPandas(
-        _cell_join_kernel(cell_size, salt_buckets), schema=OVERLAPS_SCHEMA
+        _cell_join_kernel(cell_size, salt_buckets, pair_block), schema=OVERLAPS_SCHEMA
     )

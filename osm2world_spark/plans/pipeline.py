@@ -54,12 +54,32 @@ def _tile_z12_col():
 
 
 class TilePipeline:
-    """Resumable docs -> {tile_assignments, overlaps} pipeline."""
+    """Resumable docs -> {tile_assignments, overlaps} pipeline.
 
-    def __init__(self, spark: SparkSession, out_dir: str, origin: Origin = DEFAULT_ORIGIN):
+    Two commit scopes:
+    - batch (scoped=False, default): commits are global per (stage, tile) —
+      re-running the SAME input skips committed tiles (the reference's
+      skip-existing resume; same data replayed, so skipping loses nothing).
+    - streaming (scoped=True): commits are per (stage, tile, run_ts) and
+      stage output is partitioned by (tile_z12, run_ts). Later micro-batches
+      carry NEW data for old tiles, so a tile committed by batch 1 must NOT
+      be skipped in batch 2 — only a REPLAY of the same batch (same
+      run_ts = batch id) is skipped. Dynamic partition overwrite then only
+      touches this batch's (tile, run_ts) partitions, so replay is
+      idempotent and prior batches' rows are never overwritten.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        origin: Origin = DEFAULT_ORIGIN,
+        scoped: bool = False,
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.origin = origin
+        self.scoped = scoped
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # ---------------------------------------------------------- manifest
@@ -67,14 +87,19 @@ class TilePipeline:
     def _commits_path(self) -> str:
         return os.path.join(self.out_dir, "_commits")
 
-    def committed_tiles(self, stage: str) -> DataFrame:
-        """tile_z12 values already committed for `stage` (empty DF if none)."""
+    def committed_tiles(self, stage: str, run_ts: str | None = None) -> DataFrame:
+        """tile_z12 values already committed for `stage` (empty DF if none).
+        In scoped (streaming) mode only commits from the SAME run_ts count:
+        a replayed micro-batch is skipped, a new one is not."""
         path = self._commits_path()
         try:
             c = self.spark.read.parquet(path)
         except Exception:
             return self.spark.createDataFrame([], "tile_z12 bigint")
-        return c.where(F.col("stage") == stage).select("tile_z12").distinct()
+        c = c.where(F.col("stage") == stage)
+        if self.scoped and run_ts is not None:
+            c = c.where(F.col("ts") == run_ts)
+        return c.select("tile_z12").distinct()
 
     def _commit(self, stage: str, tiles: DataFrame, run_ts: str) -> None:
         tiles.select(
@@ -101,13 +126,21 @@ class TilePipeline:
         tiles; returns number of newly processed tiles. `df` must carry a
         tile_z12 column."""
         t0 = time.monotonic()
-        committed = self.committed_tiles(stage)
+        committed = self.committed_tiles(stage, run_ts)
         todo = df.join(committed, "tile_z12", "left_anti")
         # Stage data is recomputed per uncommitted tile; dynamic partition
         # overwrite makes a retried tile idempotent.
         path = os.path.join(self.out_dir, stage)
-        todo.write.mode("overwrite").partitionBy("tile_z12").parquet(path)
-        counts = self.spark.read.parquet(path).join(
+        if self.scoped:
+            # per-batch partitions: overwrite only touches this run's
+            # (tile, run_ts) dirs, earlier batches' rows stay intact
+            todo = todo.withColumn("run_ts", F.lit(run_ts))
+            todo.write.mode("overwrite").partitionBy("tile_z12", "run_ts").parquet(path)
+            written = self.spark.read.parquet(path).where(F.col("run_ts") == run_ts)
+        else:
+            todo.write.mode("overwrite").partitionBy("tile_z12").parquet(path)
+            written = self.spark.read.parquet(path)
+        counts = written.join(
             committed, "tile_z12", "left_anti"
         ).groupBy("tile_z12").agg(F.count("*").alias("rows_out"))
         n_new = counts.count()
@@ -127,7 +160,7 @@ class TilePipeline:
         # a 1-tile neighborhood for the cross-tile join stage) BEFORE the
         # expensive operators run — the reference's filterTileNumbers
         # anti-join, applied to the plan rather than the outputs.
-        ta_committed = self.committed_tiles("tile_assignments")
+        ta_committed = self.committed_tiles("tile_assignments", run_ts)
         ta_elements = elements.join(ta_committed, "tile_z12", "left_anti")
         tiles_df = assign_tiles(ta_elements.drop("tile_z12"), with_cells=True).join(
             elements.select("doc_id", "span_idx", "tile_z12"), ["doc_id", "span_idx"]
@@ -135,7 +168,7 @@ class TilePipeline:
         report["tile_assignments"] = self._run_stage("tile_assignments", tiles_df, run_ts)
 
         if with_overlaps:
-            ov_committed = self.committed_tiles("overlaps")
+            ov_committed = self.committed_tiles("overlaps", run_ts)
             ov_elements = elements
             if not ov_committed.isEmpty():
                 uncommitted = (

@@ -63,15 +63,18 @@ def stream_into_pipeline(
     with_overlaps: bool = True,
 ):
     """foreachBatch bridge into the resumable TilePipeline: each
-    micro-batch is one pipeline run; tile commits + source-offset
-    checkpoints together give exactly-once per-tile effects (a replayed
-    batch anti-joins away its already-committed tiles)."""
+    micro-batch is one pipeline run with commits SCOPED to its batch id.
+    A replayed batch (same id, same data — Structured Streaming's replay
+    contract) anti-joins away its own committed tiles, so effects are
+    exactly-once; a LATER batch carrying new data for an already-committed
+    tile is NOT skipped — its rows land in that tile's per-batch partition
+    alongside earlier batches' rows."""
     from ..plans.pipeline import TilePipeline
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        pipeline = TilePipeline(batch_df.sparkSession, out_dir)
+        pipeline = TilePipeline(batch_df.sparkSession, out_dir, scoped=True)
         pipeline.run(batch_df, run_ts=f"batch{batch_id}", with_overlaps=with_overlaps)
 
     return (

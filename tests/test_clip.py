@@ -45,8 +45,35 @@ def test_clip_segment():
 def test_clip_polyline_crossing():
     xs = np.array([-5.0, 15.0])
     zs = np.array([5.0, 5.0])
-    cx, cz = _clip_polyline(xs, zs, 0, 0, 10, 10)
+    pieces = _clip_polyline(xs, zs, 0, 0, 10, 10)
+    assert len(pieces) == 1
+    cx, cz = pieces[0]
     assert cx.tolist() == [0.0, 10.0] and cz.tolist() == [5.0, 5.0]
+
+
+def test_clip_polyline_exit_reenter_splits():
+    # way leaves the rect through the top and comes back: the clip must
+    # yield TWO disjoint pieces, not one polyline with a fabricated segment
+    # bridging the gap along the boundary
+    xs = np.array([2.0, 4.0, 6.0, 8.0])
+    zs = np.array([5.0, 15.0, 15.0, 5.0])
+    pieces = _clip_polyline(xs, zs, 0, 0, 10, 10)
+    assert len(pieces) == 2
+    (ax, az), (bx, bz) = pieces
+    # first piece ends on the top boundary, second starts on it
+    assert az.tolist()[0] == 5.0 and az.tolist()[-1] == 10.0
+    assert bz.tolist()[0] == 10.0 and bz.tolist()[-1] == 5.0
+    # no piece contains the out-of-rect excursion
+    for px, pz in pieces:
+        assert pz.max() <= 10.0
+    # and the two pieces are disjoint (exit x != re-entry x)
+    assert ax.tolist()[-1] != bx.tolist()[0]
+
+
+def test_clip_polyline_fully_outside():
+    xs = np.array([20.0, 30.0, 25.0])
+    zs = np.array([20.0, 20.0, 30.0])
+    assert _clip_polyline(xs, zs, 0, 0, 10, 10) == []
 
 
 def test_owner_unique_and_clip_cover(spark):

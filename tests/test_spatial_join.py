@@ -135,3 +135,68 @@ def test_salting_preserves_results(spark):
     s = sorted((r.a_eid, r.b_eid) for r in salted.select("a_eid", "b_eid").collect())
     assert p == s
     surface.unpersist()
+
+
+def test_aa_contain_wins_over_intersect():
+    """Reference precedence (OSMToMapDataConverter.java:688-711):
+    containment is computed regardless of a true outline intersection and
+    CONTAIN wins — reachable with a concave (U-shaped) container whose
+    notch walls cross the contained polygon while every contained vertex
+    passes the vertex rule."""
+    import pandas as pd
+
+    from osm2world_spark.operators.spatial_join import _aa_rows
+
+    u_shape = [[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 6.0, 10.0, 6.0, 2.0,
+                4.0, 2.0, 4.0, 10.0, 0.0, 10.0, 0.0, 0.0]]
+    bar = [[1.0, 4.0, 9.0, 4.0, 9.0, 6.0, 1.0, 6.0, 1.0, 4.0]]
+    pdf = pd.DataFrame(
+        {"a_eid": ["U"], "b_eid": ["BAR"], "a_geom": [u_shape], "b_geom": [bar]}
+    )
+    out = _aa_rows(pdf)
+    assert out is not None and len(out) == 1
+    r = out.iloc[0]
+    assert r["overlap_kind"] == "CONTAIN"
+    # (contained, container) emission order
+    assert r["a_id"] == "BAR" and r["b_id"] == "U"
+
+
+def test_aa_hole_vertex_is_not_container_vertex():
+    """vertices() in the reference is the OUTER ring only
+    (PolygonWithHolesXZ): a query vertex that matches a HOLE vertex must
+    fall through to the PIP test (which places it inside the hole =
+    outside), so this pair has NO overlap."""
+    import pandas as pd
+
+    from osm2world_spark.operators.spatial_join import _aa_rows
+
+    outer_with_hole = [
+        [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0],
+        [4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0, 4.0, 4.0],
+    ]
+    # triangle touching the hole's (4,4) corner, otherwise inside the
+    # container's filled region, crossing nothing
+    tri = [[4.0, 4.0, 3.0, 1.0, 1.0, 3.0, 4.0, 4.0]]
+    pdf = pd.DataFrame(
+        {"a_eid": ["A"], "b_eid": ["T"], "a_geom": [outer_with_hole], "b_geom": [tri]}
+    )
+    assert _aa_rows(pdf) is None
+
+
+def test_pair_block_chunking_preserves_results(spark):
+    """Bounded-memory pair expansion: a pathologically tiny combo budget
+    (forcing one block per group or finer) must produce the identical
+    overlap set as the default block size."""
+    docs = synthetic_documents(spark, 300, seed=13)
+    elements = extract_elements(docs).cache()
+    full = spatial_self_join(elements)
+    tiny = spatial_self_join(elements, pair_block=8)
+
+    def canon(df):
+        return sorted(
+            (r.a_id, r.b_id, r.overlap_kind)
+            for r in df.select("a_id", "b_id", "overlap_kind").collect()
+        )
+
+    assert canon(full) == canon(tiny)
+    elements.unpersist()

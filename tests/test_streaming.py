@@ -4,6 +4,7 @@ parity — the reference is batch-only)."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _write_docs(spark, path, n, seed):
@@ -60,12 +61,46 @@ def test_stream_into_pipeline_resumable(spark, tmp_path):
     assert commits.count() > 0
 
     # new data arrives; restart the stream from the checkpoint — only the
-    # new files process, and already-committed tiles are skipped inside
-    # the pipeline
+    # new files process. Commits are scoped per batch, so batch-2 docs that
+    # land in tiles ALREADY committed by batch 1 must still be written
+    # (streaming semantics: later batches carry new data for old tiles).
     _write_docs(spark, src, 200, seed=3)
     q2 = stream_into_pipeline(
         stream_documents(spark, src), out, ckpt, with_overlaps=False
     ).start()
     q2.awaitTermination(180)
+    tiles2 = spark.read.parquet(os.path.join(out, "tile_assignments"))
+    n2 = tiles2.count()
+
+    # batch equivalence over ALL docs: nothing lost, nothing duplicated
+    from osm2world_spark.operators.tiling import assign_tiles
+    from osm2world_spark.sources.documents import extract_elements
+
+    expected = assign_tiles(
+        extract_elements(spark.read.parquet(src)), with_cells=True
+    ).count()
+    assert n2 == expected
+
+    # the precondition that makes the check meaningful: batch 2 really did
+    # hit tiles batch 1 had already committed
+    b1 = tiles1.select("tile_z12").distinct()
+    b2_new = tiles2.where(F.col("run_ts") == "batch1").select("tile_z12").distinct()
+    assert b2_new.join(b1, "tile_z12", "left_semi").count() > 0
+
+
+def test_batch_pipeline_resume_unscoped(spark, tmp_path):
+    """Batch mode keeps global skip-existing semantics: re-running the SAME
+    input skips committed tiles and duplicates nothing."""
+    from osm2world_spark.plans.pipeline import TilePipeline
+    from osm2world_spark.sources.documents import synthetic_documents
+
+    docs = synthetic_documents(spark, 150, seed=7)
+    out = str(tmp_path / "out")
+    p = TilePipeline(spark, out)
+    r1 = p.run(docs, run_ts="run1", with_overlaps=False)
+    n1 = spark.read.parquet(os.path.join(out, "tile_assignments")).count()
+    r2 = p.run(docs, run_ts="run2", with_overlaps=False)
     n2 = spark.read.parquet(os.path.join(out, "tile_assignments")).count()
-    assert n2 >= n1  # grew with the new batch, nothing lost
+    assert r1["tile_assignments"] > 0
+    assert r2["tile_assignments"] == 0  # everything already committed
+    assert n1 == n2
