@@ -1279,9 +1279,15 @@ def oracle_sql() -> dict[str, str]:
         "ELSE [text] END"
     )
     sql["ngram_jaccard"] = f"""
-        WITH sh AS (
+        WITH sh0 AS (
           SELECT DISTINCT doc_id, source AS grp, unnest({shingle_list}) AS shingle
           FROM documents
+        ), keep AS (
+          -- mirror of the engine's default max_df = 0.2 skew cap
+          SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle)
+          WHERE df <= greatest(1, cast(floor(CAST(0.2 AS DOUBLE) * (SELECT count(*) FROM documents)) as bigint))
+        ), sh AS (
+          SELECT sh0.* FROM sh0 JOIN keep USING (shingle)
         ), sizes AS (
           SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
         ), common AS (

@@ -61,12 +61,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str | None = None,
-    max_df: int | None = None,
+    max_df: int | float | None = 0.2,
 ) -> DataFrame:
     """Pairs with word-n-gram Jaccard >= threshold:
     (a_id, b_id, n_common, n_a, n_b, jaccard_u6 in micro-units).
-    `group_col` restricts pairs to the same group (blocking); `max_df`
-    drops ubiquitous shingles."""
+    `group_col` restricts pairs to the same group (blocking).
+
+    `max_df` is the skew guard: the self-join is keyed by shingle, so ONE
+    ubiquitous shingle (boilerplate, a stop-phrase) creates a quadratic hot
+    key at corpus scale. A float (default 0.2) caps document frequency at
+    that FRACTION of the corpus (computed in-plan, broadcast scalar — no
+    driver action); an int is an absolute df cap; None disables. Shingle
+    sets, sizes, and Jaccard are all over the capped vocabulary — dropping
+    near-universal shingles barely moves Jaccard (they contribute equally
+    to numerator and denominator of any pair) and removes the hot keys."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(group_col).alias("grp")] if group_col else [F.lit(0).alias("grp")] ),
@@ -74,7 +82,18 @@ def ngram_jaccard_pairs(
     ).dropDuplicates(["doc_id", "shingle"])
     if max_df:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(df_counts.where(F.col("df") <= max_df), "shingle", "left_semi")
+        if isinstance(max_df, float):
+            total = docs.agg(F.count("*").alias("n_docs"))
+            keep = df_counts.crossJoin(F.broadcast(total)).where(
+                F.col("df")
+                <= F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.floor(F.lit(max_df) * F.col("n_docs")).cast("bigint"),
+                )
+            )
+        else:
+            keep = df_counts.where(F.col("df") <= max_df)
+        sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -118,11 +137,18 @@ def minhash_signatures(
     return agg.select("doc_id", F.array(*[F.col(f"h{s}") for s in range(k)]).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, max_bucket: int | None = 4096
+) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket:
     (a_id, b_id, n_bands_shared). rows = bands per doc; join key =
-    (band_idx, band hash)."""
-    k = None  # rows per band derived from the signature length at runtime
+    (band_idx, band hash).
+
+    `max_bucket` caps bucket membership: a mega-cluster of identical docs
+    puts them all in the same bucket in EVERY band, making that one bucket
+    quadratic. Buckets larger than the cap are dropped (NOT sampled — the
+    pairs inside are knowably exact/near-exact clones; run exact dedup
+    first, which finds them in one linear groupBy). None disables."""
     sig_len = F.size(F.col("sig"))
     rows_per_band = (sig_len / bands).cast("int")
     banded = signatures.select(
@@ -133,6 +159,13 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8) -> DataFrame:
         "band",
         F.hash(F.concat_ws(",", F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band))).alias("bucket"),
     )
+    if max_bucket:
+        bsz = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+        banded = banded.join(
+            bsz.where(F.col("bsz") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -155,11 +188,12 @@ def minhash_near_dups(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
     (a_id, b_id, jaccard >= threshold)."""
     sigs = minhash_signatures(docs, k, n, text_col, id_col)
-    cand = lsh_candidate_pairs(sigs, bands).select("a_id", "b_id")
+    cand = lsh_candidate_pairs(sigs, bands, max_bucket).select("a_id", "b_id")
     sh = shingle_table(docs, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "s")
@@ -180,27 +214,34 @@ def minhash_near_dups(
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — 60-bit simhash: per-token md5-derived hash,
-    per-bit +-1 vote, sign -> bit. Explode over (token, bit) pairs; the
-    bit dimension is a 60-element sequence explode (pure Column)."""
+    per-bit +-1 vote, sign -> bit.
+
+    Scale shape: the 60 bit votes are 60 conditional-sum aggregate
+    expressions over the token rows — ONE groupBy shuffle whose partial
+    rows carry 60 longs per doc, instead of exploding tokens x 60 bit rows
+    through two shuffled aggregations (a 60x row blowup). Everything stays
+    in whole-stage codegen."""
+    from functools import reduce
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h = toks.withColumn("h", _hash60(F.col("tok"), 0))
-    # F.shiftleft/right need int shift amounts; powers of two are exact in
-    # doubles, so mask = pow(2, bit) cast to bigint + bitwiseAND instead
-    mask = F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-    bits = h.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        F.col("h"),
-    ).withColumn("vote", F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(-1))
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << b).cast("bigint")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    fp = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        range(60),
+        F.lit(0).cast("bigint"),
     )
+    return agg.select("doc_id", fp.alias("simhash"))

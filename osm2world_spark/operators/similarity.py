@@ -38,6 +38,13 @@ def _norm(a):
     )
 
 
+def _cosine(a, b):
+    """Cosine similarity, NULL for zero-norm vectors (try_divide — ANSI
+    mode would otherwise abort the job on the first all-zero embedding;
+    NULL sims sort last under desc ordering, so they never outrank)."""
+    return F.round(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), 6)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -49,7 +56,7 @@ def cosine_topk(
     Self-matches (same id) are excluded; ties break by neighbor id."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    sim = F.round(_dot(F.col("q_vec"), F.col("n_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))), 6)
+    sim = _cosine(F.col("q_vec"), F.col("n_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
         q.crossJoin(F.broadcast(c))
@@ -129,11 +136,7 @@ def embedding_near_dups(
             .where(F.col("a_id") < F.col("b_id"))
             .dropDuplicates(["a_id", "b_id"])
         )
-    sim = F.round(
-        _dot(F.col("a_vec"), F.col("b_vec"))
-        / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))),
-        6,
-    )
+    sim = _cosine(F.col("a_vec"), F.col("b_vec"))
     return (
         cand.withColumn("cos_sim", sim)
         .where(F.col("cos_sim") >= threshold)
@@ -151,17 +154,27 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Deterministic spherical k-means over an ordered sample (collected to
-    the driver — the coarse codebook is tiny and broadcast back). Returns a
-    normalized (n_cells, dim) numpy array."""
+    """Deterministic spherical k-means over a hash-sampled subset
+    (collected to the driver — the coarse codebook is tiny and broadcast
+    back). Returns a normalized (n_cells, dim) numpy array.
+
+    The sample is `pmod(xxhash64(id), stride) == 0` — a pure function of
+    the ids, so it is deterministic under any partitioning WITHOUT the
+    global corpus sort an orderBy().limit() sample would cost; only the
+    ~`sample`-row subset crosses to the driver, where it is sorted (tiny)
+    for a stable k-means init order."""
     import numpy as np
 
+    n_total = corpus.count()
+    if n_total == 0:
+        raise ValueError("cannot train an IVF codebook on an empty corpus")
+    stride = max(1, n_total // sample)
     rows = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(sample)
+        .where(F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(stride)) == 0)
         .collect()
     )
+    rows = sorted(rows, key=lambda r: str(r["id"]))[:sample]
     X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n_cells = min(n_cells, len(X))
@@ -225,10 +238,7 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(make_assign(n_probe)(F.col(vec_col))).alias("cell"),
     )
-    sim = F.round(
-        _dot(F.col("q_vec"), F.col("n_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
-        6,
-    )
+    sim = _cosine(F.col("q_vec"), F.col("n_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
         q.join(c, "cell")
@@ -270,7 +280,7 @@ def lsh_cosine_topk(
         "q_vec",
         F.explode(F.transform(flips, lambda f: F.col("bucket").bitwiseXOR(f.cast("bigint")))).alias("bucket"),
     )
-    sim = F.round(_dot(F.col("q_vec"), F.col("n_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))), 6)
+    sim = _cosine(F.col("q_vec"), F.col("n_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
         q.join(c, "bucket")

@@ -45,6 +45,32 @@ from ..sources.documents import DEFAULT_ORIGIN, extract_elements
 GOLDEN_ZOOM = 12
 
 
+def partition_spec() -> dict:
+    """The cluster-scale partition spec for stage tables (SURVEY S2/S3),
+    stated executably rather than as prose:
+
+    - identity(tile_z12): the golden-tile key. Every per-tile read (resume
+      anti-join, neighborhood restriction, a user's bbox query mapped to
+      tiles) prunes to the matching partitions — the reference's
+      tile-directory layout (TilesetCommand.java:99-137) as metadata
+      pruning instead of a filesystem walk.
+    - bucket(64, doc_id): spreads each tile's documents over 64 files so a
+      dense urban tile parallelizes across executors and small-file count
+      stays bounded on sparse tiles.
+
+    The parquet stand-in used in this sandbox implements the identity
+    dimension via partitionBy(tile_z12) (same pruning behavior, asserted
+    in tests/test_plan_shape.py); the bucket dimension needs a table
+    catalog (Iceberg `bucket(64, doc_id)` / Spark bucketBy) and is carried
+    here as the declared spec for the cluster deployment."""
+    return {
+        "fields": [
+            {"transform": "identity", "column": "tile_z12"},
+            {"transform": "bucket[64]", "column": "doc_id"},
+        ]
+    }
+
+
 def _tile_z12_col():
     return T.pack_tile(
         F.lit(GOLDEN_ZOOM),
@@ -145,16 +171,32 @@ class TilePipeline:
         ).groupBy("tile_z12").agg(F.count("*").alias("rows_out"))
         n_new = counts.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self._lineage(stage, counts, wall_ms, run_ts)
+        self._lineage(stage, counts, wall_ms, run_ts, errors=getattr(self, "_stage_errors", 0))
         self._commit(stage, counts.select("tile_z12"), run_ts)
         return n_new
 
     def run(self, docs: DataFrame, run_ts: str = "run0", with_overlaps: bool = True) -> dict:
         """Execute the pipeline; safe to re-run after a kill — committed
-        tiles are skipped, partially written tiles are overwritten."""
+        tiles are skipped, partially written tiles are overwritten.
+
+        Malformed geo spans are quarantined, not fatal
+        (FaultTolerantIterationUtil.java:20-54): they are written to
+        `_quarantine` with the run_ts and surface as real `errors` counts
+        in the lineage rows, while the valid spans proceed."""
+        from ..sources.documents import geo_span_errors
+
         elements = extract_elements(docs, self.origin).withColumn("tile_z12", _tile_z12_col())
         elements = elements.persist()
         report = {}
+
+        errs = geo_span_errors(docs)
+        n_errors = errs.count()
+        if n_errors:
+            errs.withColumn("run_ts", F.lit(run_ts)).write.mode("append").parquet(
+                os.path.join(self.out_dir, "_quarantine")
+            )
+        report["errors"] = n_errors
+        self._stage_errors = n_errors
 
         # compute-skip on resume: restrict inputs to uncommitted tiles (plus
         # a 1-tile neighborhood for the cross-tile join stage) BEFORE the

@@ -136,29 +136,88 @@ def _gen_rows(ids: np.ndarray, seed: int, scale: float = 1.0) -> pd.DataFrame:
         lat0 = np.clip(c_lat[idx] + r_deg * np.sin(theta), minlat + 1e-4, maxlat - 1e-4)
         lon0 = np.clip(c_lon[idx] + r_deg * np.cos(theta) * 1.5, minlon + 1e-4, maxlon - 1e-4)
 
-        for row_k, k in enumerate(idx):
-            i = int(di[row_k])
-            kc = int(kind_code[row_k])
-            la, lo = float(lat0[row_k]), float(lon0[row_k])
-            if kc == 0:
-                w = words[(_splitmix64(np.uint64(i * 31 + j)) % np.uint64(len(words))).astype(int)]
-                txt = f"{w} span {j} of doc {i}"
-                spans_per_doc[k].append({"kind": "text", "text": txt, "media_ref": "", "offset": j})
-            elif kc == 1:
-                h = int(_splitmix64(np.uint64(i * 131 + j)))
+        # span text synthesis, vectorized per kind across the slot's rows
+        # (hashing, random draws, coordinate walks, and number formatting
+        # are all numpy batch ops; only the final nested-struct assembly —
+        # inherently per-row python objects for Arrow — loops)
+        m0 = kind_code == 0
+        if m0.any():
+            w_sel = words[
+                (_splitmix64((di[m0] * 31 + j).astype(np.uint64)) % np.uint64(len(words))).astype(int)
+            ]
+            for k, w, i in zip(idx[m0], w_sel, di[m0]):
                 spans_per_doc[k].append(
-                    {"kind": "media", "text": f"media span {j}", "media_ref": f"media://{h:016x}", "offset": j}
+                    {"kind": "text", "text": f"{w} span {j} of doc {i}", "media_ref": "", "offset": j}
                 )
-            elif kc == 2:
+        m1 = kind_code == 1
+        if m1.any():
+            hv = _splitmix64((di[m1] * 131 + j).astype(np.uint64))
+            for k, h in zip(idx[m1], hv):
                 spans_per_doc[k].append(
-                    {"kind": "geo_point", "text": _fmt_pts([(la, lo)]), "media_ref": "", "offset": j}
+                    {"kind": "media", "text": f"media span {j}", "media_ref": f"media://{int(h):016x}", "offset": j}
                 )
-            elif kc == 3:
-                pts = _walk(i, j, la, lo, seed, bounds,
-                            npts=2 + int(_u01(np.array([i]), 13 + 7 * j, seed)[0] * 5))
-                spans_per_doc[k].append({"kind": "geo_way", "text": _fmt_pts(pts), "media_ref": "", "offset": j})
-            else:
-                txt = _area_text(i, j, la, lo, seed, bounds)
+        m2 = kind_code == 2
+        if m2.any():
+            txts = np.char.add(
+                np.char.add(np.char.mod("%.7f", lat0[m2]), ","), np.char.mod("%.7f", lon0[m2])
+            )
+            for k, t in zip(idx[m2], txts):
+                spans_per_doc[k].append({"kind": "geo_point", "text": t, "media_ref": "", "offset": j})
+        m3 = kind_code == 3
+        if m3.any():
+            di3 = di[m3]
+            npts3 = 2 + (_u01(di3, 13 + 7 * j, seed) * 5).astype(np.int64)
+            la_cur, lo_cur = lat0[m3].copy(), lon0[m3].copy()
+            las, los = [la_cur.copy()], [lo_cur.copy()]
+            for s in range(1, int(npts3.max())):
+                dla = (_u01(di3 * 97 + s, 40 + j, seed) - 0.5) * 0.0008
+                dlo = (_u01(di3 * 89 + s, 41 + j, seed) - 0.5) * 0.0012
+                la_cur = np.clip(la_cur + dla, bounds[0], bounds[2])
+                lo_cur = np.clip(lo_cur + dlo, bounds[1], bounds[3])
+                las.append(la_cur.copy())
+                los.append(lo_cur.copy())
+            pt_mat = np.char.add(
+                np.char.add(np.char.mod("%.7f", np.stack(las, axis=1)), ","),
+                np.char.mod("%.7f", np.stack(los, axis=1)),
+            )
+            for r, k in enumerate(idx[m3]):
+                spans_per_doc[k].append(
+                    {"kind": "geo_way", "text": " ".join(pt_mat[r, : npts3[r]]), "media_ref": "", "offset": j}
+                )
+        m4 = kind_code == 4
+        if m4.any():
+            di4 = di[m4]
+            la4, lo4 = lat0[m4], lon0[m4]
+            nv4 = 4 + (_u01(di4 * 53 + j, 50, seed) * 5).astype(np.int64)
+            rad4 = 0.00006 + _u01(di4 * 59 + j, 51, seed) * 0.0004
+            ph4 = _u01(di4 + j, 52, seed)
+            mxv = int(nv4.max())
+            ang = 2 * np.pi * (ph4[:, None] + np.arange(mxv)[None, :] / nv4[:, None])
+            rla = np.clip(la4[:, None] + rad4[:, None] * np.sin(ang), bounds[0], bounds[2])
+            rlo = np.clip(lo4[:, None] + rad4[:, None] * 1.5 * np.cos(ang), bounds[1], bounds[3])
+            ring_mat = np.char.add(
+                np.char.add(np.char.mod("%.7f", rla), ","), np.char.mod("%.7f", rlo)
+            )
+            has_hole = _u01(di4 * 61 + j, 53, seed) < 0.2
+            ang_h = 2 * np.pi * (0.1 + np.arange(4) / 4)
+            hla = np.clip(
+                la4[:, None] + (rad4 * 0.4)[:, None] * np.sin(ang_h)[None, :], bounds[0], bounds[2]
+            )
+            hlo = np.clip(
+                lo4[:, None] + (rad4 * 0.4)[:, None] * 1.5 * np.cos(ang_h)[None, :], bounds[1], bounds[3]
+            )
+            hole_mat = np.char.add(
+                np.char.add(np.char.mod("%.7f", hla), ","), np.char.mod("%.7f", hlo)
+            )
+            for r, k in enumerate(idx[m4]):
+                nv = nv4[r]
+                ring = list(ring_mat[r, :nv])
+                ring.append(ring[0])  # closed loop (GeometryUtil.closeLoop)
+                txt = " ".join(ring)
+                if has_hole[r]:
+                    hole = list(hole_mat[r])
+                    hole.append(hole[0])
+                    txt += " hole:" + " ".join(hole)
                 spans_per_doc[k].append({"kind": "geo_area", "text": txt, "media_ref": "", "offset": j})
 
     return pd.DataFrame(
@@ -262,9 +321,16 @@ def parse_geo_spans(docs: DataFrame) -> DataFrame:
     """documents -> one row per geo span with lat/lon rings parsed by pure
     Column expressions (split/transform — stays in whole-stage codegen):
 
-    (doc_id, span_idx, kind, rings: array<array<double>>)  rings are packed
-    [lat0, lon0, lat1, lon1, ...]; ring 0 outer, 1.. holes.
-    """
+    (doc_id, span_idx, kind, rings: array<array<double>>, is_valid)
+    rings are packed [lat0, lon0, lat1, lon1, ...]; ring 0 outer, 1..
+    holes.
+
+    Malformed geometry text NEVER fails the task: coordinates parse with
+    try_cast (ANSI-safe), and `is_valid` flags rows where any coordinate
+    is NULL / any point is not a lat,lon pair / no ring has points — the
+    FaultTolerantIterationUtil contract (reference
+    FaultTolerantIterationUtil.java:20-54: per-element failures are routed
+    to the log, iteration continues)."""
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("span_idx", "span")
     ).where(F.col("span.kind").startswith("geo_"))
@@ -275,18 +341,39 @@ def parse_geo_spans(docs: DataFrame) -> DataFrame:
             F.transform(
                 F.split(rs, " "),
                 lambda pt: F.array(
-                    F.split(pt, ",").getItem(0).cast("double"),
-                    F.split(pt, ",").getItem(1).cast("double"),
+                    F.get(F.split(pt, ","), 0).try_cast("double"),
+                    F.get(F.split(pt, ","), 1).try_cast("double"),
                 ),
             )
         ),
+    )
+    rings_col = rings
+    is_valid = (
+        (F.size(rings_col) >= 1)
+        & ~F.exists(
+            rings_col,
+            lambda r: (F.size(r) < 2) | F.exists(r, lambda v: v.isNull()),
+        )
     )
     return exploded.select(
         "doc_id",
         F.col("span_idx").cast("int").alias("span_idx"),
         F.col("span.kind").alias("kind"),
         rings.alias("rings"),
+        is_valid.alias("is_valid"),
     )
+
+
+def geo_span_errors(docs: DataFrame) -> DataFrame:
+    """The quarantine stream: one row per malformed geo span
+    (doc_id, span_idx, kind, reason). These rows are EXCLUDED from
+    extract_elements output; a pipeline writes them to its conversion log
+    instead of failing (ConversionLog.java:18-97 semantics)."""
+    p = parse_geo_spans(docs).where(~F.col("is_valid"))
+    reason = F.when(F.size("rings") < 1, F.lit("no_rings")).otherwise(
+        F.lit("unparseable_coordinates")
+    )
+    return p.select("doc_id", "span_idx", "kind", reason.alias("reason"))
 
 
 def extract_elements(docs: DataFrame, origin: Origin = DEFAULT_ORIGIN) -> DataFrame:
@@ -298,8 +385,12 @@ def extract_elements(docs: DataFrame, origin: Origin = DEFAULT_ORIGIN) -> DataFr
     Projection runs once per element inside an Arrow batch (numpy over the
     concatenated coordinate arrays) — the per-dataset-origin local plane of
     MetricMapProjection.java:30-43 with mm snap.
+
+    Malformed geo spans are dropped here (fault-tolerant iteration: bad
+    elements become log rows, not task failures); recover them with
+    `geo_span_errors(docs)` for the quarantine log.
     """
-    parsed = parse_geo_spans(docs)
+    parsed = parse_geo_spans(docs).where(F.col("is_valid"))
     type_col = (
         F.when(F.col("kind") == "geo_point", "node")
         .when(F.col("kind") == "geo_way", "way")

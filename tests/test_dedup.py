@@ -1,0 +1,120 @@
+"""Dedup operator tests: correctness on small corpora plus the
+pathological-skew guards (ubiquitous shingle, identical-doc mega-cluster)
+that make the shingle-join and LSH bucket join survive corpus scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2world_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dup_groups(spark):
+    d = _docs(
+        spark,
+        [("a", "same text"), ("b", "same text"), ("c", "other"), ("d", "same text")],
+    )
+    g = exact_dup_groups(d).collect()
+    assert len(g) == 1
+    assert g[0]["n_docs"] == 3 and list(g[0]["doc_ids"]) == ["a", "b", "d"]
+
+
+def test_simhash_matches_bitwise_definition(spark):
+    """The 60-aggregate formulation must equal the per-(token, bit)
+    definition computed in plain python."""
+    import hashlib
+
+    rows = [("d1", "alpha beta gamma alpha"), ("d2", "one"), ("d3", "x y z w v")]
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark, rows)).collect()}
+
+    def h60(tok):
+        return int(hashlib.md5(f"0|{tok}".encode()).hexdigest()[:15], 16)
+
+    for doc_id, text in rows:
+        votes = [0] * 60
+        for tok in text.split(" "):
+            hv = h60(tok)
+            for b in range(60):
+                votes[b] += 1 if hv & (1 << b) else -1
+        want = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert got[doc_id] == want, doc_id
+
+
+def test_simhash_plan_has_single_aggregate_pair(spark):
+    """One partial+final aggregate over token rows — no (token x 60 bit)
+    explode feeding a second shuffled aggregation."""
+    plan = simhash64(_docs(spark, [("d", "a b c")]))._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange (the doc_id hash partitioning for the final agg)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
+    """A shingle present in EVERY doc is a quadratic hot key; the default
+    fractional max_df must drop it while genuine near-dup pairs survive."""
+    boiler = "click here to subscribe"
+    rows = [(f"d{i}", f"{boiler} unique words number {i} tail{i}") for i in range(40)]
+    # one true near-dup pair sharing their unique tails
+    rows.append(("x1", f"{boiler} shared tail of this pair zzz"))
+    rows.append(("x2", f"{boiler} shared tail of this pair qqq"))
+    d = _docs(spark, rows)
+
+    pairs = ngram_jaccard_pairs(d, threshold=0.3, n=3)  # default max_df=0.2
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert ("x1", "x2") in got
+    # the boilerplate shingles alone must NOT connect unrelated docs
+    assert all({a, b} == {"x1", "x2"} for a, b in got)
+
+    # and with the cap disabled the hot shingle connects everything —
+    # the guard is what prevents the quadratic pair set
+    uncapped = ngram_jaccard_pairs(d, threshold=0.0, n=3, max_df=None)
+    capped = ngram_jaccard_pairs(d, threshold=0.0, n=3)
+    assert uncapped.count() > 40 * 20  # ~ n^2 / 2 pairs via the hot key
+    assert capped.count() < uncapped.count() / 10
+
+
+def test_minhash_bucket_cap_bounds_mega_cluster(spark):
+    """1k identical docs put all signatures in one bucket per band; the
+    bucket cap drops those buckets (exact dedup owns clones) instead of
+    expanding ~500k pairs x bands."""
+    clones = [(f"c{i:04d}", "identical clone text body here") for i in range(1000)]
+    pair = [("p1", "rare doc alpha beta gamma delta"), ("p2", "rare doc alpha beta gamma echo")]
+    d = _docs(spark, clones + pair)
+    sigs = minhash_signatures(d, k=16, n=3)
+    capped = lsh_candidate_pairs(sigs, bands=4, max_bucket=100)
+    got = capped.collect()
+    # the mega-cluster is dropped wholesale, the small-bucket pair survives
+    assert all(not (r["a_id"].startswith("c") and r["b_id"].startswith("c")) for r in got)
+    assert any({r["a_id"], r["b_id"]} == {"p1", "p2"} for r in got)
+    # clones are exact dups — the linear-path operator finds them
+    assert exact_dup_groups(d).first()["n_docs"] == 1000
+
+
+def test_ivf_codebook_deterministic_hash_sample(spark):
+    """The codebook sample is a pure hash filter over ids (no global
+    corpus sort), so repeated runs yield identical centroids and results;
+    zero-norm embeddings (id 0 here) must not abort the job."""
+    from osm2world_spark.operators.similarity import ivf_topk
+
+    e = spark.range(200).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.sin(F.col("id") * (i + 1)).cast("float"),
+        ).alias("embedding"),
+    )
+    out = ivf_topk(e.where(F.col("vec_id").isin("1", "2", "3")), e, k=3, n_cells=4, n_probe=2)
+    assert out.count() == 9
+    # deterministic across repeated invocations
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, ivf_topk(e.where(F.col("vec_id").isin("1", "2", "3")), e, k=3, n_cells=4, n_probe=2).collect()))
+    assert a == b

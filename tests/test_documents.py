@@ -97,3 +97,50 @@ def test_way_segments(spark):
     assert n_segs >= n_ways  # every way has >= 1 segment (>= 2 points)
     r = segs.first()
     assert r.x1 != r.x2 or r.z1 != r.z2
+
+
+def test_malformed_geo_spans_quarantined(spark, tmp_path):
+    """Bad geometry text must not fail the task: extract_elements drops it,
+    geo_span_errors reports it, and the pipeline writes real error counts
+    into lineage plus the rows into _quarantine (FaultTolerantIterationUtil
+    semantics: per-element failure -> log row, job continues)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.plans.pipeline import TilePipeline
+    from osm2world_spark.sources.documents import (
+        DOCS_SCHEMA,
+        extract_elements,
+        geo_span_errors,
+    )
+
+    def doc(doc_id, kind, text):
+        return (doc_id, [{"kind": kind, "text": text, "media_ref": "", "offset": 0}])
+
+    docs = spark.createDataFrame(
+        [
+            doc("good1", "geo_point", "48.5660,13.4500"),
+            doc("good2", "geo_way", "48.5660,13.4500 48.5661,13.4501"),
+            doc("bad1", "geo_point", "not-a-coordinate"),
+            doc("bad2", "geo_way", "48.5660,13.4500 garbage,values"),
+            doc("bad3", "geo_area", "48.5660,abc 48.5661,13.4501 48.5660,13.4500"),
+            doc("bad4", "geo_point", ""),
+        ],
+        DOCS_SCHEMA,
+    )
+    els = extract_elements(docs)
+    got_ids = {r["doc_id"] for r in els.collect()}   # must not raise
+    assert got_ids == {"good1", "good2"}
+
+    errs = {(r["doc_id"], r["reason"]) for r in geo_span_errors(docs).collect()}
+    assert {d for d, _ in errs} == {"bad1", "bad2", "bad3", "bad4"}
+    assert all(reason == "unparseable_coordinates" for _, reason in errs)
+
+    out = str(tmp_path / "out")
+    report = TilePipeline(spark, out).run(docs, run_ts="runq", with_overlaps=False)
+    assert report["errors"] == 4
+    lineage = spark.read.parquet(os.path.join(out, "_lineage"))
+    assert lineage.agg(F.max("errors")).first()[0] == 4
+    quarantine = spark.read.parquet(os.path.join(out, "_quarantine"))
+    assert quarantine.count() == 4

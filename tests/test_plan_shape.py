@@ -83,3 +83,24 @@ def test_whole_stage_codegen_on_tile_math(spark):
     ops = set(re.findall(r"^\((\d+)\) (\w+)", plan, re.M))
     names = {o[1] for o in ops}
     assert names <= {"Scan", "Project", "HashAggregate", "Exchange", "AdaptiveSparkPlan"}, names
+
+
+def test_stage_partition_pruning(spark, tmp_path):
+    """The pipeline's identity(tile_z12) partition dimension must show up
+    as metadata pruning: reading one tile from a stage directory carries a
+    PartitionFilters entry on tile_z12 and no data-file filter."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.plans.pipeline import TilePipeline, partition_spec
+    from osm2world_spark.sources.documents import synthetic_documents
+
+    spec = partition_spec()
+    assert spec["fields"][0] == {"transform": "identity", "column": "tile_z12"}
+
+    out = str(tmp_path / "out")
+    docs = synthetic_documents(spark, 150, seed=3)
+    TilePipeline(spark, out).run(docs, with_overlaps=False)
+    stage = spark.read.parquet(f"{out}/tile_assignments")
+    one_tile = stage.select("tile_z12").first()["tile_z12"]
+    plan = _plan(stage.where(F.col("tile_z12") == one_tile))
+    assert re.search(r"PartitionFilters: \[[^\]]*tile_z12", plan), plan
