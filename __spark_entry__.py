@@ -988,6 +988,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsq_elevation"] = lsq_elevation
 
+    def natural_elevation(spark, sf_dir):
+        # J9: Sibson natural-neighbor interpolation (NaturalNeighbor-
+        # Interpolator.java:19-57) — per-group Bowyer-Watson Delaunay +
+        # stolen-area weights; rows-only (no closed-form SQL oracle; the
+        # pytest oracle is a brute Voronoi grid, tests/test_natural.py)
+        from osm2world_spark.operators.natural import natural_neighbor_interpolate
+
+        queries_df = _planar(_t(spark, sf_dir, "customer"), "c_custkey").where(
+            F.col("key") % 11 == 0
+        ).select(F.col("key").cast("string").alias("q_id"), "x", "z")
+        sites = _planar(_t(spark, sf_dir, "orders"), "o_orderkey").where(
+            F.col("key") % 17 == 0
+        ).select(
+            F.col("key").alias("s_id"), "x", "z",
+            (F.col("x") / 100.0 + F.col("z") / 200.0).alias("y"),
+        )
+        out = natural_neighbor_interpolate(queries_df, sites)
+        return out.select("q_id", F.round("ele", 6).alias("ele_r"))
+
+    q["natural_elevation"] = natural_elevation
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 

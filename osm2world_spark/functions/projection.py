@@ -118,3 +118,97 @@ def np_to_latlon(x: np.ndarray, z: np.ndarray, origin: Origin) -> tuple[np.ndarr
 def py_to_xz(lat: float, lon: float, origin: Origin) -> tuple[float, float]:
     x, z = np_to_xz(np.array([lat]), np.array([lon]), origin)
     return float(x[0]), float(z[0])
+
+
+# ----------------------------------------- orthographic azimuthal variant
+
+GLOBE_RADIUS = 6371000.0  # OrthographicAzimuthalMapProjection.java:14
+
+
+def ortho_to_x(lat, lon, origin: Origin) -> Column:
+    """Orthographic-azimuthal forward X (east), the reference's alternative
+    projection (OrthographicAzimuthalMapProjection.java:35-47): plane
+    touching the globe at the origin. No mm snap — only the metric
+    projection snaps (MetricMapProjection.java:37-39)."""
+    lat_r = F.radians(_lit(lat))
+    lon_r = F.radians(_lit(lon))
+    return GLOBE_RADIUS * F.cos(lat_r) * F.sin(lon_r - math.radians(origin.lon))
+
+
+def ortho_to_z(lat, lon, origin: Origin) -> Column:
+    """Orthographic-azimuthal forward Z (north),
+    OrthographicAzimuthalMapProjection.java:43."""
+    lat0 = math.radians(origin.lat)
+    lat_r = F.radians(_lit(lat))
+    lon_r = F.radians(_lit(lon))
+    return GLOBE_RADIUS * (
+        math.cos(lat0) * F.sin(lat_r)
+        - math.sin(lat0) * F.cos(lat_r) * F.cos(lon_r - math.radians(origin.lon))
+    )
+
+
+def ortho_to_lat(x, z, origin: Origin) -> Column:
+    """Inverse lat (OrthographicAzimuthalMapProjection.java:50-63): rho=0
+    (the exact origin) returns the origin latitude."""
+    x, z = _lit(x), _lit(z)
+    lat0 = math.radians(origin.lat)
+    rho = F.sqrt(x * x + z * z)
+    c = F.asin(rho / GLOBE_RADIUS)
+    return F.when(rho > 0, F.degrees(
+        F.asin(F.cos(c) * math.sin(lat0) + (z * F.sin(c) * math.cos(lat0)) / rho)
+    )).otherwise(F.lit(origin.lat))
+
+
+def ortho_to_lon(x, z, origin: Origin) -> Column:
+    """Inverse lon (OrthographicAzimuthalMapProjection.java:66-80): the
+    |div| <= 1e-5 degenerate band returns the origin longitude."""
+    x, z = _lit(x), _lit(z)
+    lat0 = math.radians(origin.lat)
+    rho = F.sqrt(x * x + z * z)
+    c = F.asin(rho / GLOBE_RADIUS)
+    div = rho * math.cos(lat0) * F.cos(c) - z * math.sin(lat0) * F.sin(c)
+    return F.when(
+        F.abs(div) > 1e-5,
+        F.degrees(F.lit(math.radians(origin.lon)) + F.atan2(x * F.sin(c), div)),
+    ).otherwise(F.lit(origin.lon))
+
+
+def np_ortho_to_xz(lat: np.ndarray, lon: np.ndarray, origin: Origin) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy twin of the orthographic forward projection (same formula as
+    the Column variant; used by the Arrow-batched extraction kernel)."""
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    lat0 = math.radians(origin.lat)
+    lon0 = math.radians(origin.lon)
+    x = GLOBE_RADIUS * np.cos(lat_r) * np.sin(lon_r - lon0)
+    z = GLOBE_RADIUS * (
+        math.cos(lat0) * np.sin(lat_r) - math.sin(lat0) * np.cos(lat_r) * np.cos(lon_r - lon0)
+    )
+    return x, z
+
+
+def np_ortho_to_latlon(x: np.ndarray, z: np.ndarray, origin: Origin) -> tuple[np.ndarray, np.ndarray]:
+    x = np.asarray(x, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    lat0 = math.radians(origin.lat)
+    rho = np.sqrt(x * x + z * z)
+    c = np.arcsin(rho / GLOBE_RADIUS)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lat = np.degrees(
+            np.arcsin(np.cos(c) * math.sin(lat0) + (z * np.sin(c) * math.cos(lat0)) / rho)
+        )
+        div = rho * math.cos(lat0) * np.cos(c) - z * math.sin(lat0) * np.sin(c)
+        lon = np.degrees(math.radians(origin.lon) + np.arctan2(x * np.sin(c), div))
+    lat = np.where(rho > 0, lat, origin.lat)
+    lon = np.where(np.abs(div) > 1e-5, lon, origin.lon)
+    return lat, lon
+
+
+def np_projection(name: str):
+    """Config-dispatched projection factory, mirroring O2WConfig
+    mapProjection (O2WConfig.java:465-470): the named class selects the
+    implementation, anything else falls back to the metric default.
+    Returns the numpy forward (lat, lon, origin) -> (x, z)."""
+    if name in ("OrthographicAzimuthalMapProjection", "orthographic", "ortho"):
+        return np_ortho_to_xz
+    return np_to_xz

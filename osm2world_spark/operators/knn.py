@@ -229,11 +229,10 @@ def interpolate(
     -> (q_id, ele).
 
     methods: 'leastsquares' (LeastSquaresInterpolator, the default),
-    'inversedistanceweighting' (IDW), 'linear' (29-NN linear falloff).
-    NaturalNeighborInterpolator (global Delaunay) is intentionally not
-    provided — it does not decompose over partitions; the reference treats
-    interpolators as interchangeable strategies, and 'leastsquares' is its
-    own default quality tier.
+    'inversedistanceweighting' (IDW), 'linear' (29-NN linear falloff),
+    'naturalneighbor' (Sibson stolen-area weights over a per-group
+    Bowyer-Watson Delaunay — operators/natural.py; pass cell_size/halo
+    through kw for the grid-partitioned scale path).
     """
     m = method.lower()
     if m in ("leastsquares", "leastsquaresinterpolator"):
@@ -242,6 +241,10 @@ def interpolate(
         return idw_join(queries, sites, **kw)
     if m in ("linear", "linearinterpolator", "linear29"):
         return interpolate_29nn(queries, sites)
+    if m in ("naturalneighbor", "naturalneighborinterpolator", "sibson"):
+        from .natural import natural_neighbor_interpolate
+
+        return natural_neighbor_interpolate(queries, sites, **kw)
     raise ValueError(f"unknown interpolator {method!r}")
 
 

@@ -376,7 +376,11 @@ def geo_span_errors(docs: DataFrame) -> DataFrame:
     return p.select("doc_id", "span_idx", "kind", reason.alias("reason"))
 
 
-def extract_elements(docs: DataFrame, origin: Origin = DEFAULT_ORIGIN) -> DataFrame:
+def extract_elements(
+    docs: DataFrame,
+    origin: Origin = DEFAULT_ORIGIN,
+    projection: str = "MetricMapProjection",
+) -> DataFrame:
     """documents -> elements DataFrame (the engine's MapData analogue,
     /root/reference/core/src/main/java/org/osm2world/map_data/data/
     MapData.java:27-51): node/way/area rows with projected packed-XZ
@@ -389,6 +393,11 @@ def extract_elements(docs: DataFrame, origin: Origin = DEFAULT_ORIGIN) -> DataFr
     Malformed geo spans are dropped here (fault-tolerant iteration: bad
     elements become log rows, not task failures); recover them with
     `geo_span_errors(docs)` for the quarantine log.
+
+    `projection` selects the map projection by name, mirroring the
+    reference's config dispatch (O2WConfig.mapProjection,
+    O2WConfig.java:465-470): "OrthographicAzimuthalMapProjection" for the
+    tangent-plane projection, anything else for the metric default.
     """
     parsed = parse_geo_spans(docs).where(F.col("is_valid"))
     type_col = (
@@ -400,14 +409,18 @@ def extract_elements(docs: DataFrame, origin: Origin = DEFAULT_ORIGIN) -> DataFr
         "doc_id", "span_idx", type_col.alias("element_type"), "rings"
     )
 
+    from ..functions.projection import np_projection
+
+    fwd = np_projection(projection)
+
     def project(batches):
         for pdf in batches:
-            yield _project_batch(pdf, origin)
+            yield _project_batch(pdf, origin, fwd)
 
     return parsed.mapInPandas(project, schema=ELEMENTS_EXTRA)
 
 
-def _project_batch(pdf: pd.DataFrame, origin: Origin) -> pd.DataFrame:
+def _project_batch(pdf: pd.DataFrame, origin: Origin, fwd=np_to_xz) -> pd.DataFrame:
     rings_col = pdf["rings"]
     # flatten every ring of every row into one coord array
     lengths = []
@@ -420,7 +433,7 @@ def _project_batch(pdf: pd.DataFrame, origin: Origin) -> pd.DataFrame:
     if chunks:
         flat = np.concatenate(chunks)
         lat, lon = flat[0::2], flat[1::2]
-        x, z = np_to_xz(lat, lon, origin)
+        x, z = fwd(lat, lon, origin)
     else:
         lat = lon = x = z = np.empty(0)
 

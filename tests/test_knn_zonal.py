@@ -126,3 +126,29 @@ def test_raster_site_formula(spark):
     assert s.z == pytest.approx(z[0], abs=1e-9)
     assert s.y == float(r.elev)
     raster.unpersist()
+
+
+def test_knn_far_outlier_settles_exactly(spark):
+    """A query far outside the sites' extent (plus a tiny max_rounds) must
+    still settle EXACTLY via the broadcast exhaustive tail — never be
+    silently dropped, never explode a planet-wide cell cover."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-500, 500, (300, 2))
+    sites = spark.createDataFrame(
+        pd.DataFrame({"s_id": [f"s{i:06d}" for i in range(len(pts))], "x": pts[:, 0], "z": pts[:, 1]})
+    )
+    q = np.array([[0.0, 0.0], [9.9e6, -9.9e6]])  # center + ~14,000 km outlier
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": ["q00000", "q00001"], "x": q[:, 0], "z": q[:, 1]})
+    )
+    got = knn_join(queries, sites, k=5, max_rounds=2).collect()
+    golden = _brute_knn(pts, q, 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.s_id, r.dist))
+    assert set(by_q) == {"q00000", "q00001"}  # outlier present, not dropped
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [s for _, s, _ in rows] == [s for s, _ in golden[qid]]
+        for (_, _, dist), (_, g_dist) in zip(rows, golden[qid]):
+            assert dist == pytest.approx(g_dist, rel=1e-12)

@@ -60,3 +60,100 @@ def test_metric_scale():
     x2, z2 = py_to_xz(48.567, 13.45, origin)
     meters_per_deg_lat = abs(z2 - z1) / 0.001
     assert 90_000 < meters_per_deg_lat < 130_000
+
+
+class TestOrthographicAzimuthal:
+    """OrthographicAzimuthalMapProjection parity: the Java formulas
+    (:35-80) evaluated in plain math are the oracle; the Column and numpy
+    variants must match, round-trip, and be selectable in extraction."""
+
+    ORIGIN = None  # set in setup
+
+    def _origin(self):
+        from osm2world_spark.functions.projection import Origin
+
+        return Origin(48.56687, 13.45127)
+
+    def _java_fwd(self, lat, lon, origin):
+        import math
+
+        R = 6371000.0
+        lat0, lon0 = math.radians(origin.lat), math.radians(origin.lon)
+        la, lo = math.radians(lat), math.radians(lon)
+        x = R * math.cos(la) * math.sin(lo - lon0)
+        z = R * (math.cos(lat0) * math.sin(la) - math.sin(lat0) * math.cos(la) * math.cos(lo - lon0))
+        return x, z
+
+    def test_numpy_matches_java_formula(self):
+        import numpy as np
+
+        from osm2world_spark.functions.projection import np_ortho_to_xz
+
+        o = self._origin()
+        pts = [(48.56687, 13.45127), (48.6, 13.5), (48.5, 13.3), (47.0, 12.0), (50.0, 15.0)]
+        lat = np.array([p[0] for p in pts])
+        lon = np.array([p[1] for p in pts])
+        x, z = np_ortho_to_xz(lat, lon, o)
+        for i, (la, lo) in enumerate(pts):
+            jx, jz = self._java_fwd(la, lo, o)
+            assert x[i] == jx and z[i] == jz  # identical double math
+        # origin projects to (0, 0) exactly
+        assert x[0] == 0.0 and z[0] == 0.0
+
+    def test_roundtrip_and_column_twin(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from osm2world_spark.functions.projection import (
+            np_ortho_to_latlon,
+            np_ortho_to_xz,
+            ortho_to_lat,
+            ortho_to_lon,
+            ortho_to_x,
+            ortho_to_z,
+        )
+
+        o = self._origin()
+        lat = np.linspace(48.0, 49.0, 21)
+        lon = np.linspace(13.0, 14.0, 21)
+        x, z = np_ortho_to_xz(lat, lon, o)
+        rlat, rlon = np_ortho_to_latlon(x, z, o)
+        np.testing.assert_allclose(rlat, lat, atol=1e-9)
+        np.testing.assert_allclose(rlon, lon, atol=1e-9)
+
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lat, lon)], "lat double, lon double"
+        )
+        got = df.select(
+            ortho_to_x(F.col("lat"), F.col("lon"), o).alias("x"),
+            ortho_to_z(F.col("lat"), F.col("lon"), o).alias("z"),
+        ).collect()
+        for r, xe, ze in zip(got, x, z):
+            assert r["x"] == xe and r["z"] == ze  # Column twin bit-equal
+        inv = df.select(
+            ortho_to_lat(
+                ortho_to_x(F.col("lat"), F.col("lon"), o),
+                ortho_to_z(F.col("lat"), F.col("lon"), o),
+                o,
+            ).alias("rlat")
+        ).collect()
+        for r, la in zip(inv, lat):
+            assert abs(r["rlat"] - la) < 1e-9
+
+    def test_selectable_in_extraction(self, spark):
+        from pyspark.sql import functions as F
+
+        from osm2world_spark.sources.documents import (
+            DOCS_SCHEMA,
+            extract_elements,
+        )
+
+        docs = spark.createDataFrame(
+            [("d1", [{"kind": "geo_point", "text": "48.6,13.5", "media_ref": "", "offset": 0}])],
+            DOCS_SCHEMA,
+        )
+        metric = extract_elements(docs).first()
+        ortho = extract_elements(docs, projection="OrthographicAzimuthalMapProjection").first()
+        jx, jz = self._java_fwd(48.6, 13.5, self._origin())
+        assert ortho["geom"][0][0] == jx and ortho["geom"][0][1] == jz
+        assert metric["geom"][0] != ortho["geom"][0]  # projections differ
