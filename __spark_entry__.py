@@ -697,6 +697,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["codec_strings"] = codec_strings
 
+    # --- P15: LOD-range filter (MeshStore.FilterLod / LODRange.contains)
+    def lod_filter(spark, sf_dir):
+        from osm2world_spark.functions.lod import filter_lod
+
+        c = _t(spark, sf_dir, "customer")
+        lmin = (F.col("c_custkey") % 4).cast("int")
+        lmax = F.least(F.lit(4), lmin + (F.col("c_custkey") % 3).cast("int"))
+        d = c.select("c_custkey", lmin.alias("lod_min"), lmax.alias("lod_max"))
+        return filter_lod(d, target=2)
+
+    q["lod_filter"] = lod_filter
+
+    # --- A6: conversion-log head/tail truncation (O2WConverterImpl:478-489)
+    def log_truncate(spark, sf_dir):
+        from osm2world_spark.operators.logops import truncate_log
+
+        e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        return truncate_log(e, ["ts", "event_id"], max_entries=100).select(
+            "event_id", "event_type", "part"
+        )
+
+    q["log_truncate"] = log_truncate
+
     # --- S7/J1: broadcast dimension join (customer -> nation -> region)
     def dim_join_agg(spark, sf_dir):
         c = _t(spark, sf_dir, "customer")
@@ -1413,6 +1436,29 @@ def oracle_sql() -> dict[str, str]:
                  {lat_o} AS lat, {lon_o} AS lon
           FROM orders
         )
+    """
+
+    sql["lod_filter"] = """
+        SELECT c_custkey, lod_min, lod_max
+        FROM (
+          SELECT c_custkey,
+                 cast(c_custkey % 4 as int) AS lod_min,
+                 cast(least(4, c_custkey % 4 + c_custkey % 3) as int) AS lod_max
+          FROM customer
+        )
+        WHERE lod_min <= 2 AND 2 <= lod_max
+    """
+
+    sql["log_truncate"] = """
+        WITH ranked AS (
+          SELECT event_id, event_type,
+                 row_number() OVER (ORDER BY ts ASC, event_id ASC) AS rn,
+                 row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn_rev
+          FROM events
+        )
+        SELECT event_id, event_type,
+               CASE WHEN rn <= 50 THEN 'head' ELSE 'tail' END AS part
+        FROM ranked WHERE rn <= 50 OR rn_rev <= 50
     """
 
     sql["dim_join_agg"] = """

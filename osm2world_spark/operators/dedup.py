@@ -81,19 +81,21 @@ def ngram_jaccard_pairs(
         F.explode(_shingles(text_col, n)).alias("shingle"),
     ).dropDuplicates(["doc_id", "shingle"])
     if max_df:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        # df as a window count over the shingle partitioning: ONE exchange
+        # (vs groupBy + semi-join = two more) and the filter runs in the
+        # same stage
+        df_col = F.count("*").over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("df", df_col)
         if isinstance(max_df, float):
             total = docs.agg(F.count("*").alias("n_docs"))
-            keep = df_counts.crossJoin(F.broadcast(total)).where(
-                F.col("df")
-                <= F.greatest(
-                    F.lit(1).cast("bigint"),
-                    F.floor(F.lit(max_df) * F.col("n_docs")).cast("bigint"),
-                )
+            cap = F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(F.lit(max_df) * F.col("n_docs")).cast("bigint"),
             )
+            sh = sh.crossJoin(F.broadcast(total)).where(F.col("df") <= cap)
         else:
-            keep = df_counts.where(F.col("df") <= max_df)
-        sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
+            sh = sh.where(F.col("df") <= max_df)
+        sh = sh.drop("df", "n_docs")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -160,12 +162,11 @@ def lsh_candidate_pairs(
         F.hash(F.concat_ws(",", F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band))).alias("bucket"),
     )
     if max_bucket:
-        bsz = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-        banded = banded.join(
-            bsz.where(F.col("bsz") <= max_bucket).select("band", "bucket"),
-            ["band", "bucket"],
-            "left_semi",
-        )
+        # window count over (band, bucket) — the SAME key the candidate
+        # self-join hashes on, so the exchange is shared and the cap costs
+        # no extra shuffle
+        bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
+        banded = banded.withColumn("bsz", bsz).where(F.col("bsz") <= max_bucket).drop("bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
