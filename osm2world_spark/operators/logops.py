@@ -4,15 +4,16 @@ Reference: O2WConverterImpl.java:478-489 — when the log holds more than
 maxLogEntries rows, print the first floor(N/2) and the last ceil(N/2)
 entries (by log order) and elide the middle.
 
-Spark shape: two row_number windows over the given ordering (ascending
-for the head, descending for the tail) — no collect; at scale the window
-shuffles once on the (single) log ordering key. The `kept` flag marks
-head/tail so a renderer can place the elision marker.
+Spark shape: head and tail are `orderBy(...).limit(n)` — Catalyst plans
+each as TakeOrderedAndProject, a map-side distributed top-k with no
+global sort or single-partition window, so truncating even a huge log
+stays linear. The `part` column marks head/tail so a renderer can place
+the elision marker between them.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -22,16 +23,16 @@ def truncate_log(df: DataFrame, order_cols: list[str], max_entries: int = 100) -
     column ('head' | 'tail' | 'all')."""
     head_n = max_entries // 2
     tail_n = max_entries - head_n  # ceil(N/2), O2WConverterImpl.java:487
-    asc = Window.orderBy(*[F.col(c).asc() for c in order_cols])
-    desc = Window.orderBy(*[F.col(c).desc() for c in order_cols])
-    total = df.count()
-    if total <= max_entries:
+    if df.count() <= max_entries:
         return df.withColumn("part", F.lit("all"))
-    ranked = df.withColumn("rn", F.row_number().over(asc)).withColumn(
-        "rn_rev", F.row_number().over(desc)
+    head = (
+        df.orderBy(*[F.col(c).asc() for c in order_cols])
+        .limit(head_n)
+        .withColumn("part", F.lit("head"))
     )
-    return (
-        ranked.where((F.col("rn") <= head_n) | (F.col("rn_rev") <= tail_n))
-        .withColumn("part", F.when(F.col("rn") <= head_n, "head").otherwise("tail"))
-        .drop("rn", "rn_rev")
+    tail = (
+        df.orderBy(*[F.col(c).desc() for c in order_cols])
+        .limit(tail_n)
+        .withColumn("part", F.lit("tail"))
     )
+    return head.unionByName(tail)
