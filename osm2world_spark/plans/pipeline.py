@@ -44,6 +44,9 @@ from ..sources.documents import DEFAULT_ORIGIN, extract_elements
 
 GOLDEN_ZOOM = 12
 
+# TilesetCommand.java:185-190 — defaults applied when absent from config
+DEFAULT_TILE_CONFIG = {"keepOsmElements": "false", "clipToBounds": "true"}
+
 
 def partition_spec() -> dict:
     """The cluster-scale partition spec for stage tables (SURVEY S2/S3),
@@ -101,12 +104,57 @@ class TilePipeline:
         out_dir: str,
         origin: Origin = DEFAULT_ORIGIN,
         scoped: bool = False,
+        base_config: dict | None = None,
+        tile_metadata: DataFrame | None = None,
     ):
+        """`base_config` + per-tile `tile_metadata` reproduce the
+        reference's per-tile config assembly (TilesetCommand.java:171-190:
+        per-tile metadata merged over the base config, then defaults):
+        tile_metadata is a DataFrame (tile_z12, land boolean); land=false
+        flags the tile isAtSea (MetadataOptions.java:48-50), which skips
+        element-overlap work for that tile (its content is open water)."""
         self.spark = spark
         self.out_dir = out_dir
         self.origin = origin
         self.scoped = scoped
+        self.base_config = {**DEFAULT_TILE_CONFIG, **(base_config or {})}
+        self.tile_metadata = tile_metadata
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def tile_config(self, tiles: DataFrame) -> DataFrame:
+        """Effective per-tile config: (tile_z12, config map<string,string>).
+        Base config (with TilesetCommand defaults) plus the isAtSea
+        override where metadata says land=false."""
+        keys = sorted(self.base_config)
+        base = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in keys]),
+            F.array(*[F.lit(str(self.base_config[k])) for k in keys]),
+        )
+        out = tiles.select("tile_z12").distinct().withColumn("config", base)
+        if self.tile_metadata is not None:
+            md = self.tile_metadata.select(
+                "tile_z12", (F.col("land") == False).alias("is_at_sea")  # noqa: E712
+            )
+            out = (
+                out.join(md, "tile_z12", "left")
+                .withColumn(
+                    "config",
+                    F.when(
+                        F.coalesce(F.col("is_at_sea"), F.lit(False)),
+                        F.map_concat(
+                            F.col("config"),
+                            F.create_map(F.lit("isAtSea"), F.lit("true")),
+                        ),
+                    ).otherwise(F.col("config")),
+                )
+                .drop("is_at_sea")
+            )
+        return out
+
+    def _at_sea_tiles(self) -> DataFrame | None:
+        if self.tile_metadata is None:
+            return None
+        return self.tile_metadata.where(F.col("land") == False).select("tile_z12")  # noqa: E712
 
     # ---------------------------------------------------------- manifest
 
@@ -212,6 +260,13 @@ class TilePipeline:
         if with_overlaps:
             ov_committed = self.committed_tiles("overlaps", run_ts)
             ov_elements = elements
+            at_sea = self._at_sea_tiles()
+            if at_sea is not None and not at_sea.isEmpty():
+                # per-tile config override: isAtSea tiles carry open water,
+                # element-overlap processing is skipped for them
+                ov_elements = ov_elements.join(
+                    F.broadcast(at_sea), "tile_z12", "left_anti"
+                )
             if not ov_committed.isEmpty():
                 uncommitted = (
                     elements.select("tile_z12").distinct().join(ov_committed, "tile_z12", "left_anti")

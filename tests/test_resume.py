@@ -76,3 +76,37 @@ def _missing(spark, full_dir, other_stage, all_tiles, survivors, stage):
     df = spark.read.parquet(os.path.join(full_dir, stage))
     stage_tiles = {r.tile_z12 for r in df.select("tile_z12").distinct().collect()}
     return sum(1 for t in all_tiles if t not in survivors and t not in stage_tiles)
+
+
+def test_per_tile_config_overrides(spark, tmp_path):
+    """O4: per-tile metadata merges over the base config with the
+    TilesetCommand defaults (keepOsmElements=false, clipToBounds=true);
+    land=false flags isAtSea and skips overlap work for that tile."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.plans.pipeline import TilePipeline, _tile_z12_col
+    from osm2world_spark.sources.documents import extract_elements, synthetic_documents
+
+    docs = synthetic_documents(spark, 300, seed=21)
+    els = extract_elements(docs).withColumn("tile_z12", _tile_z12_col())
+    tiles = [r["tile_z12"] for r in els.select("tile_z12").distinct().collect()]
+    sea_tile = tiles[0]
+    md = spark.createDataFrame([(sea_tile, False)], "tile_z12 bigint, land boolean")
+
+    out = str(tmp_path / "out")
+    p = TilePipeline(spark, out, base_config={"lod": "2"}, tile_metadata=md)
+
+    cfg = {r["tile_z12"]: dict(r["config"]) for r in p.tile_config(els).collect()}
+    assert cfg[sea_tile]["isAtSea"] == "true"
+    assert all(c["keepOsmElements"] == "false" and c["clipToBounds"] == "true" and c["lod"] == "2" for c in cfg.values())
+    assert all("isAtSea" not in c for t, c in cfg.items() if t != sea_tile)
+
+    p.run(docs, with_overlaps=True)
+    ov = spark.read.parquet(os.path.join(out, "overlaps"))
+    assert ov.where(F.col("tile_z12") == sea_tile).count() == 0
+    assert ov.count() > 0
+    # the scan stage still records the at-sea tile's assignments
+    ta = spark.read.parquet(os.path.join(out, "tile_assignments"))
+    assert ta.where(F.col("tile_z12") == sea_tile).count() > 0
