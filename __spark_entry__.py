@@ -396,6 +396,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ww_intersections"] = ww_intersections
 
+    # --- J12: sweep-and-prune all-intersections (LineSegmentIntersection-
+    # Finder semantics, short road-like segments, cell-grouped)
+    def sweep_intersections_q(spark, sf_dir):
+        from osm2world_spark.operators.sweep import sweep_intersections
+
+        o = _t(spark, sf_dir, "orders")
+        # dense 1 km square of short segments — the road-network shape
+        x1 = F.expr("((o_orderkey * 2654435761) % 100000) / CAST(100 AS DOUBLE)")
+        z1 = F.expr("((o_orderkey * 40503) % 100000) / CAST(100 AS DOUBLE)")
+        dx = F.expr("((o_orderkey * 7) % 200 - 100) / CAST(10 AS DOUBLE)")
+        dz = F.expr("((o_orderkey * 11) % 200 - 100) / CAST(10 AS DOUBLE)")
+        seg = o.select(
+            F.col("o_orderkey").alias("key"),
+            x1.alias("x1"), z1.alias("z1"),
+            (x1 + dx).alias("x2"), (z1 + dz).alias("z2"),
+        ).withColumn("grp", F.floor(F.col("x1") / F.expr("CAST(500 AS DOUBLE)")).cast("bigint"))
+        return sweep_intersections(seg, group_col="grp")
+
+    q["sweep_intersections"] = sweep_intersections_q
+
     # --- A1: extent aggregation
     def extent_agg(spark, sf_dir):
         c = _t(spark, sf_dir, "customer")
@@ -1212,6 +1232,26 @@ def oracle_sql() -> dict[str, str]:
                cast(floor((a.x1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.x2 - a.x1)) * 1000.0 + 0.5) as bigint) AS ix_mm,
                cast(floor((a.z1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.z2 - a.z1)) * 1000.0 + 0.5) as bigint) AS iz_mm
         FROM seg a JOIN seg b ON a.bucket = b.bucket AND a.key < b.key
+        WHERE abs((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) > 0.0001
+          AND ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1
+          AND ((b.z1 - a.z1)*(a.x2 - a.x1) - (b.x1 - a.x1)*(a.z2 - a.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1
+    """
+
+    sx1 = "((o_orderkey * 2654435761) % 100000) / CAST(100 AS DOUBLE)"
+    sz1 = "((o_orderkey * 40503) % 100000) / CAST(100 AS DOUBLE)"
+    sweep_seg = (
+        f"SELECT o_orderkey AS key, "
+        f"{sx1} AS x1, {sz1} AS z1, "
+        f"{sx1} + ((o_orderkey * 7) % 200 - 100) / CAST(10 AS DOUBLE) AS x2, "
+        f"{sz1} + ((o_orderkey * 11) % 200 - 100) / CAST(10 AS DOUBLE) AS z2, "
+        f"cast(floor({sx1} / CAST(500 AS DOUBLE)) as bigint) AS grp FROM orders"
+    )
+    sql["sweep_intersections"] = f"""
+        WITH seg AS ({sweep_seg})
+        SELECT cast(a.key as varchar) AS a_key, cast(b.key as varchar) AS b_key,
+               cast(floor((a.x1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.x2 - a.x1)) * 1000.0 + 0.5) as bigint) AS ix_mm,
+               cast(floor((a.z1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.z2 - a.z1)) * 1000.0 + 0.5) as bigint) AS iz_mm
+        FROM seg a JOIN seg b ON a.grp = b.grp AND a.key < b.key
         WHERE abs((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) > 0.0001
           AND ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1
           AND ((b.z1 - a.z1)*(a.x2 - a.x1) - (b.x1 - a.x1)*(a.z2 - a.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1
