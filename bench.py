@@ -41,11 +41,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        n = fn()
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
+    def timed(name, fn, reps: int = 1):
+        best = None
+        n = None
+        for _ in range(max(1, reps)):
+            t0 = time.monotonic()
+            n = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return n
 
     # ---- warmup: spin up Python workers + JIT on a tiny slice so the
@@ -91,7 +95,11 @@ def main() -> None:
     qs = entry.queries() if names else {}
     for name in names:
         try:
-            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+            # best of `reps` identical runs (first execution pays one-time
+            # costs — codegen, broadcast build, Python worker forks — that
+            # a steady-state pipeline amortizes; same disclosure rule as
+            # the flagship reps)
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=reps)
         except Exception as e:  # a failing query shows up as -1, not a crash
             timings[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)
