@@ -12,8 +12,10 @@ and round(6)-stable for floating aggregates.
 
 Queries without an oracle entry (the driver records a rows-only check) are
 the genuinely non-SQL-expressible ops: the full spatial self-join over
-interleaved documents, MinHash-LSH near-dup, sign-LSH ANN, multimodal
-feature plumbing, and the cell encoders (S2/hex have no DuckDB analogue).
+interleaved documents, MinHash-LSH near-dup, sign-LSH/IVF ANN, multimodal
+feature plumbing, the cell encoders (S2/hex have no DuckDB analogue), and
+the iterative/Delaunay interpolators (kNN-elevation, LSQ, natural
+neighbor — pytest pins those against brute-force numpy oracles instead).
 """
 
 from __future__ import annotations

@@ -94,6 +94,19 @@ def load_trials(n_docs: int) -> list[dict]:
     return out
 
 
+def paired_efficiencies(trials: list[dict], lo: int, hi: int) -> list[float]:
+    """Same-invocation efficiency estimates: each scaling run logs a
+    local[lo] trial immediately followed by its local[hi] trial, so
+    adjacent (lo, hi) entries in file order share (roughly) one host
+    window — a noise-matched ratio the cross-window best-per-level
+    figure can't give."""
+    out = []
+    for a, b in zip(trials, trials[1:]):
+        if a["cpus"] == lo and b["cpus"] == hi:
+            out.append((b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo))
+    return out
+
+
 def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
     lo, hi = PAIR
     trials = load_trials(n_docs)
@@ -102,6 +115,8 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
     best = {c: max(ts, key=lambda t: t["docs_per_sec"]) for c, ts in by.items()}
     if lo not in best or hi not in best:
         raise SystemExit(f"no trials recorded for both local[{lo}] and local[{hi}]")
+    if full is None and os.path.exists(os.path.join(BENCH_DIR, "last_full.json")):
+        full = json.load(open(os.path.join(BENCH_DIR, "last_full.json")))
 
     def eff(a, b):
         if a in best and b in best:
@@ -110,6 +125,7 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
 
     e_main = eff(lo, hi)
     e_sec = eff(*SECONDARY)
+    paired = paired_efficiencies(trials, lo, hi)
 
     summary = {
         f"docs_per_sec_local{lo}": best[lo]["docs_per_sec"],
@@ -122,6 +138,9 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
     }
     if e_sec is not None:
         summary[f"scaling_efficiency_{SECONDARY[0]}_to_{SECONDARY[1]}"] = round(e_sec, 3)
+    if paired:
+        summary["paired_run_efficiencies"] = [round(p, 3) for p in paired]
+        summary["paired_run_efficiency_median"] = round(sorted(paired)[len(paired) // 2], 3)
     if 32 in best:
         summary["docs_per_sec_local32_full_machine"] = best[32]["docs_per_sec"]
     print(json.dumps(summary))
@@ -140,6 +159,17 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
         + json.dumps(full["queries"], indent=2)
         + "\n```\n"
         if full
+        else ""
+    )
+    paired_line = (
+        (
+            f"Same-invocation pairs (each run executes local[{lo}] then local[{hi}] "
+            f"back-to-back, so both sides see roughly one host window — the "
+            f"noise-matched estimate the cross-window best-per-level ratio above "
+            f"cannot give): efficiencies {', '.join(f'{p:.3f}' for p in paired)}; "
+            f"median {sorted(paired)[len(paired) // 2]:.3f}."
+        )
+        if paired
         else ""
     )
     sec_line = (
@@ -165,6 +195,8 @@ Python workers warmed before the measured window.
 ## Headline: local[{lo}] -> local[{hi}] (N -> 4N)
 
 **Scaling efficiency (T{hi}/T{lo})/{hi // lo} = {e_main:.3f}** (target >= 0.8)
+
+{paired_line}
 
 {sec_line}
 
@@ -221,6 +253,8 @@ def main() -> None:
                 )
         full = run_bench(32, n_docs, sf_dir, queries=True)
         record(32, full, n_docs)
+        with open(os.path.join(BENCH_DIR, "last_full.json"), "w") as f:
+            json.dump(full, f)
     report(n_docs, sf_dir, full)
 
 
