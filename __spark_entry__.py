@@ -399,7 +399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ww_intersections"] = ww_intersections
 
     # --- J12: sweep-and-prune all-intersections (LineSegmentIntersection-
-    # Finder semantics, short road-like segments, cell-grouped)
+    # Finder semantics, short road-like segments). cell_size mode: segments
+    # replicate into every overlapped 500 m cell and crossings dedup by the
+    # cell owning the intersection point, so pairs straddling cell
+    # boundaries ARE reported — the oracle is the lossless all-pairs
+    # interval-overlap join.
     def sweep_intersections_q(spark, sf_dir):
         from osm2world_spark.operators.sweep import sweep_intersections
 
@@ -413,8 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("o_orderkey").alias("key"),
             x1.alias("x1"), z1.alias("z1"),
             (x1 + dx).alias("x2"), (z1 + dz).alias("z2"),
-        ).withColumn("grp", F.floor(F.col("x1") / F.expr("CAST(500 AS DOUBLE)")).cast("bigint"))
-        return sweep_intersections(seg, group_col="grp")
+        )
+        return sweep_intersections(seg, cell_size=500.0)
 
     q["sweep_intersections"] = sweep_intersections_q
 
@@ -1242,18 +1246,28 @@ def oracle_sql() -> dict[str, str]:
     sx1 = "((o_orderkey * 2654435761) % 100000) / CAST(100 AS DOUBLE)"
     sz1 = "((o_orderkey * 40503) % 100000) / CAST(100 AS DOUBLE)"
     sweep_seg = (
+        f"SELECT key, x1, z1, x2, z2, "
+        f"least(x1, x2) AS minx, greatest(x1, x2) AS maxx, "
+        f"least(z1, z2) AS minz, greatest(z1, z2) AS maxz FROM ("
         f"SELECT o_orderkey AS key, "
         f"{sx1} AS x1, {sz1} AS z1, "
         f"{sx1} + ((o_orderkey * 7) % 200 - 100) / CAST(10 AS DOUBLE) AS x2, "
-        f"{sz1} + ((o_orderkey * 11) % 200 - 100) / CAST(10 AS DOUBLE) AS z2, "
-        f"cast(floor({sx1} / CAST(500 AS DOUBLE)) as bigint) AS grp FROM orders"
+        f"{sz1} + ((o_orderkey * 11) % 200 - 100) / CAST(10 AS DOUBLE) AS z2 FROM orders)"
     )
+    # lossless oracle: all pairs whose x AND z intervals overlap (the broad
+    # phase is a filter, not a blocking key — no crossing can be missed).
+    # bbox columns precomputed in the CTE: plain column inequalities keep
+    # DuckDB on its IEJoin path (least/greatest inside ON hit an internal
+    # flat-vector assertion in duckdb 1.x).
     sql["sweep_intersections"] = f"""
         WITH seg AS ({sweep_seg})
         SELECT cast(a.key as varchar) AS a_key, cast(b.key as varchar) AS b_key,
                cast(floor((a.x1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.x2 - a.x1)) * 1000.0 + 0.5) as bigint) AS ix_mm,
                cast(floor((a.z1 + ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) * (a.z2 - a.z1)) * 1000.0 + 0.5) as bigint) AS iz_mm
-        FROM seg a JOIN seg b ON a.grp = b.grp AND a.key < b.key
+        FROM seg a JOIN seg b
+          ON a.key < b.key
+         AND a.minx <= b.maxx AND b.minx <= a.maxx
+         AND a.minz <= b.maxz AND b.minz <= a.maxz
         WHERE abs((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) > 0.0001
           AND ((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1
           AND ((b.z1 - a.z1)*(a.x2 - a.x1) - (b.x1 - a.x1)*(a.z2 - a.z1)) / ((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1)) BETWEEN 0 AND 1

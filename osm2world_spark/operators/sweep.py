@@ -39,7 +39,7 @@ SWEEP_SCHEMA = StructType(
 )
 
 
-def _group_intersections(pdf: pd.DataFrame) -> pd.DataFrame:
+def _group_intersections(pdf: pd.DataFrame, cell_size: float | None = None) -> pd.DataFrame:
     from ..functions.geometry import _ranges
 
     n = len(pdf)
@@ -97,6 +97,19 @@ def _group_intersections(pdf: pd.DataFrame) -> pd.DataFrame:
     ia, ib, t = ia[hit], ib[hit], t[hit]
     ix = x1[ia] + t * (x2[ia] - x1[ia])
     iz = z1[ia] + t * (z2[ia] - z1[ia])
+    if cell_size is not None:
+        # reference-point dedup across cell replicas: a crossing is owned by
+        # the ONE cell containing its intersection point. Both segments'
+        # bboxes contain the point, so that cell is covered by both
+        # replications — every crossing is emitted exactly once. The
+        # (ia, ib) canonical key order above makes ix/iz bit-identical in
+        # every replica, so the floor test picks the same owner everywhere.
+        cx = int(pdf["cell_x"].iloc[0])
+        cz = int(pdf["cell_z"].iloc[0])
+        own = (np.floor(ix / cell_size) == cx) & (np.floor(iz / cell_size) == cz)
+        if not own.any():
+            return pd.DataFrame({c.name: [] for c in SWEEP_SCHEMA})
+        ia, ib, ix, iz = ia[own], ib[own], ix[own], iz[own]
     return pd.DataFrame(
         {
             "a_key": key[ia].astype(str),
@@ -107,13 +120,51 @@ def _group_intersections(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def sweep_intersections(segments: DataFrame, group_col: str | None = None) -> DataFrame:
+def sweep_intersections(
+    segments: DataFrame,
+    group_col: str | None = None,
+    cell_size: float | None = None,
+) -> DataFrame:
     """segments (key, x1, z1, x2, z2[, group_col]) -> every pairwise
     crossing (a_key, b_key, ix_mm, iz_mm) with a_key < b_key.
 
-    `group_col` is the distribution key (a tile / cell / way bucket);
-    without one, the whole set is one group (small-data mode)."""
+    Distribution modes:
+    - `cell_size`: the complete mode — each segment is replicated into every
+      grid cell its bbox overlaps (the same IndexGrid insert semantics as
+      the spatial self-join, IndexGrid.java:154-178), and a crossing is
+      emitted only by the cell containing its intersection point
+      (reference-point dedup). This reports EVERY pairwise crossing of the
+      whole set, including pairs straddling cell boundaries, matching the
+      reference's all-intersections semantics
+      (LineSegmentIntersectionFinder.java:17-60).
+    - `group_col`: explicit pre-blocked mode — crossings are only found
+      WITHIN a group; a pair straddling two groups is not reported. Use
+      only when the blocking key is known to be closed under crossings
+      (e.g. per-way or per-relation sets).
+    - neither: the whole set is one group (small-data mode).
+    """
     cols = ["key", "x1", "z1", "x2", "z2"]
+    if cell_size is not None:
+        cs = float(cell_size)
+        cx0 = F.floor(F.least("x1", "x2") / cs).cast("bigint")
+        cx1 = F.floor(F.greatest("x1", "x2") / cs).cast("bigint")
+        cz0 = F.floor(F.least("z1", "z2") / cs).cast("bigint")
+        cz1 = F.floor(F.greatest("z1", "z2") / cs).cast("bigint")
+        cells = F.flatten(
+            F.transform(
+                F.sequence(cx0, cx1),
+                lambda cx: F.transform(
+                    F.sequence(cz0, cz1),
+                    lambda cz: F.struct(cx.alias("cell_x"), cz.alias("cell_z")),
+                ),
+            )
+        )
+        src = segments.select(
+            *[F.col(c) for c in cols], F.explode(cells).alias("cell")
+        ).select(*cols, F.col("cell.cell_x"), F.col("cell.cell_z"))
+        return src.groupBy("cell_x", "cell_z").applyInPandas(
+            lambda pdf: _group_intersections(pdf, cell_size=cs), schema=SWEEP_SCHEMA
+        )
     if group_col is None:
         src = segments.select(F.lit(0).alias("g"), *[F.col(c) for c in cols])
     else:

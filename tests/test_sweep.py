@@ -55,6 +55,39 @@ def test_sweep_matches_bruteforce(spark):
     assert got == want
 
 
+def test_sweep_cell_mode_is_complete(spark):
+    """cell_size mode must equal the single-group (complete) result even
+    when crossings straddle cell boundaries — the round-2 grouped mode
+    silently dropped those pairs."""
+    pdf = _segs(400, seed=2)
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["a_key"], r["b_key"], r["ix_mm"], r["iz_mm"])
+        for r in sweep_intersections(df, cell_size=50.0).collect()
+    }
+    want = _brute(pdf)
+    assert got == want
+
+
+def test_sweep_cell_mode_straddling_pair(spark):
+    """A crossing exactly astride a cell boundary is reported once."""
+    pdf = pd.DataFrame(
+        {
+            "key": np.array([1, 2], dtype=np.int64),
+            # segments crossing at (100.0, 100.0) == a corner of 50-unit cells
+            "x1": [90.0, 90.0],
+            "z1": [90.0, 110.0],
+            "x2": [110.0, 110.0],
+            "z2": [110.0, 90.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = sweep_intersections(df, cell_size=50.0).collect()
+    assert [(r["a_key"], r["b_key"], r["ix_mm"], r["iz_mm"]) for r in rows] == [
+        ("1", "2", 100000, 100000)
+    ]
+
+
 def test_sweep_grouped_restricts_to_groups(spark):
     pdf = _segs(300, seed=9)
     df = spark.createDataFrame(pdf).withColumn(
