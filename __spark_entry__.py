@@ -1031,9 +1031,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("key").alias("s_id"), "x", "z",
             (F.col("x") / 100.0 + F.col("z") / 200.0).alias("y"),
         )
-        return lsq_interpolate(queries_df, sites).select(
+        # Finite rows only: queries with every 29-NN site beyond the 120 m
+        # falloff yield NaN (Java 0/0) on both engines but carry no signal;
+        # the oracle mirrors the same min(dist) < 120 cut. The sites' y is
+        # an exact plane (x/100 + z/200), so the full quadratic-fit
+        # pipeline must reproduce it — the standard linear-precision
+        # oracle for scattered-data interpolators (measured |dev| <=
+        # 2.8e-14 at sf0.01; the numeric fit itself is pinned by
+        # tests/test_lsq.py against brute numpy).
+        out = lsq_interpolate(queries_df, sites).select(
             "q_id", F.round("ele", 6).alias("ele_r")
         )
+        return out.where(~F.isnan("ele_r"))
 
     q["lsq_elevation"] = lsq_elevation
 
@@ -1201,6 +1210,55 @@ def oracle_sql() -> dict[str, str]:
         FROM q CROSS JOIN s
         WINDOW w AS (PARTITION BY q_id ORDER BY sqrt((q.x - s.x)*(q.x - s.x) + (q.z - s.z)*(q.z - s.z)), s_id)
         QUALIFY row_number() OVER w <= 9
+    """
+
+    # J10-adjacent: 29-NN linear-falloff interpolation — brute kNN via a
+    # window over the customer x orders cross join (22.5M pairs at sf0.01,
+    # well inside DuckDB's envelope). Mirrors knn_join's (dist, s_id) tie
+    # order and interpolate_29nn's max(0, 1 - d/120) weighting; Java 0/0
+    # NaN mirrored via coalesce('nan').
+    sql["knn_elevation"] = f"""
+        WITH q AS (SELECT c_custkey AS q_id, {X_M.format(k="c_custkey")} AS x, {Z_M.format(k="c_custkey")} AS z FROM customer),
+             s AS (SELECT o_orderkey AS s_id, x, z, x / CAST(10 AS DOUBLE) + z / CAST(20 AS DOUBLE) AS y
+                   FROM (SELECT o_orderkey, {X_M.format(k="o_orderkey")} AS x, {Z_M.format(k="o_orderkey")} AS z FROM orders))
+        SELECT q_id,
+               round(coalesce(
+                 sum(greatest(CAST(0 AS DOUBLE), 1.0 - dist / 120.0) * y)
+                   / nullif(sum(greatest(CAST(0 AS DOUBLE), 1.0 - dist / 120.0)), CAST(0 AS DOUBLE)),
+                 CAST('nan' AS DOUBLE)), 6) AS ele_r
+        FROM (
+          SELECT q.q_id, s.y,
+                 sqrt((q.x - s.x)*(q.x - s.x) + (q.z - s.z)*(q.z - s.z)) AS dist,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY sqrt((q.x - s.x)*(q.x - s.x) + (q.z - s.z)*(q.z - s.z)), s.s_id) AS rn
+          FROM q CROSS JOIN s
+        )
+        WHERE rn <= 29
+        GROUP BY q_id
+    """
+
+    # J8/J10: LeastSquares pipeline under the linear-precision property —
+    # sites carry an exact plane y = x/100 + z/200, so the quadratic LSQ
+    # fit + 29-NN weighted blend must return the plane value wherever any
+    # of the 29 nearest sites is inside the 120 m falloff (and NaN
+    # elsewhere — those rows are cut on both sides).
+    sql["lsq_elevation"] = f"""
+        WITH q AS (SELECT c_custkey AS q_id, {X_M.format(k="c_custkey")} AS x, {Z_M.format(k="c_custkey")} AS z FROM customer),
+             s AS (SELECT o_orderkey AS s_id, {X_M.format(k="o_orderkey")} AS x, {Z_M.format(k="o_orderkey")} AS z
+                   FROM orders WHERE o_orderkey % 17 = 0)
+        SELECT q_id, round(qx / CAST(100 AS DOUBLE) + qz / CAST(200 AS DOUBLE), 6) AS ele_r
+        FROM (
+          SELECT q_id, qx, qz, dist,
+                 row_number() OVER (PARTITION BY q_id ORDER BY dist, s_id) AS rn
+          FROM (
+            SELECT q.q_id, q.x AS qx, q.z AS qz, s.s_id,
+                   sqrt((q.x - s.x)*(q.x - s.x) + (q.z - s.z)*(q.z - s.z)) AS dist
+            FROM q CROSS JOIN s
+          )
+        )
+        WHERE rn <= 29
+        GROUP BY q_id, qx, qz
+        HAVING min(dist) < 120.0
     """
 
     sql["idw300"] = f"""
