@@ -949,8 +949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_near_dups(spark, sf_dir):
         from osm2world_spark.operators.dedup import minhash_near_dups as mnd
 
+        # portable=True: the md5-prefix hash family, so DuckDB rebuilds the
+        # exact signatures, bands, candidate pairs, and Jaccard verify.
+        # (Production default stays on the native xxhash64 family.)
         d = _t(spark, sf_dir, "documents")
-        return mnd(d, k=32, bands=8, threshold=0.2)
+        return mnd(d, k=32, bands=8, threshold=0.2, portable=True)
 
     q["minhash_near_dups"] = minhash_near_dups
 
@@ -966,8 +969,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def media_features(spark, sf_dir):
         from osm2world_spark.operators.multimodal import extract_features, media_table
 
+        # The full Arrow-batch decode path runs (media_table ->
+        # extract_features mapInPandas); the driver projection re-quantizes
+        # the float32 features back to their source bytes
+        # (floor(v*255 + 0.5) inverts the stub's byte/255 encode exactly)
+        # so the oracle is integer-exact, and joins the typed metadata
+        # back on for a full-surface check.
         docs = _geo_docs_from_driver_documents(spark, sf_dir)
-        return _canon_safe(extract_features(media_table(docs)))
+        med = media_table(docs)
+        feats = extract_features(med)
+        fb = F.concat_ws(
+            ",", F.transform("feature", lambda v: F.floor(v * 255.0 + 0.5).cast("int"))
+        )
+        return feats.join(
+            med.select("doc_id", "span_idx", "media_type", "width", "height"),
+            ["doc_id", "span_idx"],
+        ).select(
+            "doc_id", "span_idx", "media_ref", "media_type", "width", "height",
+            fb.alias("feature_bytes"),
+        )
 
     q["media_features"] = media_features
 
@@ -1459,6 +1479,67 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id
         WHERE n_common / cast(sa.n_sh + sb.n_sh - n_common as double) >= CAST(0.05 AS DOUBLE)
+    """
+
+    # Multimodal plumbing: media_table's synthesized metadata (md5-hash
+    # driven type/width/height) + the stub decoder's byte/255 features,
+    # re-quantized to source bytes in the driver projection.
+    sql["media_features"] = """
+        WITH m AS (
+          SELECT 'doc_' || lpad(doc_id::VARCHAR, 12, '0') AS doc_id,
+                 CAST(2 AS INT) AS span_idx,
+                 'media://' || md5(text) AS media_ref,
+                 ('0x' || substr(md5('media://' || md5(text)), 1, 8))::BIGINT AS h
+          FROM documents
+        )
+        SELECT doc_id, span_idx, media_ref,
+               ['image', 'audio', 'video'][CAST((h % 3) + 1 AS INT)] AS media_type,
+               CAST(h % 1024 + 64 AS INT) AS width,
+               CAST((h // 7) % 1024 + 64 AS INT) AS height,
+               array_to_string(
+                 list_transform(range(16), i -> ascii(substr(media_ref, CAST(i + 1 AS INT), 1))),
+                 ',') AS feature_bytes
+        FROM m
+    """
+
+    # MinHash-LSH with the portable md5-prefix hash family: DuckDB rebuilds
+    # the identical 32-value signatures, 8 band buckets, candidate pairs,
+    # and exact-Jaccard verify. (max_bucket=4096 needs no mirror: 500 docs
+    # at sf0.01 cannot exceed the cap.)
+    minh = ", ".join(
+        f"min(('0x' || substr(md5('{s}|' || shingle), 1, 15))::BIGINT) AS h{s}"
+        for s in range(32)
+    )
+    sig_list = "list_value(" + ", ".join(f"h{s}" for s in range(32)) + ")"
+    sql["minhash_near_dups"] = f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, unnest({shingle_list}) AS shingle FROM documents
+        ), sigs AS (
+          SELECT doc_id, {minh} FROM sh GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, band,
+                 array_to_string(list_slice(sig, band*4+1, band*4+4), ',') AS bucket
+          FROM (SELECT doc_id, {sig_list} AS sig FROM sigs),
+               unnest(generate_series(0, 7)) AS bb(band)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT c.a_id, c.b_id, count(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a_id
+          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               round(n_common / cast(sa.n_sh + sb.n_sh - n_common as double), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE round(n_common / cast(sa.n_sh + sb.n_sh - n_common as double), 6) >= CAST(0.2 AS DOUBLE)
     """
 
     sql["simhash"] = """

@@ -129,21 +129,34 @@ def _hash60(col, salt: int):
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 32, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig array<bigint> of k minhash values over word-n-gram
     shingles). One explode + one groupBy; the k mins aggregate map-side.
 
-    Hash family: xxhash64(shingle, salt) — a native JVM codegen function,
-    ~20x cheaper than the md5-prefix route (k md5 digests per shingle row
-    dominated the whole near-dup pipeline); each salt gives an independent
-    permutation surrogate. Signatures are engine-internal (pairs are
-    exact-Jaccard verified afterwards), so cross-engine portability of the
-    hash values is not required."""
+    Hash family (default): xxhash64(shingle, salt) — a native JVM codegen
+    function, ~20x cheaper than the md5-prefix route (k md5 digests per
+    shingle row dominated the whole near-dup pipeline); each salt gives an
+    independent permutation surrogate. Signatures are engine-internal
+    (pairs are exact-Jaccard verified afterwards), so cross-engine
+    portability of the hash values is not required on the production path.
+
+    `portable=True` switches to the md5-prefix family (`_hash60` with the
+    salt prepended) whose values any engine with md5 + hex conversion can
+    reproduce — used by the driver's oracle-checked query so DuckDB can
+    rebuild identical signatures; keep the default for production."""
     sh = shingle_table(docs, text_col, id_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}") for s in range(k)
-    ]
+    hash_fn = (
+        (lambda s: _hash60(F.col("shingle"), s))
+        if portable
+        else (lambda s: F.xxhash64(F.col("shingle"), F.lit(s)))
+    )
+    mins = [F.min(hash_fn(s)).alias(f"h{s}") for s in range(k)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[F.col(f"h{s}") for s in range(k)]).alias("sig"))
 
@@ -199,10 +212,12 @@ def minhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = 4096,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
-    (a_id, b_id, jaccard >= threshold)."""
-    sigs = minhash_signatures(docs, k, n, text_col, id_col)
+    (a_id, b_id, jaccard >= threshold). `portable` selects the
+    cross-engine md5-prefix hash family (see minhash_signatures)."""
+    sigs = minhash_signatures(docs, k, n, text_col, id_col, portable=portable)
     cand = lsh_candidate_pairs(sigs, bands, max_bucket).select("a_id", "b_id")
     sh = shingle_table(docs, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
