@@ -932,8 +932,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from osm2world_spark.sources.documents import extract_elements
         from osm2world_spark.operators.spatial_join import spatial_self_join
 
+        # Full distributed self-join; the driver projection drops the
+        # `positions` payload (pinned separately by the golden-parquet
+        # pytests) so the typed pair set itself is oracle-checkable: the
+        # fixture geometry is points / single segments / axis-aligned
+        # rectangles, every kernel predicate of which (eps-guarded
+        # crossing, half-open even-odd raycast, vertex-rule containment)
+        # reduces to closed-form SQL.
         docs = _geo_docs_from_driver_documents(spark, sf_dir)
-        return _canon_safe(spatial_self_join(extract_elements(docs)))
+        ov = spatial_self_join(extract_elements(docs))
+        return ov.select("a_id", "a_type", "b_id", "b_type", "overlap_kind")
 
     q["spatial_overlaps"] = spatial_overlaps
 
@@ -1591,6 +1599,126 @@ def oracle_sql() -> dict[str, str]:
                cast(floor((360.0 * atan(exp(((z + {OY_}) / {S_} - 0.5) * {TWO_PI})) / {PI_} - 90.0) * 1000000000.0 + 0.5) as bigint) AS lat_n9,
                cast(floor((360.0 * ((x + {OX_}) / {S_} - 0.5)) * 1000000000.0 + 0.5) as bigint) AS lon_n9
         FROM proj
+    """
+
+    # J2: the typed-overlap spatial self-join over the synthesized
+    # interleaved documents. The fixture geometry is closed-form: nodes
+    # (m=0), single two-point segments (m=1), axis-aligned rectangles
+    # (m=2, +-0.0006 lat x +-0.0009 lon), all format_number(.,7)-quantized
+    # then metric-projected with mm snap. Kernel semantics mirrored:
+    # - WW: |denom| > 1e-4 parametric crossing, t,s in [0,1] inclusive
+    #   (GeometryUtil.getLineSegmentIntersection), eids k-ascending.
+    # - NA/containment raycast is half-open on rectangles: bottom edge
+    #   (z == z1) counts inside, top edge does not; exact x-boundary hits
+    #   are arithmetically impossible for this fixture (lon deltas are
+    #   non-integer grid steps).
+    # - WA: INTERSECT on any true segment x rect-edge crossing (endpoint
+    #   touches included), else CONTAIN when both endpoints are inside.
+    # - AA: strict-x / inclusive-z bbox overlap candidates; CONTAIN via
+    #   the vertex rule (all corners inside under the half-open raycast),
+    #   emitted (contained, container); else INTERSECT.
+    _g_lat = LAT.format(k="doc_id")
+    _g_lon = LON.format(k="doc_id")
+    _g_lat2 = LAT.format(k="doc_id * 7 + 3")
+    _g_lon2 = LON.format(k="doc_id * 7 + 3")
+    PXE = f"floor(((({{lon}}) + 180.0) / 360.0 * {S_} - {OX_}) * 1000.0 + 0.5) / 1000.0"
+    PZE = (
+        f"floor(((ln((1.0 + sin(radians({{lat}}))) / (1.0 - sin(radians({{lat}})))) "
+        f"/ (4.0 * {PI_}) + 0.5) * {S_} - {OY_}) * 1000.0 + 0.5) / 1000.0"
+    )
+    _den = "((a.z2 - a.z1)*(b.x2 - b.x1) - (a.x2 - a.x1)*(b.z2 - b.z1))"
+    _tnum = "((b.z1 - a.z1)*(b.x2 - b.x1) - (b.x1 - a.x1)*(b.z2 - b.z1))"
+    _snum = "((b.z1 - a.z1)*(a.x2 - a.x1) - (b.x1 - a.x1)*(a.z2 - a.z1))"
+    _eden = "((s.z2 - s.z1)*(e.ex2 - e.ex1) - (s.x2 - s.x1)*(e.ez2 - e.ez1))"
+    _etnum = "((e.ez1 - s.z1)*(e.ex2 - e.ex1) - (e.ex1 - s.x1)*(e.ez2 - e.ez1))"
+    _esnum = "((e.ez1 - s.z1)*(s.x2 - s.x1) - (e.ex1 - s.x1)*(s.z2 - s.z1))"
+    sql["spatial_overlaps"] = f"""
+        WITH geo AS (
+          SELECT doc_id AS k, doc_id % 3 AS m,
+                 'doc_' || lpad(doc_id::VARCHAR, 12, '0') || '#1' AS eid,
+                 round({_g_lat}, 7) AS lat, round({_g_lon}, 7) AS lon,
+                 round({_g_lat2}, 7) AS lat2, round({_g_lon2}, 7) AS lon2,
+                 round(({_g_lat}) - CAST(0.0006 AS DOUBLE), 7) AS lat_lo,
+                 round(({_g_lat}) + CAST(0.0006 AS DOUBLE), 7) AS lat_hi,
+                 round(({_g_lon}) - CAST(0.0009 AS DOUBLE), 7) AS lon_lo,
+                 round(({_g_lon}) + CAST(0.0009 AS DOUBLE), 7) AS lon_hi
+          FROM documents
+        ), nodes AS (
+          SELECT k, eid, {PXE.format(lon="lon")} AS x, {PZE.format(lat="lat")} AS z
+          FROM geo WHERE m = 0
+        ), segs AS (
+          SELECT k, eid || '#0' AS eid,
+                 {PXE.format(lon="lon")} AS x1, {PZE.format(lat="lat")} AS z1,
+                 {PXE.format(lon="lon2")} AS x2, {PZE.format(lat="lat2")} AS z2
+          FROM geo WHERE m = 1
+        ), rects AS (
+          SELECT k, eid,
+                 {PXE.format(lon="lon_lo")} AS x1, {PXE.format(lon="lon_hi")} AS x2,
+                 {PZE.format(lat="lat_lo")} AS z1, {PZE.format(lat="lat_hi")} AS z2
+          FROM geo WHERE m = 2
+        ), redges AS (
+          SELECT eid, x1 AS ex1, z1 AS ez1, x2 AS ex2, z1 AS ez2 FROM rects
+          UNION ALL SELECT eid, x2, z1, x2, z2 FROM rects
+          UNION ALL SELECT eid, x2, z2, x1, z2 FROM rects
+          UNION ALL SELECT eid, x1, z2, x1, z1 FROM rects
+        ), wa_int AS (
+          SELECT DISTINCT s.eid AS s_eid, e.eid AS r_eid
+          FROM segs s JOIN redges e ON abs({_eden}) > 0.0001
+          WHERE {_etnum} / {_eden} BETWEEN 0 AND 1
+            AND {_esnum} / {_eden} BETWEEN 0 AND 1
+        ), aa0 AS (
+          SELECT a.eid AS ae, b.eid AS be,
+                 (b.x1 > a.x1 AND b.x2 < a.x2 AND b.z1 >= a.z1 AND b.z2 < a.z2) AS b_in_a,
+                 (a.x1 > b.x1 AND a.x2 < b.x2 AND a.z1 >= b.z1 AND a.z2 < b.z2) AS a_in_b
+          FROM rects a JOIN rects b ON a.k < b.k
+           AND a.x1 < b.x2 AND b.x1 < a.x2 AND a.z1 <= b.z2 AND b.z1 <= a.z2
+        )
+        SELECT a.eid AS a_id, 'segment' AS a_type, b.eid AS b_id,
+               'segment' AS b_type, 'INTERSECT' AS overlap_kind
+        FROM segs a JOIN segs b ON a.k < b.k
+        WHERE abs({_den}) > 0.0001
+          AND {_tnum} / {_den} BETWEEN 0 AND 1
+          AND {_snum} / {_den} BETWEEN 0 AND 1
+        UNION ALL
+        SELECT n.eid, 'node', r.eid, 'area', 'CONTAIN'
+        FROM nodes n JOIN rects r
+          ON n.x > r.x1 AND n.x < r.x2 AND n.z >= r.z1 AND n.z < r.z2
+        UNION ALL
+        SELECT s_eid, 'segment', r_eid, 'area', 'INTERSECT' FROM wa_int
+        UNION ALL
+        SELECT s.eid, 'segment', r.eid, 'area', 'CONTAIN'
+        FROM segs s JOIN rects r
+          ON s.x1 > r.x1 AND s.x1 < r.x2 AND s.z1 >= r.z1 AND s.z1 < r.z2
+         AND s.x2 > r.x1 AND s.x2 < r.x2 AND s.z2 >= r.z1 AND s.z2 < r.z2
+        WHERE NOT EXISTS (
+          SELECT 1 FROM wa_int wi WHERE wi.s_eid = s.eid AND wi.r_eid = r.eid
+        )
+        UNION ALL
+        SELECT CASE WHEN b_in_a THEN be WHEN a_in_b THEN ae ELSE ae END, 'area',
+               CASE WHEN b_in_a THEN ae WHEN a_in_b THEN be ELSE be END, 'area',
+               CASE WHEN b_in_a OR a_in_b THEN 'CONTAIN' ELSE 'INTERSECT' END
+        FROM aa0
+    """
+
+    # Triangulation over the rectangle fixtures, verified through its
+    # invariants: ear-clipping a simple n-gon yields n-2 triangles (Euler),
+    # and the signed cross-product sum equals the shoelace area — for an
+    # axis-aligned CCW rectangle, exactly width x height.
+    sql["triangulate_areas"] = f"""
+        WITH geo AS (
+          SELECT doc_id AS k,
+                 'doc_' || lpad(doc_id::VARCHAR, 12, '0') || '#1' AS eid,
+                 round(({_g_lat}) - CAST(0.0006 AS DOUBLE), 7) AS lat_lo,
+                 round(({_g_lat}) + CAST(0.0006 AS DOUBLE), 7) AS lat_hi,
+                 round(({_g_lon}) - CAST(0.0009 AS DOUBLE), 7) AS lon_lo,
+                 round(({_g_lon}) + CAST(0.0009 AS DOUBLE), 7) AS lon_hi
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT eid, CAST(2 AS BIGINT) AS n_tris,
+               cast(floor(({PXE.format(lon="lon_hi")} - {PXE.format(lon="lon_lo")})
+                        * ({PZE.format(lat="lat_hi")} - {PZE.format(lat="lat_lo")})
+                        * 1000000.0 + 0.5) as bigint) AS area_u6
+        FROM geo
     """
 
     sql["centroid_area"] = """
