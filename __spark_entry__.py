@@ -11,11 +11,16 @@ same doubles), so the oracle comparison is bit-exact for integer outputs
 and round(6)-stable for floating aggregates.
 
 Queries without an oracle entry (the driver records a rows-only check) are
-the genuinely non-SQL-expressible ops: the full spatial self-join over
-interleaved documents, MinHash-LSH near-dup, sign-LSH/IVF ANN, multimodal
-feature plumbing, the cell encoders (S2/hex have no DuckDB analogue), and
-the iterative/Delaunay interpolators (kNN-elevation, LSQ, natural
-neighbor — pytest pins those against brute-force numpy oracles instead).
+the genuinely non-SQL-expressible ops — the cell encoders (the S2 Hilbert
+walk has no DuckDB analogue), the Sibson/Delaunay interpolator, and the
+iterative k-means IVF codebook; each is pinned by a brute-force numpy /
+golden-parquet pytest oracle instead. Everything else is hash-checked,
+including the distributed ops verified through equivalent closed forms:
+the spatial self-join's typed pair set over axis-aligned fixtures,
+MinHash-LSH under a portable md5 hash family, sign-LSH ANN with inlined
+hyperplane literals, LSQ elevation under the linear-precision property,
+triangulation via Euler/shoelace invariants, and the ring/coastline
+assemblers on closed-form synthetic relations.
 """
 
 from __future__ import annotations
@@ -1576,6 +1581,145 @@ def oracle_sql() -> dict[str, str]:
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
         QUALIFY row_number() OVER w <= 5
+    """
+
+    # Sign-LSH approximate top-k: the hyperplanes are pure-Python
+    # deterministic literals (splitmix hash of (seed, plane, dim)), so the
+    # oracle embeds the IDENTICAL doubles and rebuilds buckets, 1-bit
+    # multi-probe, candidates, and the exact rerank. dim=64 is fixed by
+    # the driver's embeddings tables (all sf).
+    from osm2world_spark.operators.similarity import _hyperplane as _hp
+
+    def _bucket_term(p: int) -> str:
+        comps = _hp(64, p, 42)
+        dotp = " + ".join(
+            f"(embedding[{d + 1}]::DOUBLE * CAST({comps[d]!r} AS DOUBLE))"
+            for d in range(64)
+        )
+        return f"(CASE WHEN ({dotp}) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+
+    _bucket_expr = " + ".join(_bucket_term(p) for p in range(12))
+    _flips = ", ".join(str(f) for f in [0] + [1 << p for p in range(12)])
+    _nrm2 = "sqrt(list_sum(list_transform(range(len({v}.embedding)), i -> {v}.embedding[i+1]::DOUBLE * {v}.embedding[i+1]::DOUBLE)))"
+    _dot2 = "list_sum(list_transform(range(len(qe.embedding)), i -> qe.embedding[i+1]::DOUBLE * ce.embedding[i+1]::DOUBLE))"
+    sql["lsh_cosine_topk"] = f"""
+        WITH b AS (
+          SELECT vec_id, {_bucket_expr} AS bucket FROM embeddings
+        ), qp AS (
+          SELECT b.vec_id AS q_id, xor(b.bucket, CAST(f.flip AS BIGINT)) AS bucket
+          FROM b, unnest([{_flips}]) AS f(flip)
+          WHERE b.vec_id < 20
+        ), cand AS (
+          SELECT DISTINCT qp.q_id, c.vec_id AS n_id
+          FROM qp JOIN b c ON qp.bucket = c.bucket
+          WHERE qp.q_id != c.vec_id
+        ), scored AS (
+          SELECT cand.q_id, cand.n_id,
+                 round({_dot2} / ({_nrm2.format(v='qe')} * {_nrm2.format(v='ce')}), 6) AS cos_sim
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.q_id
+          JOIN embeddings ce ON ce.vec_id = cand.n_id
+        )
+        SELECT q_id, cast(row_number() OVER w AS int) AS rank, n_id, cos_sim
+        FROM scored
+        WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
+        QUALIFY row_number() OVER w <= 5
+    """
+
+    # Ring assembly over the synthetic relations (outer square split into
+    # two fragments + a closed hole): the stitch order, CCW/CW
+    # normalization, and to_json coordinate formatting are deterministic,
+    # so the oracle constructs the exact geom JSON strings from rel
+    # arithmetic (all coordinates are whole numbers -> 'N.0').
+    def _ring_json(offs: list[tuple[int, int]]) -> str:
+        parts = []
+        for dx, dz in offs:
+            parts.append(f"CAST(cx + ({dx}) AS INT)::VARCHAR || '.0'")
+            parts.append(f"CAST(cz + ({dz}) AS INT)::VARCHAR || '.0'")
+        return " || ',' || ".join(parts)
+
+    _outer_j = _ring_json([(10, 10), (-10, 10), (-10, -10), (10, -10), (10, 10)])
+    _hole_j = _ring_json([(-2, -2), (-2, 2), (2, 2), (2, -2), (-2, -2)])
+    sql["assemble_rings"] = f"""
+        WITH r AS (
+          SELECT i AS rel, (i * 137) % 1000 AS cx, (i * 59) % 1000 AS cz
+          FROM unnest(generate_series(0, 199)) AS t(i)
+        )
+        SELECT rel::VARCHAR AS rel_id, CAST(0 AS INT) AS area_idx,
+               'ok' AS status, CAST(1 AS INT) AS n_holes,
+               '[[' || {_outer_j} || '],[' || {_hole_j} || ']]' AS geom
+        FROM r
+    """
+
+    # Coastline water assembly: the tile-crossing coastline stitches with
+    # the clockwise bbox walk into ONE water ring holding everything below
+    # the tent-shaped coast; the island square is a hole of it iff all
+    # four corners pass the even-odd raycast against that ring. Every
+    # arithmetic step mirrors the kernel's op tree (entry/exit nodes via
+    # _seg_intersection, xint via contains_points_multi) so boundary ties
+    # resolve identically.
+    def _cw_inside(px: str, pz: str) -> str:
+        e1 = (
+            f"(CASE WHEN ((zin > {pz}) <> (apex > {pz})) "
+            f"AND ({px} < ((500.0 - 0.0) * (({pz}) - zin) / (apex - zin) + 0.0)) THEN 1 ELSE 0 END)"
+        )
+        e2 = (
+            f"(CASE WHEN ((apex > {pz}) <> (zout > {pz})) "
+            f"AND ({px} < ((1000.0 - 500.0) * (({pz}) - apex) / (zout - apex) + 500.0)) THEN 1 ELSE 0 END)"
+        )
+        e3 = f"(CASE WHEN ((zout > {pz}) AND NOT (0.0 > {pz})) AND ({px} < 1000.0) THEN 1 ELSE 0 END)"
+        return f"(({e1} + {e2} + {e3}) % 2 = 1)"
+
+    _corners = " AND ".join(
+        _cw_inside(px, pz)
+        for px in ("ix", "(ix + 40.0)")
+        for pz in ("iz", "(iz + 40.0)")
+    )
+    sql["coastline_water"] = f"""
+        WITH g AS (
+          SELECT i AS gid,
+                 CAST((i * 37) % 800 + 100 AS DOUBLE) AS cz,
+                 CAST((i * 53) % 600 + 200 AS DOUBLE) AS ix,
+                 CAST((i * 29) % 600 + 200 AS DOUBLE) AS iz
+          FROM unnest(generate_series(0, 149)) AS t(i)
+        ), w AS (
+          SELECT gid, ix, iz,
+                 ((cz * 550.0 - (-50.0 * 30.0)) / 550000.0) * 1000.0 AS zin,
+                 1000.0 + (((cz + 30.0 - 1000.0) * 550.0 - (-500.0 * -30.0)) / -550000.0) * -1000.0 AS zout,
+                 cz + 30.0 AS apex
+          FROM g
+        ), c AS (
+          SELECT gid, ({_corners}) AS contained FROM w
+        )
+        SELECT gid::VARCHAR AS rel_id, CAST(0 AS INT) AS area_idx, 'ok' AS status,
+               CAST(CASE WHEN contained THEN 1 ELSE 0 END AS INT) AS n_holes
+        FROM c
+        UNION ALL
+        SELECT gid::VARCHAR, CAST(1 AS INT), 'ok', CAST(0 AS INT) FROM c WHERE NOT contained
+    """
+
+    # Embedding near-dup pairs on the sign-LSH path: same inlined
+    # hyperplane buckets; probed side a, plain side b, a_id < b_id,
+    # distinct, exact cosine >= 0.4 after round(6).
+    sql["near_dups_lsh"] = f"""
+        WITH b AS (
+          SELECT vec_id, {_bucket_expr} AS bucket FROM embeddings
+        ), probed AS (
+          SELECT b.vec_id, xor(b.bucket, CAST(f.flip AS BIGINT)) AS bucket
+          FROM b, unnest([{_flips}]) AS f(flip)
+        ), cand AS (
+          SELECT DISTINCT probed.vec_id AS a_id, c.vec_id AS b_id
+          FROM probed JOIN b c ON probed.bucket = c.bucket
+          WHERE probed.vec_id < c.vec_id
+        ), scored AS (
+          SELECT cand.a_id, cand.b_id,
+                 round({_dot2.replace('qe', 'ae').replace('ce', 'be')}
+                       / ({_nrm2.format(v='ae')} * {_nrm2.format(v='be')}), 6) AS cos_sim
+          FROM cand
+          JOIN embeddings ae ON ae.vec_id = cand.a_id
+          JOIN embeddings be ON be.vec_id = cand.b_id
+        )
+        SELECT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= CAST(0.4 AS DOUBLE)
     """
 
     # MetricMapProjection constants for Origin(48.56687, 13.45127)

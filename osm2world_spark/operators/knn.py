@@ -83,33 +83,49 @@ def knn_join(
     )
     # once the disk covers the sites' full extent there is nothing further
     # out: settle every remaining query (the reference leaves this as
-    # "TODO error handling (not enough sites)", :205)
-    ext = sites_p.agg(
-        F.min("s_x"), F.max("s_x"), F.min("s_z"), F.max("s_z"), F.count("*")
-    ).first()
-    if ext[0] is None:
-        return queries.sparkSession.createDataFrame(
-            [], "q_id string, rank int, s_id string, dist double" + (", y double" if has_y else "")
+    # "TODO error handling (not enough sites)", :205). Both sides' extents
+    # and counts come from ONE job — a union with conditional aggregates —
+    # instead of two separate .first() scans.
+    ext = (
+        sites_p.select(
+            F.col("s_x").alias("px"), F.col("s_z").alias("pz"), F.lit(True).alias("site")
         )
-    qext = queries.agg(F.min("x"), F.max("x"), F.min("z"), F.max("z")).first()
-    if qext[0] is None:
+        .unionByName(
+            remaining.select(
+                F.col("q_x").alias("px"), F.col("q_z").alias("pz"), F.lit(False).alias("site")
+            )
+        )
+        .agg(
+            F.min(F.when(F.col("site"), F.col("px"))).alias("s_minx"),
+            F.max(F.when(F.col("site"), F.col("px"))).alias("s_maxx"),
+            F.min(F.when(F.col("site"), F.col("pz"))).alias("s_minz"),
+            F.max(F.when(F.col("site"), F.col("pz"))).alias("s_maxz"),
+            F.count(F.when(F.col("site"), F.lit(1))).alias("n_sites"),
+            F.count(F.when(~F.col("site"), F.lit(1))).alias("n_queries"),
+            F.min("px").alias("minx"),
+            F.max("px").alias("maxx"),
+            F.min("pz").alias("minz"),
+            F.max("pz").alias("maxz"),
+        )
+        .first()
+    )
+    if ext["n_sites"] == 0 or ext["n_queries"] == 0:
         return queries.sparkSession.createDataFrame(
             [], "q_id string, rank int, s_id string, dist double" + (", y double" if has_y else "")
         )
     import math
 
-    span = max(
-        max(ext[1], qext[1]) - min(ext[0], qext[0]),
-        max(ext[3], qext[3]) - min(ext[2], qext[2]),
-    )
+    span = max(ext["maxx"] - ext["minx"], ext["maxz"] - ext["minz"])
     r_cover = int(math.ceil(span / cell_size)) + 2
 
     # density-seeded initial radius: the expected kth-neighbor distance is
     # ~sqrt(k / (pi * density)); starting there skips rounds that cannot
     # settle anything (each round costs a join + window + barrier). The
     # settlement proof is unchanged, so results stay exact.
-    n_sites = ext[4]
-    area = max((ext[1] - ext[0]) * (ext[3] - ext[2]), 1e-9)
+    n_sites = ext["n_sites"]
+    area = max(
+        (ext["s_maxx"] - ext["s_minx"]) * (ext["s_maxz"] - ext["s_minz"]), 1e-9
+    )
     density = max(n_sites / area, 1e-12)
     r_seed = int(math.ceil(math.sqrt(k / (math.pi * density)) / cell_size))
     dist_expr = F.sqrt(
@@ -122,6 +138,7 @@ def knn_join(
     r = min(max(1, r_seed), max(1, r_cover))
     rounds = 0
     settled_all = False
+    n_rem = None
     while rounds < max_rounds and r < r_cover:
         rounds += 1
         qcx, qcz = _cell_of(F.col("q_x"), F.col("q_z"), cell_size)
@@ -135,11 +152,17 @@ def knn_join(
         cand = q_cells.join(sites_p, "s_cell").select(
             "q_id", "q_x", "q_z", *s_cols
         )
+        # ONE action per round: the join+window is lazily checkpointed and
+        # materialized by the remainder count below (the anti-join needs
+        # all of `ranked`), which also materializes the new remainder.
+        # done/settled are then cheap re-derivations from the checkpointed
+        # ranked rows — no per-round eager serialization of the full
+        # remainder, no separate isEmpty job.
         ranked = (
             cand.withColumn("dist", dist_expr)
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-        )
+        ).localCheckpoint(eager=False)
         # settle queries whose kth distance is covered by the processed disk
         stats = ranked.groupBy("q_id").agg(
             F.count("*").alias("n"), F.max("dist").alias("kth")
@@ -147,11 +170,16 @@ def knn_join(
         settled = stats.where(
             (F.col("n") >= k) & (F.col("kth") <= r * cell_size)
         ).select("q_id")
+        new_remaining = (
+            remaining.join(settled, "q_id", "left_anti")
+            .select("q_id", "q_x", "q_z")
+            .localCheckpoint(eager=False)
+        )
+        n_rem = new_remaining.count()
         done = ranked.join(settled, "q_id", "left_semi").select(*out_cols)
-        done = done.localCheckpoint(eager=True)  # cut the iterative lineage
         results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(settled, "q_id", "left_anti").localCheckpoint(eager=True)
-        if remaining.isEmpty():
+        remaining = new_remaining
+        if n_rem == 0:
             settled_all = True
             break
         r = min(r * 2, r_cover)
@@ -165,7 +193,8 @@ def knn_join(
         # broadcasting the smaller side: stragglers are few by
         # construction, or sites are few (sparse grid), so one side is
         # always broadcastable.
-        n_rem = remaining.count()
+        if n_rem is None:  # loop never ran (tiny extent): count once here
+            n_rem = remaining.count()
         if n_rem > 0:
             if n_sites <= n_rem:
                 tail_cand = remaining.crossJoin(F.broadcast(sites_p.drop("s_cell")))
