@@ -1138,6 +1138,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dups_lsh"] = near_dups_lsh
 
+    # --- elevation post-pass: SimpleEleConstraintEnforcer closed form
+    # (SimpleEleConstraintEnforcer.java:147-183 via EleConnector.connectsTo
+    # :81-85). Connectors synthesized from lineitem: quantized positions
+    # give ~30 connectors per exact (x, z), whole-number elevations keep
+    # every window average order-independent (exact double sums).
+    def ele_constraints(spark, sf_dir):
+        from osm2world_spark.operators.elevation import enforce_simple
+
+        li = _t(spark, sf_dir, "lineitem")
+        conns = li.select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+            .cast("string")
+            .alias("conn_id"),
+            ((F.col("l_orderkey") * 7) % 50).cast("double").alias("x"),
+            ((F.col("l_partkey") * 11) % 40).cast("double").alias("z"),
+            F.when(
+                F.col("l_linenumber") % 3 == 0,
+                F.concat(F.lit("w"), (F.col("l_suppkey") % 5).cast("string")),
+            ).alias("ref"),
+            F.when(F.col("l_linenumber") % 5 == 0, F.lit("ABOVE"))
+            .when(F.col("l_linenumber") % 5 == 1, F.lit("BELOW"))
+            .otherwise(F.lit("ON"))
+            .alias("ground_state"),
+            F.when(
+                F.col("l_linenumber") % 7 != 0, F.col("l_quantity").cast("double")
+            ).alias("ele"),
+        )
+        out = enforce_simple(conns)
+        return out.select(
+            "conn_id", "ground_state", F.round("ele", 6).alias("ele")
+        )
+
+    q["ele_constraints"] = ele_constraints
+
+    # --- EleCalculator config dispatch (O2WConfig.java:373-378): the two
+    # tag calculators over synthesized node/owner tag maps, incl. the OSM
+    # decimal parse (ValueParseUtil.java:87-134) on good, signed, garbage
+    # and empty strings. Fractions are <=3 digits so round(6) absorbs any
+    # pow() ULP skew between engines.
+    def ele_calculator(spark, sf_dir):
+        from osm2world_spark.operators.elevation import calculate_elevations
+
+        o = _t(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        ele_str = (
+            F.when(k % 6 == 0, (k % 500).cast("string"))
+            .when(
+                k % 6 == 1,
+                F.concat((k % 100).cast("string"), F.lit("."), (k % 999).cast("string")),
+            )
+            .when(
+                k % 6 == 2,
+                F.concat(F.lit("-"), (k % 80).cast("string"), F.lit("."), (k % 99).cast("string")),
+            )
+            .when(k % 6 == 3, F.lit("high"))
+            .when(k % 6 == 4, F.lit(""))
+        )
+        conns = o.select(
+            k.cast("string").alias("conn_id"),
+            (k % 30).cast("double").alias("x"),
+            (k % 17).cast("double").alias("z"),
+            F.when(k % 6 < 5, F.lit("n")).alias("ref"),
+            F.lit("ON").alias("ground_state"),
+            (k % 90).cast("double").alias("ele"),
+            F.when(k % 6 < 5, F.create_map(F.lit("ele"), ele_str)).alias("ref_tags"),
+            F.when(k % 4 == 0, F.create_map(F.lit("bridge"), F.lit("yes")))
+            .when(k % 4 == 1, F.create_map(F.lit("bridge"), F.lit("no")))
+            .when(k % 4 == 2, F.create_map(F.lit("tunnel"), F.lit("culvert")))
+            .otherwise(F.create_map().cast("map<string,string>"))
+            .alias("owner_tags"),
+        )
+        tag = calculate_elevations(conns, "EleTagEleCalculator").select(
+            "conn_id", F.lit("ele_tag").alias("calc"), F.round("ele", 6).alias("ele")
+        )
+        bt = calculate_elevations(conns, "BridgeTunnelEleCalculator").select(
+            "conn_id", F.lit("bridge_tunnel").alias("calc"), F.round("ele", 6).alias("ele")
+        )
+        return tag.unionByName(bt)
+
+    q["ele_calculator"] = ele_calculator
+
     return q
 
 
@@ -2067,6 +2148,98 @@ def oracle_sql() -> dict[str, str]:
     sql["collect_sorted"] = """
         SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
         FROM events GROUP BY user_id
+    """
+
+    # SimpleEleConstraintEnforcer closed form: ref cliques with an ON
+    # member merge into the per-position ON pool; stiff sets (size >= 2)
+    # take the null-skipping average (0.0 when all null); ABOVE/BELOW
+    # offsets apply to every non-null elevation. Elevations are whole
+    # numbers, so window sums are exact regardless of accumulation order.
+    sql["ele_constraints"] = """
+        WITH c AS (
+          SELECT CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS conn_id,
+                 CAST((l_orderkey * 7) % 50 AS DOUBLE) AS x,
+                 CAST((l_partkey * 11) % 40 AS DOUBLE) AS z,
+                 CASE WHEN l_linenumber % 3 = 0
+                      THEN 'w' || CAST(l_suppkey % 5 AS VARCHAR) END AS ref,
+                 CASE l_linenumber % 5 WHEN 0 THEN 'ABOVE' WHEN 1 THEN 'BELOW'
+                      ELSE 'ON' END AS ground_state,
+                 CASE WHEN l_linenumber % 7 != 0
+                      THEN CAST(l_quantity AS DOUBLE) END AS ele
+          FROM lineitem
+        ), r AS (
+          SELECT *, max(CASE WHEN ground_state = 'ON' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY x, z, ref) AS has_on
+          FROM c
+        ), k AS (
+          SELECT *, CASE WHEN ref IS NOT NULL AND has_on = 1 THEN 'P'
+                         WHEN ref IS NOT NULL THEN 'R:' || ref
+                         WHEN ground_state = 'ON' THEN 'P'
+                         ELSE 'S:' || conn_id END AS comp
+          FROM r
+        ), w AS (
+          SELECT conn_id, ground_state, ele,
+                 count(*) OVER (PARTITION BY x, z, comp) AS n,
+                 count(ele) OVER (PARTITION BY x, z, comp) AS n_ele,
+                 avg(ele) OVER (PARTITION BY x, z, comp) AS avg_ele
+          FROM k
+        )
+        SELECT conn_id, ground_state,
+               round(CASE WHEN n >= 2
+                          THEN CASE WHEN n_ele > 0 THEN avg_ele ELSE 0.0 END
+                          ELSE ele END
+                     + CASE ground_state WHEN 'ABOVE' THEN 5.0
+                            WHEN 'BELOW' THEN -5.0 ELSE 0.0 END, 6) AS ele
+        FROM w
+    """
+
+    # EleCalculator dispatch: node-tag OSM-decimal parse (int path, else
+    # ^(-?\d+)\.(\d+)$ with int-parsed groups) wins over owner bridge/
+    # tunnel offsets; terrain elevation is the final fallback.
+    _dec_before = r"try_cast(regexp_extract(es, '^(-?\d+)\.(\d+)$', 1) AS INTEGER)"
+    _dec_after_s = r"regexp_extract(es, '^(-?\d+)\.(\d+)$', 2)"
+    _parse = f"""
+        COALESCE(
+          CASE WHEN regexp_matches(es, '^[+-]?\\d+$')
+               THEN CAST(try_cast(es AS INTEGER) AS DOUBLE) END,
+          CASE WHEN regexp_matches(es, '^-?\\d+\\.\\d+$')
+                AND {_dec_before} IS NOT NULL
+                AND try_cast({_dec_after_s} AS INTEGER) IS NOT NULL
+               THEN (CASE WHEN es LIKE '-%' THEN -1.0 ELSE 1.0 END)
+                    * (CAST(abs({_dec_before}) AS DOUBLE)
+                       + CAST(try_cast({_dec_after_s} AS INTEGER) AS DOUBLE)
+                         * power(10.0, -length({_dec_after_s})))
+          END)
+    """
+    sql["ele_calculator"] = f"""
+        WITH c AS (
+          SELECT CAST(o_orderkey AS VARCHAR) AS conn_id,
+                 CASE o_orderkey % 6
+                      WHEN 0 THEN CAST(o_orderkey % 500 AS VARCHAR)
+                      WHEN 1 THEN CAST(o_orderkey % 100 AS VARCHAR) || '.'
+                                  || CAST(o_orderkey % 999 AS VARCHAR)
+                      WHEN 2 THEN '-' || CAST(o_orderkey % 80 AS VARCHAR) || '.'
+                                  || CAST(o_orderkey % 99 AS VARCHAR)
+                      WHEN 3 THEN 'high'
+                      WHEN 4 THEN '' END AS es,
+                 (o_orderkey % 6) < 5 AS has_node,
+                 o_orderkey % 4 AS om,
+                 CAST(o_orderkey % 90 AS DOUBLE) AS terrain
+          FROM orders
+        ), p AS (
+          SELECT conn_id, has_node, om, terrain,
+                 CASE WHEN has_node THEN {_parse} END AS node_ele,
+                 CASE WHEN om = 0 THEN terrain + 0.1
+                      WHEN om = 2 THEN terrain + 0.0 END AS bt_owner
+          FROM c
+        )
+        SELECT conn_id, 'ele_tag' AS calc,
+               round(COALESCE(node_ele, terrain), 6) AS ele
+        FROM p
+        UNION ALL
+        SELECT conn_id, 'bridge_tunnel' AS calc,
+               round(COALESCE(bt_owner, terrain), 6) AS ele
+        FROM p
     """
 
     return sql

@@ -1,0 +1,193 @@
+"""Elevation post-pass: EleCalculator dispatch + constraint enforcement.
+
+Reference semantics (tordanik/OSM2World):
+- config dispatch `eleCalculator()`: conversion/O2WConfig.java:373-378 —
+  NoOpEleCalculator | EleTagEleCalculator | ConstraintEleCalculator(
+  SimpleEleConstraintEnforcer) | default BridgeTunnelEleCalculator.
+- connector graph: map_elevation/data/EleConnector.java:81-85 — two
+  connectors connect iff same pos AND (same non-null reference OR both
+  groundState==ON).
+- SimpleEleConstraintEnforcer (map_elevation/creation/
+  SimpleEleConstraintEnforcer.java):
+  * addConnectors pairs every connecting pair into a "stiff set"
+    (union-find merge, :30-120); sets therefore have >=2 members, and a
+    connector in no set is untouched by averaging.
+  * enforceConstraints (:147-183): each stiff set takes the average of
+    its members' non-null elevations (`orElse(0.0)` when all null) and
+    assigns it to every member; then EVERY connector with a non-null
+    elevation gets groundState adjustment ABOVE -> +5, BELOW -> -5.
+- TagEleCalculator (map_elevation/creation/TagEleCalculator.java:19-45):
+  per connector, try the reference node's tags first, then the owning
+  object's tags; only overwrite when the calculator yields non-null.
+  * EleTagEleCalculator: parseOsmDecimal(tags["ele"])
+    (util/ValueParseUtil.java:87-134 — int parse, else ^(-?\\d+)\\.(\\d+)$
+    with int-parsed groups).
+  * BridgeTunnelEleCalculator (:10-36): bridge -> terrain + 0.1,
+    tunnel -> terrain + 0.0; isBridge = has "bridge" != "no"
+    (world/modules/BridgeModule.java:53-56), isTunnel = has "tunnel"
+    not in ("no", "building_passage") (TunnelModule.java:45-49).
+
+Spark-first shape — the whole pass is Column algebra, no UDF:
+every edge requires exact pos equality, so no stiff set ever spans two
+positions. Within one position the connection structure has a closed
+form: all ON connectors are mutually connected (one "pool"); each
+non-null reference is a clique; a reference clique containing at least
+one ON member merges into the pool. That turns the union-find into two
+window functions sharing one hash exchange:
+  1. partitionBy(pos, ref):   does this reference clique touch the pool?
+  2. partitionBy(pos, comp):  set size + average elevation per component
+Pre-repartitioning on the position key lets Catalyst satisfy both
+windows' clustering requirements from the SAME exchange (hash(pos)
+clusters every superset key), so the enforcer is one shuffle at any
+scale, and
+component cardinality ~= row cardinality (no skew: a component is
+bounded by the connectors at one exact position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: SimpleEleConstraintEnforcer.java:175-179
+ABOVE_OFFSET = 5.0
+BELOW_OFFSET = -5.0
+
+#: BridgeTunnelEleCalculator.java:21-22
+BRIDGE_OFFSET = 0.1
+TUNNEL_OFFSET = 0.0
+
+_DEC = r"^(-?\d+)\.(\d+)$"  # ValueParseUtil.DEC_POINT_PATTERN :35
+
+
+def parse_osm_decimal(col: Column) -> Column:
+    """OSM decimal parse (ValueParseUtil.parseOsmDecimal :87-134):
+    Integer.parseInt first (int32 range, optional sign), else the
+    decimal-point pattern with both groups int-parsed (so overlong
+    fraction digits overflow to null, like the reference)."""
+    as_int = F.when(col.rlike(r"^[+-]?\d+$"), col.try_cast("int"))
+    before = F.regexp_extract(col, _DEC, 1).try_cast("int")
+    after = F.regexp_extract(col, _DEC, 2)
+    after_i = after.try_cast("int")
+    dec_val = F.when(
+        col.rlike(_DEC) & before.isNotNull() & after_i.isNotNull(),
+        F.when(F.regexp_extract(col, _DEC, 1).startswith("-"), F.lit(-1.0))
+        .otherwise(F.lit(1.0))
+        * (
+            F.abs(before).cast("double")
+            + after_i.cast("double") * F.pow(F.lit(10.0), -F.length(after))
+        ),
+    )
+    return F.coalesce(as_int.cast("double"), dec_val)
+
+
+def is_bridge(tags: Column) -> Column:
+    """BridgeModule.isBridge(TagSet) :53-56."""
+    v = F.element_at(tags, "bridge")
+    return v.isNotNull() & (v != "no")
+
+
+def is_tunnel(tags: Column) -> Column:
+    """TunnelModule.isTunnel(TagSet) :45-49."""
+    v = F.element_at(tags, "tunnel")
+    return v.isNotNull() & (v != "no") & (v != "building_passage")
+
+
+def enforce_simple(connectors: DataFrame) -> DataFrame:
+    """SimpleEleConstraintEnforcer as one-shuffle window algebra.
+
+    Input columns: conn_id, x, z, ref (nullable string), ground_state
+    ('ON' | 'ABOVE' | 'BELOW'), ele (nullable double, terrain-interpolated).
+    Output: same rows with `ele` replaced by the enforced elevation.
+
+    Component closed form at one (x, z):
+      ref != null & its clique has an ON member -> pool component
+      ref != null (no ON member in clique)      -> that reference clique
+      ref == null & ON                          -> pool component
+      ref == null & not ON                      -> singleton (edge-free)
+    Stiff sets are components of size >= 2 (requireSameEle only fires for
+    pairs, :40-44); singletons keep their elevation. Averaging ignores
+    null elevations and falls back to 0.0 (:155-158); the ABOVE/BELOW
+    offset then applies to every non-null elevation (:168-179).
+    """
+    # one string position key instead of the raw (x, z) doubles: Spark
+    # wraps float window keys in normalizenanandzero(), which defeats
+    # exchange reuse (the repartition output no longer matches the
+    # window's required clustering). `+ 0.0` folds -0.0 into +0.0 first,
+    # matching VectorXZ equality; double->string is round-trip exact.
+    df = connectors.withColumn(
+        "_pos",
+        F.concat_ws(
+            ",",
+            (F.col("x") + F.lit(0.0)).cast("string"),
+            (F.col("z") + F.lit(0.0)).cast("string"),
+        ),
+    ).repartition("_pos")
+
+    on = F.col("ground_state") == "ON"
+    w_ref = Window.partitionBy("_pos", "ref")
+    ref_has_on = F.max(F.when(on, F.lit(1)).otherwise(F.lit(0))).over(w_ref)
+
+    df = df.withColumn(
+        "_comp",
+        F.when(F.col("ref").isNotNull() & (ref_has_on == 1), F.lit("P"))
+        .when(F.col("ref").isNotNull(), F.concat(F.lit("R:"), F.col("ref")))
+        .when(on, F.lit("P"))
+        .otherwise(F.concat(F.lit("S:"), F.col("conn_id"))),
+    )
+
+    w_comp = Window.partitionBy("_pos", "_comp")
+    n = F.count(F.lit(1)).over(w_comp)
+    n_ele = F.count("ele").over(w_comp)  # count skips nulls
+    avg_ele = F.avg("ele").over(w_comp)  # avg skips nulls
+    stiff_ele = F.when(n_ele > 0, avg_ele).otherwise(F.lit(0.0))
+    new_ele = F.when(n >= 2, stiff_ele).otherwise(F.col("ele"))
+    adjusted = F.when(
+        new_ele.isNotNull(),
+        new_ele
+        + F.when(F.col("ground_state") == "ABOVE", F.lit(ABOVE_OFFSET))
+        .when(F.col("ground_state") == "BELOW", F.lit(BELOW_OFFSET))
+        .otherwise(F.lit(0.0)),
+    )
+    return df.withColumn("ele", adjusted).drop("_comp", "_pos")
+
+
+def _tag_ele(calculator: str, tags: Column, terrain: Column) -> Column:
+    """getEleForTags for the two tag calculators; null = "tags don't
+    define the elevation" (TagEleCalculator.java:47-53)."""
+    if calculator == "EleTagEleCalculator":
+        return parse_osm_decimal(F.element_at(tags, "ele"))
+    # BridgeTunnelEleCalculator.java:24-35
+    return (
+        F.when(is_bridge(tags), terrain + F.lit(BRIDGE_OFFSET))
+        .when(is_tunnel(tags), terrain + F.lit(TUNNEL_OFFSET))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def calculate_elevations(
+    connectors: DataFrame, calculator: str = "BridgeTunnelEleCalculator"
+) -> DataFrame:
+    """Config-dispatched elevation calculator (O2WConfig.eleCalculator()
+    :373-378; unknown names fall through to BridgeTunnelEleCalculator
+    like the reference's `default ->` arm).
+
+    Tag calculators additionally read `ref_tags` (the reference node's
+    tags; null when the connector's reference is not a node) and
+    `owner_tags` (the owning world object's element tags), both
+    map<string,string>. Node tags win when they yield a value
+    (TagEleCalculator.java:27-39).
+    """
+    if calculator == "NoOpEleCalculator":
+        return connectors
+    if calculator == "ConstraintEleCalculator":
+        return enforce_simple(connectors)
+
+    terrain = F.col("ele")
+    from_node = F.when(
+        F.col("ref_tags").isNotNull(), _tag_ele(calculator, F.col("ref_tags"), terrain)
+    )
+    from_owner = _tag_ele(calculator, F.col("owner_tags"), terrain)
+    return connectors.withColumn(
+        "ele", F.coalesce(from_node, from_owner, terrain)
+    )
