@@ -74,6 +74,44 @@ def partition_spec() -> dict:
     }
 
 
+def write_bucketed_stage(
+    df: DataFrame, table: str, path: str, n_buckets: int = 64
+) -> None:
+    """Materialize a stage under the FULL partition_spec() — both
+    dimensions exercised, not just declared: identity(tile_z12) via
+    partitionBy and bucket(n, doc_id) via Spark bucketBy on an external
+    parquet table (the catalog records the bucketing, the files live at
+    `path`). On the cluster this is the Iceberg CREATE TABLE ...
+    PARTITIONED BY (tile_z12, bucket(64, doc_id)); the Spark-bucketed
+    parquet stand-in has the same read-side behavior:
+
+    - a tile predicate prunes partitions (PartitionFilters in the scan),
+    - a doc_id equality prunes buckets (SelectedBucketsCount n_selected
+      out of n_buckets in the scan — 1/64th of the tile's files read),
+    - a join or aggregation keyed on doc_id reuses the bucketing as a
+      pre-existing hash distribution (no exchange on the stage side).
+
+    sortBy(doc_id) additionally makes each bucket file range-readable,
+    the stand-in for Iceberg's metadata min/max skipping on doc_id.
+    """
+    (
+        df.write.format("parquet")
+        .partitionBy("tile_z12")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def read_stage_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog-backed read of a bucketed stage: going through the table
+    (not the bare parquet path) is what lets the optimizer see the bucket
+    spec for pruning and exchange elision."""
+    return spark.table(table)
+
+
 def _tile_z12_col():
     return T.pack_tile(
         F.lit(GOLDEN_ZOOM),
