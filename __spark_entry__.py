@@ -1219,6 +1219,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ele_calculator"] = ele_calculator
 
+    # --- REAL media decode path: deterministic gradient PNGs are encoded
+    # AND decoded with the stdlib-zlib codec (functions/png.py) inside
+    # the Arrow-batched kernel; block sums are recovered exactly from the
+    # float32 features (sum <= 4080, error << 0.5), so the oracle is
+    # closed-form integer arithmetic over the pixel grid.
+    def media_decode(spark, sf_dir):
+        from osm2world_spark.operators.multimodal import (
+            extract_features,
+            synthetic_png_media,
+        )
+
+        keys = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+        media = synthetic_png_media(keys, "o_orderkey", size=16)
+        feats = extract_features(media, real_codecs=True)
+        return feats.select(
+            "doc_id", F.posexplode("feature").alias("cell", "f")
+        ).select(
+            "doc_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(F.col("f") * 4080).cast("bigint").alias("lum_sum"),
+        )
+
+    q["media_decode"] = media_decode
+
     return q
 
 
@@ -2240,6 +2264,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT conn_id, 'bridge_tunnel' AS calc,
                round(COALESCE(bt_owner, terrain), 6) AS ele
         FROM p
+    """
+
+    # Real PNG decode: pixel (y, x) of key k's gradient image is
+    # (y*16 + x + k) % 256; feature cell (i, j) = mean over the 4x4 block
+    # / 255. The Spark side recovers the exact integer block sum from the
+    # float32 feature, so both sides reduce to this closed form.
+    sql["media_decode"] = """
+        WITH keys AS (
+          SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 50 = 0
+        ), px AS (
+          SELECT k, (y // 4) * 4 + (x // 4) AS cell,
+                 (y * 16 + x + k) % 256 AS v
+          FROM keys,
+               unnest(generate_series(0, 15)) AS ty(y),
+               unnest(generate_series(0, 15)) AS tx(x)
+        )
+        SELECT CAST(k AS VARCHAR) AS doc_id, CAST(cell AS INT) AS cell,
+               CAST(sum(v) AS BIGINT) AS lum_sum
+        FROM px GROUP BY 1, 2
     """
 
     return sql

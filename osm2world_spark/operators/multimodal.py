@@ -2,11 +2,14 @@
 
 Media payloads are opaque `binary` columns + typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over `mapInPandas`. The actual codecs are NOT available in this
-environment, so the decode step is a clearly marked deterministic stub
-(`_fake_decode`) — the Spark-side plumbing (schemas, batch shapes,
-partitioning, UDF signatures) is real and tested; swapping in a real
-decoder is a one-function change.
+over `mapInPandas`. The image decode path is REAL for PNG
+(`extract_features(real_codecs=True)` -> functions/png.py, a pure
+stdlib-zlib codec — no PIL/libav in this sandbox): actual pixels are
+reconstructed through the PNG scanline filters and reduced to a 4x4
+block-luminance feature grid. Other media types (jpeg/audio/video)
+would dispatch to their codecs at the same one-function seam; the
+deterministic hash stub (`_fake_decode`) remains for synthetic payloads
+that are not image bytes.
 """
 
 from __future__ import annotations
@@ -67,23 +70,70 @@ def media_table(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-pixels from the payload hash.
-    Replace with PIL/libav decode in production — NotImplementedError path
-    kept explicit for the real-codec branch."""
+    """STUB decoder: deterministic pseudo-pixels from the payload bytes,
+    for synthetic payloads that are not real media. The real-codec branch
+    (`real_codecs=True`) decodes actual PNG bytes instead."""
     h = np.frombuffer(payload.ljust(16, b"\0")[:16], dtype=np.uint8).astype(np.float32)
     return h / 255.0
+
+
+def synthetic_png_media(keys: DataFrame, key_col: str, size: int = 16) -> DataFrame:
+    """One REAL PNG per key: a deterministic gradient image
+    img[y, x] = (y*size + x + key) % 256, encoded with the stdlib codec.
+    Gives the real-codec path a driver-checkable fixture whose decoded
+    block statistics have a closed form (pixel values are pure integer
+    arithmetic in the key)."""
+    from osm2world_spark.functions.png import encode_png
+
+    base = keys.select(F.col(key_col).cast("bigint").alias("k"))
+
+    def gen(batches):
+        ramp = np.arange(size * size, dtype=np.int64).reshape(size, size)
+        for pdf in batches:
+            ks = pdf["k"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(k) for k in ks],
+                    "span_idx": np.zeros(len(ks), np.int32),
+                    "media_ref": [str(k) for k in ks],
+                    "media_type": ["image"] * len(ks),
+                    "payload": [
+                        encode_png(((ramp + int(k)) % 256).astype(np.uint8))
+                        for k in ks
+                    ],
+                    "width": np.full(len(ks), size, np.int32),
+                    "height": np.full(len(ks), size, np.int32),
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _png_decode_features(payload: bytes) -> np.ndarray:
+    """REAL decode path: payload is a PNG (stdlib-zlib codec,
+    functions/png.py); features are the 4x4 block mean-luminance grid.
+    Non-PNG media types would dispatch to their codecs here."""
+    from osm2world_spark.functions.png import block_mean_features, decode_png
+
+    return block_mean_features(decode_png(payload), grid=4)
 
 
 def extract_features(media: DataFrame, real_codecs: bool = False) -> DataFrame:
     """media rows -> 16-dim feature vectors via Arrow batches. The batch
     shape (one numpy matrix per Arrow batch) is what a real image encoder
-    consumes; only the decode is stubbed."""
-    if real_codecs:
-        raise NotImplementedError("image/audio codecs are not available in this environment")
+    consumes.
+
+    real_codecs=True decodes payloads as PNG with the pure-stdlib codec
+    (zlib scanline filters in numpy) — a genuinely decoded image path,
+    exercising the exact schema/batching a PIL/libav decoder would use.
+    real_codecs=False keeps the deterministic hash stub for synthetic
+    payloads that are not real image bytes (e.g. media_table's
+    utf8-of-media_ref placeholders)."""
+    decode = _png_decode_features if real_codecs else _fake_decode
 
     def kernel(batches):
         for pdf in batches:
-            feats = np.stack([_fake_decode(p) for p in pdf["payload"]]) if len(pdf) else np.zeros((0, 16), np.float32)
+            feats = np.stack([decode(p) for p in pdf["payload"]]) if len(pdf) else np.zeros((0, 16), np.float32)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

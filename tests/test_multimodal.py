@@ -1,0 +1,120 @@
+"""Multimodal media path: the pure-stdlib PNG codec (functions/png.py)
+and the REAL decode branch of extract_features — generated image bytes
+round-trip through Spark's Arrow-batched kernel to the expected
+block-luminance features."""
+
+import numpy as np
+import pytest
+
+from osm2world_spark.functions.png import (
+    block_mean_features,
+    decode_png,
+    encode_png,
+)
+
+
+def _img(h, w, c=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("c", [None, 2, 3, 4])
+def test_png_roundtrip(c):
+    img = _img(13, 17, c, seed=c or 7)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_png_all_decode_filters():
+    """Hand-build IDAT rows with every filter type (1=Sub, 2=Up,
+    3=Average, 4=Paeth) and check reconstruction against a straight
+    per-pixel reference implementation."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    h, w, ch = 6, 9, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+    # reference filterers (PNG spec definitions)
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+    rows = []
+    for y in range(h):
+        f = [0, 1, 2, 3, 4, 1][y]
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        filt = np.empty(w * ch, np.int32)
+        for i in range(w * ch):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            filt[i] = (cur[i] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_block_mean_features():
+    img = np.zeros((8, 8), np.uint8)
+    img[:4, :4] = 255  # top-left quadrant white
+    f = block_mean_features(img, grid=2)
+    assert f.shape == (4,)
+    assert f[0] == pytest.approx(1.0)
+    assert f[1] == f[2] == f[3] == 0.0
+
+
+def test_extract_features_real_codecs_through_spark(spark):
+    """End-to-end: encode real PNGs, ship them through the Arrow-batched
+    mapInPandas kernel with real_codecs=True, and match the locally
+    computed block-luminance features bit-for-bit (float32)."""
+    from osm2world_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = []
+    want = {}
+    for i in range(20):
+        img = _img(16 + i, 24 + i, 3 if i % 2 else None, seed=i)
+        payload = encode_png(img)
+        ref = f"m{i}"
+        rows.append((f"d{i}", i, ref, "image", bytearray(payload), img.shape[1], img.shape[0]))
+        want[ref] = block_mean_features(img, grid=4)
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_ref"]: np.array(r["feature"], np.float32)
+        for r in extract_features(media, real_codecs=True).collect()
+    }
+    assert set(got) == set(want)
+    for ref in want:
+        assert np.array_equal(got[ref], want[ref]), ref
