@@ -1243,6 +1243,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode"] = media_decode
 
+    # --- road-network fixtures: zigzag/straight chains synthesized from
+    # orders (node identity = exact position, like MapNode). Chain c has
+    # up to 6 segments; even chains zigzag (bisector-branch connector
+    # cuts), odd chains are straight (equal-direction rightNormal branch).
+    def _network_segs(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        base = (
+            o.select(
+                (k % 200).alias("c"), F.expr("o_orderkey div 200 % 6").alias("i")
+            )
+            .distinct()
+        )
+        c, i = F.col("c"), F.col("i")
+        zig = (c % 2 == 0).cast("int")
+        return base.select(
+            F.concat(F.lit("c"), c, F.lit("_"), i).alias("seg_id"),
+            (c * 100 + i * 10).cast("double").alias("x1"),
+            ((c * 37) % 500 + (i % 2) * 7 * zig).cast("double").alias("z1"),
+            (c * 100 + (i + 1) * 10).cast("double").alias("x2"),
+            ((c * 37) % 500 + ((i + 1) % 2) * 7 * zig).cast("double").alias("z2"),
+            (2 + (c + i) % 3).cast("double").alias("width"),
+        )
+
+    # NetworkCalculator per-node dispatch classes (junction/connector/end)
+    def network_degrees(spark, sf_dir):
+        from osm2world_spark.operators.network import node_degrees
+
+        segs = _network_segs(spark, sf_dir)
+        return node_degrees(segs).select(
+            "node", F.col("degree").cast("int").alias("degree"), "kind"
+        )
+
+    q["network_degrees"] = network_degrees
+
+    # graph-shaped join: connected components of the positional node graph
+    def network_components(spark, sf_dir):
+        from osm2world_spark.operators.network import connected_components
+
+        segs = _network_segs(spark, sf_dir)
+        return connected_components(segs, max_rounds=20)
+
+    q["network_components"] = network_components
+
+    # connector bisector cut geometry (pure Column algebra path)
+    def network_connector_cuts(spark, sf_dir):
+        from osm2world_spark.operators.network import connector_cuts
+
+        segs = _network_segs(spark, sf_dir)
+        cuts = connector_cuts(segs)
+        return cuts.select(
+            "node",
+            "seg_id",
+            "side",
+            *[F.round(c, 6).alias(c) for c in ("left_x", "left_z", "right_x", "right_z", "cut_x", "cut_z")],
+        )
+
+    q["network_connector_cuts"] = network_connector_cuts
+
     return q
 
 
@@ -2283,6 +2342,122 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(k AS VARCHAR) AS doc_id, CAST(cell AS INT) AS cell,
                CAST(sum(v) AS BIGINT) AS lum_sum
         FROM px GROUP BY 1, 2
+    """
+
+    # Road-network fixture shared by the three network queries: zigzag /
+    # straight chains, positional node identity (exact-double string key,
+    # whole-number coordinates so both engines print 'N.0').
+    _net_segs = """
+        base AS (
+          SELECT DISTINCT o_orderkey % 200 AS c, (o_orderkey // 200) % 6 AS i
+          FROM orders
+        ), segs AS (
+          SELECT 'c' || CAST(c AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS seg_id,
+                 CAST(c * 100 + i * 10 AS DOUBLE) AS x1,
+                 CAST((c * 37) % 500
+                      + (i % 2) * 7 * (CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS z1,
+                 CAST(c * 100 + (i + 1) * 10 AS DOUBLE) AS x2,
+                 CAST((c * 37) % 500
+                      + ((i + 1) % 2) * 7 * (CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS z2,
+                 CAST(2 + (c + i) % 3 AS DOUBLE) AS width
+          FROM base
+        ), eps AS (
+          SELECT seg_id, width, inbound,
+                 CASE WHEN inbound THEN x2 ELSE x1 END AS nx,
+                 CASE WHEN inbound THEN z2 ELSE z1 END AS nz,
+                 CASE WHEN inbound THEN x1 ELSE x2 END - CASE WHEN inbound THEN x2 ELSE x1 END AS dx,
+                 CASE WHEN inbound THEN z1 ELSE z2 END - CASE WHEN inbound THEN z2 ELSE z1 END AS dz
+          FROM segs, unnest([false, true]) AS t(inbound)
+        ), eps2 AS (
+          SELECT seg_id, width, inbound, nx, nz,
+                 CAST(nx AS VARCHAR) || ',' || CAST(nz AS VARCHAR) AS node,
+                 dx / sqrt(dx * dx + dz * dz) AS ax,
+                 dz / sqrt(dx * dx + dz * dz) AS az,
+                 CASE WHEN dx = 0 AND dz = 0 THEN 0.0
+                      WHEN dx / sqrt(dx * dx + dz * dz) >= 0
+                      THEN acos(dz / sqrt(dx * dx + dz * dz))
+                      ELSE 2 * pi() - acos(dz / sqrt(dx * dx + dz * dz)) END AS angle
+          FROM eps
+        )
+    """
+
+    sql["network_degrees"] = f"""
+        WITH {_net_segs}
+        SELECT node, CAST(count(*) AS INT) AS degree,
+               CASE WHEN count(*) >= 3 THEN 'junction'
+                    WHEN count(*) = 2 THEN 'connector'
+                    ELSE 'end' END AS kind
+        FROM eps2 GROUP BY node
+    """
+
+    # connected components: min reachable node key (transitive closure is
+    # tiny — components are <= 7-node chains in this fixture)
+    sql["network_components"] = f"""
+        WITH RECURSIVE {_net_segs}, nodes AS (
+          SELECT DISTINCT node FROM eps2
+        ), edges AS (
+          SELECT a.node AS src, b.node AS dst
+          FROM eps2 a JOIN eps2 b USING (seg_id)
+          WHERE a.node != b.node
+        ), reach AS (
+          SELECT node, node AS lbl FROM nodes
+          UNION
+          SELECT e.src AS node, r.lbl FROM reach r JOIN edges e ON e.dst = r.node
+        )
+        SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """
+
+    # connector bisector cuts: the exact Column algebra of
+    # operators/network.connector_cuts mirrored term by term
+    sql["network_connector_cuts"] = f"""
+        WITH {_net_segs}, two AS (
+          SELECT *, count(*) OVER (PARTITION BY node) AS deg,
+                 row_number() OVER (PARTITION BY node ORDER BY angle, seg_id) AS rnk
+          FROM eps2
+        ), pair AS (
+          SELECT s1.node,
+                 s1.seg_id AS seg1, s1.inbound AS in1, s1.ax AS a1x, s1.az AS a1z,
+                 s1.width AS w1, s1.nx AS node_x, s1.nz AS node_z,
+                 s2.seg_id AS seg2, s2.inbound AS in2, s2.ax AS a2x, s2.az AS a2z,
+                 s2.width AS w2
+          FROM (SELECT * FROM two WHERE deg = 2 AND rnk = 1) s1
+          JOIN (SELECT * FROM two WHERE deg = 2 AND rnk = 2) s2 USING (node)
+        ), cutv AS (
+          SELECT *,
+                 CASE WHEN (-a1x = a2x AND -a1z = a2z) THEN a2z
+                      ELSE (a2x - (-a1x)) / sqrt((a2x - (-a1x)) * (a2x - (-a1x))
+                                               + (a2z - (-a1z)) * (a2z - (-a1z))) END AS c0x,
+                 CASE WHEN (-a1x = a2x AND -a1z = a2z) THEN -a2x
+                      ELSE (a2z - (-a1z)) / sqrt((a2x - (-a1x)) * (a2x - (-a1x))
+                                               + (a2z - (-a1z)) * (a2z - (-a1z))) END AS c0z
+          FROM pair
+        ), cut AS (
+          SELECT *,
+                 CASE WHEN ((-a1z) * c0x - (-a1x) * c0z) <= 0 THEN -c0x ELSE c0x END AS cx,
+                 CASE WHEN ((-a1z) * c0x - (-a1x) * c0z) <= 0 THEN -c0z ELSE c0z END AS cz
+          FROM cutv
+        ), rows_ AS (
+          SELECT node, seg1 AS seg_id,
+                 CASE WHEN in1 THEN 'end' ELSE 'start' END AS side,
+                 cx * (w1 * 0.5) * (CASE WHEN in1 THEN 1.0 ELSE -1.0 END) AS trx,
+                 cz * (w1 * 0.5) * (CASE WHEN in1 THEN 1.0 ELSE -1.0 END) AS trz,
+                 node_x, node_z, cx, cz
+          FROM cut
+          UNION ALL
+          SELECT node, seg2,
+                 CASE WHEN in2 THEN 'end' ELSE 'start' END,
+                 cx * (w2 * 0.5) * (CASE WHEN in2 THEN -1.0 ELSE 1.0 END),
+                 cz * (w2 * 0.5) * (CASE WHEN in2 THEN -1.0 ELSE 1.0 END),
+                 node_x, node_z, cx, cz
+          FROM cut
+        )
+        SELECT node, seg_id, side,
+               round(node_x - trx, 6) + 0.0 AS left_x, round(node_z - trz, 6) + 0.0 AS left_z,
+               round(node_x + trx, 6) + 0.0 AS right_x, round(node_z + trz, 6) + 0.0 AS right_z,
+               round(cx, 6) + 0.0 AS cut_x, round(cz, 6) + 0.0 AS cut_z
+        FROM rows_
     """
 
     return sql

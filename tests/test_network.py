@@ -1,0 +1,188 @@
+"""Network calculation (NetworkCalculator.java): node classes, connector
+bisector cuts, junction cut geometry on hand-checkable scenes, and
+connected components vs a brute union-find."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SEG_SCHEMA = "seg_id string, x1 double, z1 double, x2 double, z2 double, width double"
+
+
+def _segs(spark, rows):
+    return spark.createDataFrame(rows, SEG_SCHEMA)
+
+
+def test_node_degrees_and_kinds(spark):
+    from osm2world_spark.operators.network import node_degrees
+
+    # a 4-way cross at (0,0), one arm continuing to a dead end
+    segs = _segs(spark, [
+        ("n", 0.0, 0.0, 0.0, 10.0, 4.0),
+        ("s", 0.0, -10.0, 0.0, 0.0, 4.0),
+        ("e", 0.0, 0.0, 10.0, 0.0, 4.0),
+        ("w", -10.0, 0.0, 0.0, 0.0, 4.0),
+        ("n2", 0.0, 10.0, 0.0, 20.0, 4.0),
+    ])
+    got = {r["node"]: (r["degree"], r["kind"]) for r in node_degrees(segs).collect()}
+    assert got["0.0,0.0"] == (4, "junction")
+    assert got["0.0,10.0"] == (2, "connector")
+    assert got["0.0,20.0"] == (1, "end")
+    assert got["0.0,-10.0"] == (1, "end")
+
+
+def test_connector_cut_straight_line(spark):
+    """Two collinear segments: inVector == outVector -> cut vector is the
+    rightNormal, cut triple spans the width across the node."""
+    from osm2world_spark.operators.network import connector_cuts
+
+    segs = _segs(spark, [
+        ("a", 0.0, 0.0, 10.0, 0.0, 4.0),   # west arm, inbound at node
+        ("b", 10.0, 0.0, 20.0, 0.0, 4.0),  # east arm, outbound at node
+    ])
+    rows = {r["seg_id"]: r for r in connector_cuts(segs).where(F.col("node") == "10.0,0.0").collect()}
+    assert set(rows) == {"a", "b"}
+    # clockwise-from-+Z angle order at the node: away_b = (1,0) (pi/2)
+    # sorts before away_a = (-1,0) (3pi/2), so s1 = b, s2 = a. Then
+    # inVector = -away_b = (-1,0) == outVector = away_a -> cut =
+    # rightNormal((-1,0)) = (0,1); cross (-0)*0 - (-1)*1 > 0, no flip.
+    a = rows["a"]
+    assert a["side"] == "end"
+    assert (a["cut_x"], a["cut_z"]) == (0.0, 1.0)
+    # a is segment2, inbound -> sign -1: toRight = (0,-2);
+    # left = center - toRight
+    assert (a["left_x"], a["left_z"]) == (10.0, 2.0)
+    assert (a["right_x"], a["right_z"]) == (10.0, -2.0)
+    b = rows["b"]
+    assert b["side"] == "start"
+    # b is segment1, outbound -> sign -1: same toRight
+    assert (b["left_x"], b["left_z"]) == (10.0, 2.0)
+    assert (b["right_x"], b["right_z"]) == (10.0, -2.0)
+
+
+def test_connector_cut_right_angle_bisector(spark):
+    """An L-corner: the cut is the normalized bisector of the two
+    directions, pointing right of the inbound direction."""
+    from osm2world_spark.operators.network import connector_cuts
+
+    segs = _segs(spark, [
+        ("a", 0.0, 0.0, 10.0, 0.0, 2.0),    # +x into the corner
+        ("b", 10.0, 0.0, 10.0, 10.0, 2.0),  # +z out of the corner
+    ])
+    rows = {r["seg_id"]: r for r in connector_cuts(segs).collect()}
+    # angle ordering at (10,0): away_a = (-1,0) angle 3pi/2; away_b =
+    # (0,1) angle 0 -> s1 = b, s2 = a. inVector = -away_b = (0,-1),
+    # outVector = away_a = (-1,0). cut0 = normalize((-1,0) - (0,-1)) =
+    # (-1,1)/sqrt2. cross: ivz*cx - ivx*cz = (-1)(-1/sqrt2) > 0, no flip.
+    s = 1.0 / math.sqrt(2.0)
+    a = rows["a"]
+    assert a["cut_x"] == pytest.approx(-s)
+    assert a["cut_z"] == pytest.approx(s)
+    # a is segment2 (s2), inbound -> sign -1: toRight = cut * 1 * -1
+    assert a["left_x"] == pytest.approx(10.0 - s)
+    assert a["left_z"] == pytest.approx(0.0 + s)
+    b = rows["b"]
+    # b is segment1, outbound -> sign -1 as well
+    assert b["left_x"] == pytest.approx(10.0 - s)
+    assert b["left_z"] == pytest.approx(0.0 + s)
+
+
+def test_junction_symmetric_cross(spark):
+    """A symmetric 4-way cross of width-4 roads: every cut sits width/2
+    behind the node along its arm, interfaces span the width."""
+    from osm2world_spark.operators.network import junction_cuts
+
+    segs = _segs(spark, [
+        ("n", 0.0, 0.0, 0.0, 10.0, 4.0),
+        ("s", 0.0, -10.0, 0.0, 0.0, 4.0),
+        ("e", 0.0, 0.0, 10.0, 0.0, 4.0),
+        ("w", -10.0, 0.0, 0.0, 0.0, 4.0),
+    ])
+    rows = {r["seg_id"]: r for r in junction_cuts(segs).collect()}
+    assert len(rows) == 4
+    # neighbor-edge intersections of perpendicular width-4 roads sit at
+    # (+-2, +-2); each arm's cut point is the projection farthest back:
+    # 2 m along the arm away from the node
+    want = {
+        "n": (0.0, 2.0),
+        "s": (0.0, -2.0),
+        "e": (2.0, 0.0),
+        "w": (-2.0, 0.0),
+    }
+    for seg, (cx, cz) in want.items():
+        r = rows[seg]
+        assert r["cut_x"] == pytest.approx(cx), seg
+        assert r["cut_z"] == pytest.approx(cz), seg
+        # interface spans width 4 perpendicular to the arm
+        span = math.hypot(r["right_x"] - r["left_x"], r["right_z"] - r["left_z"])
+        assert span == pytest.approx(4.0), seg
+        # contact points are equidistant from the cut point
+        dl = math.hypot(r["left_x"] - cx, r["left_z"] - cz)
+        assert dl == pytest.approx(2.0), seg
+
+
+def test_junction_parallel_arms_skip_intersection(spark):
+    """A T-junction where two arms are collinear: their mutual edge
+    intersection is skipped (parallel threshold), cuts fall back to the
+    projections that exist."""
+    from osm2world_spark.operators.network import junction_cuts
+
+    segs = _segs(spark, [
+        ("w", -10.0, 0.0, 0.0, 0.0, 4.0),
+        ("e", 0.0, 0.0, 10.0, 0.0, 4.0),
+        ("n", 0.0, 0.0, 0.0, 10.0, 2.0),
+    ])
+    rows = {r["seg_id"]: r for r in junction_cuts(segs).collect()}
+    assert len(rows) == 3
+    # the north arm must be cut behind the edge of the E-W road (|z| = 2)
+    assert rows["n"]["cut_z"] == pytest.approx(2.0)
+    assert rows["n"]["cut_x"] == pytest.approx(0.0)
+    # east/west arms cut behind the north road's edge (|x| = 1)
+    assert abs(rows["e"]["cut_x"]) == pytest.approx(1.0)
+    assert abs(rows["w"]["cut_x"]) == pytest.approx(1.0)
+
+
+def test_connected_components_vs_union_find(spark):
+    from osm2world_spark.operators.network import connected_components
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    # 12 chains/cycles over a grid of integer nodes, plus isolated segs
+    nodes = [(float(i % 20), float(i // 20)) for i in range(80)]
+    for s in range(60):
+        i = rng.randrange(len(nodes))
+        j = (i + rng.choice([1, 2, 20])) % len(nodes)
+        rows.append((f"s{s}", *nodes[i], *nodes[j], 2.0))
+    segs = _segs(spark, rows)
+    got = {r["node"]: r["component"] for r in connected_components(segs, max_rounds=100).collect()}
+
+    # brute union-find over the same edges
+    parent = {}
+
+    def find(k):
+        parent.setdefault(k, k)
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    def key(x, z):
+        return f"{x},{z}"
+
+    for _, x1, z1, x2, z2, _w in rows:
+        a, b = find(key(x1, z1)), find(key(x2, z2))
+        if a != b:
+            parent[a] = b
+
+    comps = {}
+    for k in list(parent):
+        comps.setdefault(find(k), set()).add(k)
+    want = {}
+    for members in comps.values():
+        lbl = min(members)
+        for m in members:
+            want[m] = lbl
+    assert got == want
