@@ -59,6 +59,12 @@ PIP_POLYGONS = {
 }
 
 
+# the z12 tile bounding the bounded_view driver query (covers roughly the
+# SW half of the synthetic point cloud); both the Spark query and the
+# DuckDB oracle derive their predicate from this one tuple
+BOUNDED_VIEW_TILE = (12, 2200, 1414)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -290,6 +296,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tile_bounds"] = tile_bounds
+
+    # --- S5: bounded reader view — customer points limited to one z12
+    # tile (OSMDataReaderView semantics: bound -> WHERE -> scan pushdown,
+    # parse-once cache), then a per-z14-tile rollup of the bounded region
+    def bounded_view(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+        from osm2world_spark.sources.views import BoundedView
+
+        pts = _points(_t(spark, sf_dir, "customer"), "c_custkey")
+        view = BoundedView(pts, tile=BOUNDED_VIEW_TILE)
+        return (
+            view.data()
+            .select(
+                T.tile_x_at(F.col("lon"), 14).alias("tile_x"),
+                T.tile_y_at(F.col("lat"), 14).alias("tile_y"),
+                "key",
+            )
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n_points"), F.sum("key").alias("sum_key"))
+        )
+
+    q["bounded_view"] = bounded_view
 
     # --- P8/P9: point-in-polygon membership over the real ray-cast kernel
     def pip_membership(spark, sf_dir):
@@ -1337,6 +1365,20 @@ def oracle_sql() -> dict[str, str]:
     sql["tile_points_z14"] = f"""
         SELECT {tx} AS tile_x, {ty} AS tile_y, count(*) AS n_points
         FROM (SELECT {lat_o} AS lat, {lon_o} AS lon FROM orders)
+        GROUP BY 1, 2
+    """
+
+    # bounded_view: predicate literals come from the same tile_bounds()
+    # call the Spark query uses (repr round-trips doubles exactly)
+    from osm2world_spark.sources.views import tile_bounds as _tb
+
+    _b = _tb(*BOUNDED_VIEW_TILE)
+    sql["bounded_view"] = f"""
+        SELECT {tx} AS tile_x, {ty} AS tile_y,
+               count(*) AS n_points, CAST(sum(key) AS BIGINT) AS sum_key
+        FROM (SELECT c_custkey AS key, {lat_c} AS lat, {lon_c} AS lon FROM customer)
+        WHERE lat >= {_b[0]!r} AND lat < {_b[2]!r}
+          AND lon >= {_b[1]!r} AND lon < {_b[3]!r}
         GROUP BY 1, 2
     """
 

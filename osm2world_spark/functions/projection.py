@@ -208,7 +208,15 @@ def np_projection(name: str):
     """Config-dispatched projection factory, mirroring O2WConfig
     mapProjection (O2WConfig.java:465-470): the named class selects the
     implementation, anything else falls back to the metric default.
-    Returns the numpy forward (lat, lon, origin) -> (x, z)."""
-    if name in ("OrthographicAzimuthalMapProjection", "orthographic", "ortho"):
-        return np_ortho_to_xz
-    return np_to_xz
+    Returns the numpy forward (lat, lon, origin) -> (x, z).
+
+    Resolves through the strategy registry (registry.py) so user-registered
+    projections are reachable from the same config strings; unknown names
+    keep the reference's fall-back-to-metric-default behavior
+    (O2WConfig.java:465-470 default arm)."""
+    from ..registry import resolve
+
+    try:
+        return resolve("projection", name)
+    except ValueError:
+        return np_to_xz

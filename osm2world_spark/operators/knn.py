@@ -263,18 +263,9 @@ def interpolate(
     Bowyer-Watson Delaunay — operators/natural.py; pass cell_size/halo
     through kw for the grid-partitioned scale path).
     """
-    m = method.lower()
-    if m in ("leastsquares", "leastsquaresinterpolator"):
-        return lsq_interpolate(queries, sites)
-    if m in ("inversedistanceweighting", "idw", "inversedistanceweightinginterpolator"):
-        return idw_join(queries, sites, **kw)
-    if m in ("linear", "linearinterpolator", "linear29"):
-        return interpolate_29nn(queries, sites)
-    if m in ("naturalneighbor", "naturalneighborinterpolator", "sibson"):
-        from .natural import natural_neighbor_interpolate
+    from ..registry import resolve
 
-        return natural_neighbor_interpolate(queries, sites, **kw)
-    raise ValueError(f"unknown interpolator {method!r}")
+    return resolve("interpolator", method)(queries, sites, **kw)
 
 
 def lsq_interpolate(queries: DataFrame, sites: DataFrame) -> DataFrame:
