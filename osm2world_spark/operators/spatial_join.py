@@ -821,12 +821,12 @@ def _emit_group_pairs(pdf: pd.DataFrame, cell_size: float, salt_buckets: int,
         return
     ii, jj = ii[own], jj[own]
 
-    # canonical order: eid-ascending (diag pairs already are; code the
-    # survivor eids once for the off-diag swaps), then type rank
-    sub = np.concatenate([ii, jj])
-    _, codes = np.unique(eid[sub].astype(str), return_inverse=True)
-    ci, cj = codes[: len(ii)], codes[len(ii):]
-    swap_eid = ci > cj
+    # canonical order: eid-ascending (diag pairs already are; only the
+    # off-diag pairs can need a swap), then type rank. Fixed-width (<U)
+    # elementwise comparison is O(pairs) — the earlier unique+inverse-code
+    # pass paid an O(pairs log pairs) string argsort for the same answer.
+    eid_str = eid.astype(str)
+    swap_eid = eid_str[ii] > eid_str[jj]
     a = np.where(swap_eid, jj, ii)
     b = np.where(swap_eid, ii, jj)
     rank = pdf["etype"].map(_TYPE_RANK).to_numpy(np.int64)

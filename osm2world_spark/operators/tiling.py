@@ -63,28 +63,40 @@ def assign_tiles(elements: DataFrame, zooms: tuple[int, ...] = (GOLDEN_ZOOM, CEL
     for c in covers[1:]:
         cover = F.concat(cover, c)
 
-    out = elements.select(
+    # cell ids depend only on the element's bbox center, so compute the
+    # pandas-UDF encoders BEFORE the tile explode: one UDF row per element
+    # instead of one per (element x overlapped tile x zoom) — ~2-3x fewer
+    # Arrow rows through the Python workers on a multi-zoom cover
+    pre = elements.select(
         "doc_id",
         "span_idx",
         "element_type",
-        F.explode(cover).alias("t"),
+        "minlat", "minlon", "maxlat", "maxlon",
         ((F.col("minlat") + F.col("maxlat")) / 2).alias("_clat"),
         ((F.col("minlon") + F.col("maxlon")) / 2).alias("_clon"),
     )
-    cols = [
+    cell_cols = []
+    if with_cells:
+        pre = pre.withColumn("h3_r9", _hex_9_udf(F.col("_clat"), F.col("_clon"))).withColumn(
+            "s2_l13", _s2_13_udf(F.col("_clat"), F.col("_clon"))
+        )
+        cell_cols = ["h3_r9", "s2_l13"]
+    out = pre.select(
+        "doc_id",
+        "span_idx",
+        "element_type",
+        *cell_cols,
+        F.explode(cover).alias("t"),
+    )
+    return out.select(
         "doc_id",
         "span_idx",
         "element_type",
         F.col("t.zoom").alias("zoom"),
         F.col("t.x").alias("tile_x"),
         F.col("t.y").alias("tile_y"),
-    ]
-    if with_cells:
-        cols += [
-            _hex_9_udf(F.col("_clat"), F.col("_clon")).alias("h3_r9"),
-            _s2_13_udf(F.col("_clat"), F.col("_clon")).alias("s2_l13"),
-        ]
-    return out.select(*cols)
+        *cell_cols,
+    )
 
 
 def cell_cover(elements: DataFrame, zoom: int = CELL_ZOOM) -> DataFrame:
