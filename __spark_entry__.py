@@ -998,6 +998,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_near_dups"] = minhash_near_dups
 
+    def dedup_clusters(spark, sf_dir):
+        from osm2world_spark.operators.dedup import dedup_clusters as dc
+
+        # same portable hash family + parameters as minhash_near_dups, so
+        # the oracle's recursive closure runs over the identical pair list
+        d = _t(spark, sf_dir, "documents")
+        return dc(d, k=32, bands=8, threshold=0.2, portable=True)
+
+    q["dedup_clusters"] = dedup_clusters
+
     def lsh_cosine_topk(spark, sf_dir):
         from osm2world_spark.operators.similarity import lsh_cosine_topk as lct
 
@@ -1730,8 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         for s in range(32)
     )
     sig_list = "list_value(" + ", ".join(f"h{s}" for s in range(32)) + ")"
-    sql["minhash_near_dups"] = f"""
-        WITH sh AS (
+    mh_pairs_ctes = f"""sh AS (
           SELECT DISTINCT doc_id, unnest({shingle_list}) AS shingle FROM documents
         ), sigs AS (
           SELECT doc_id, {minh} FROM sh GROUP BY doc_id
@@ -1752,13 +1761,38 @@ def oracle_sql() -> dict[str, str]:
           JOIN sh sa ON sa.doc_id = c.a_id
           JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
           GROUP BY 1, 2
+        ), mh_pairs AS (
+          SELECT a_id, b_id,
+                 round(n_common / cast(sa.n_sh + sb.n_sh - n_common as double), 6) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE round(n_common / cast(sa.n_sh + sb.n_sh - n_common as double), 6) >= CAST(0.2 AS DOUBLE)
+        )"""
+    sql["minhash_near_dups"] = f"""
+        WITH {mh_pairs_ctes}
+        SELECT a_id, b_id, jaccard FROM mh_pairs
+    """
+
+    # Near-dup clusters: the same verified pair list closed transitively
+    # (recursive CTE — tractable at sf0.01's pair count), labeled by the
+    # min reachable doc id, singletons labeling themselves; mirrors the
+    # engine's min-label-propagation components over the pair edges.
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {mh_pairs_ctes}, edges AS (
+          SELECT a_id AS s, b_id AS d FROM mh_pairs
+          UNION
+          SELECT b_id, a_id FROM mh_pairs
+        ), reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
         )
-        SELECT a_id, b_id,
-               round(n_common / cast(sa.n_sh + sb.n_sh - n_common as double), 6) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = a_id
-        JOIN sizes sb ON sb.doc_id = b_id
-        WHERE round(n_common / cast(sa.n_sh + sb.n_sh - n_common as double), 6) >= CAST(0.2 AS DOUBLE)
+        SELECT doc.doc_id,
+               least(doc.doc_id, coalesce(min(r.d), doc.doc_id)) AS cluster_id,
+               least(doc.doc_id, coalesce(min(r.d), doc.doc_id)) = doc.doc_id AS is_canonical
+        FROM documents doc LEFT JOIN reach r ON r.s = doc.doc_id
+        GROUP BY doc.doc_id
     """
 
     sql["simhash"] = """

@@ -270,3 +270,46 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.lit(0).cast("bigint"),
     )
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 4096,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS with a canonical representative per cluster
+    — the keep/drop decision step of a training-data dedup pipeline (the
+    pair list alone can't drive deletion: transitively-linked dups a~b~c
+    must collapse to ONE survivor, not two independent pair picks).
+
+    MinHash-LSH verified pairs (minhash_near_dups) become an undirected
+    edge list; connected components by min-label propagation
+    (network.components_from_edges — O(diameter) rounds, each one
+    edge-list join + groupBy min, no driver-side graph) label every
+    document with the lexicographically smallest doc id reachable.
+    Documents with no near-dup are their own singleton cluster.
+
+    Output: (doc_id, cluster_id, is_canonical) — one row per input doc;
+    keep the is_canonical rows, drop the rest.
+    """
+    from .network import components_from_edges
+
+    pairs = minhash_near_dups(
+        docs, k, bands, threshold, n, text_col, id_col, max_bucket, portable
+    ).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    nodes = docs.select(F.col(id_col).alias("node"))
+    labels = components_from_edges(edges, nodes)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

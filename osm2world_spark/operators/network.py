@@ -316,12 +316,7 @@ def connected_components(
     segments: DataFrame, max_rounds: int = 30
 ) -> DataFrame:
     """(node, component) labels for the positional node graph: min-label
-    propagation to a fixpoint. Each round joins current labels to the
-    edge list, takes the min over neighbors + self, and stops when no
-    label changed (one count action per round on a lazily checkpointed
-    frame — the iterative-join shape Spark CC implementations use; label
-    count is monotonically non-increasing, rounds bounded by label-hop
-    diameter, max_rounds is a backstop for pathological chains)."""
+    propagation to a fixpoint over the segment-endpoint edge list."""
     eps = segment_endpoints(segments).select("seg_id", "node")
     edges = (
         eps.alias("a")
@@ -330,7 +325,26 @@ def connected_components(
         .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
         .distinct()
     )
-    labels = eps.select("node").distinct().withColumn("label", F.col("node"))
+    nodes = eps.select("node").distinct()
+    return components_from_edges(edges, nodes, max_rounds=max_rounds).withColumnRenamed(
+        "label", "component"
+    )
+
+
+def components_from_edges(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Generic connected components: (src, dst) edges + (node) universe ->
+    (node, label) where label = min node id reachable (nodes off the edge
+    list keep their own id — singleton components). Min-label propagation
+    to a fixpoint: each round joins current labels to the edge list, takes
+    the min over neighbors + self, and stops when no label changed (one
+    count action per round on a lazily checkpointed frame — the
+    iterative-join shape Spark CC implementations use; label count is
+    monotonically non-increasing, rounds bounded by label-hop diameter,
+    max_rounds is a backstop for pathological chains). Also the dedup
+    backbone: near-dup pair edges -> document clusters."""
+    labels = nodes.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -354,4 +368,4 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    return labels.withColumnRenamed("label", "component")
+    return labels

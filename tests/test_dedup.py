@@ -118,3 +118,32 @@ def test_ivf_codebook_deterministic_hash_sample(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, ivf_topk(e.where(F.col("vec_id").isin("1", "2", "3")), e, k=3, n_cells=4, n_probe=2).collect()))
     assert a == b
+
+
+def test_dedup_clusters_transitive_with_singletons(spark):
+    """a~b and b~c must collapse into ONE cluster with one canonical doc
+    even when a and c never share an LSH bucket pair directly; unrelated
+    docs stay singleton self-clusters."""
+    from osm2world_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    d = _docs(
+        spark,
+        [
+            ("a", base + " one"),
+            ("b", base + " two"),
+            ("c", base + " three"),
+            ("x", "completely unrelated text about spark shuffle partitions"),
+            ("y", "another standalone document with its own words entirely"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(d, k=16, bands=4, threshold=0.3).collect()}
+    assert len(out) == 5  # one row per input doc
+    # near-dup family collapses to the lexicographic min
+    assert out["a"]["cluster_id"] == out["b"]["cluster_id"] == out["c"]["cluster_id"] == "a"
+    assert out["a"]["is_canonical"] and not out["b"]["is_canonical"] and not out["c"]["is_canonical"]
+    # singletons label themselves and survive
+    for s in ("x", "y"):
+        assert out[s]["cluster_id"] == s and out[s]["is_canonical"]
+    # exactly one canonical row per cluster id
+    assert sum(r["is_canonical"] for r in out.values()) == 3

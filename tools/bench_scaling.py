@@ -40,7 +40,7 @@ SECONDARY = (2, 8)     # also reported
 DEFAULT_DOCS = 640000
 
 
-def run_bench(cpus: int, n_docs: int, sf_dir: str, queries: bool) -> dict:
+def run_bench(cpus: int, n_docs: int, sf_dir: str, queries: bool, reps: int | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -48,6 +48,11 @@ def run_bench(cpus: int, n_docs: int, sf_dir: str, queries: bool) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_FLAGSHIP_ONLY="" if queries else "1",
     )
+    if reps is not None:
+        # paired scaling trials use the SAME (smaller) rep count at both
+        # levels: the efficiency ratio only needs matched methodology, and
+        # 4 steady-state reps at local[1]x640k docs would cost ~35 min/run
+        env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -244,7 +249,7 @@ def main() -> None:
     if not report_only:
         for t in range(trials):
             for cpus in (lo, hi):
-                r = run_bench(cpus, n_docs, sf_dir, queries=False)
+                r = run_bench(cpus, n_docs, sf_dir, queries=False, reps=2)
                 record(cpus, r, n_docs)
                 print(
                     f"trial {t} local[{cpus}]: {r['value']} docs/sec "
