@@ -987,6 +987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cell_ids"] = cell_ids
 
+    def tileset_index(spark, sf_dir):
+        from osm2world_spark.operators.tiling import assign_tiles
+        from osm2world_spark.plans.tileset import tileset_index as tsi
+        from osm2world_spark.sources.documents import extract_elements
+
+        # S8 tileset sink's index view: z14 content tiles rolled up to
+        # their z12 roots with tight union bounds (TilesetOutput.java:38-120)
+        docs = _geo_docs_from_driver_documents(spark, sf_dir)
+        return tsi(assign_tiles(extract_elements(docs), with_cells=False))
+
+    q["tileset_index"] = tileset_index
+
     def minhash_near_dups(spark, sf_dir):
         from osm2world_spark.operators.dedup import minhash_near_dups as mnd
 
@@ -2082,6 +2094,54 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN b_in_a THEN ae WHEN a_in_b THEN be ELSE be END, 'area',
                CASE WHEN b_in_a OR a_in_b THEN 'CONTAIN' ELSE 'INTERSECT' END
         FROM aa0
+    """
+
+    # S8 tileset index: per-doc element lat/lon bboxes -> z14 tile cover ->
+    # per-child counts -> z12 roll-up with tight union bounds (slippy
+    # inverse-tile math, same formulas as the tile_bounds oracle).
+    _ts_lat = "degrees(atan((exp(pi() - 2*pi()*({y})/16384.0) - exp(-(pi() - 2*pi()*({y})/16384.0)))/2))"
+    sql["tileset_index"] = f"""
+        WITH geo AS (
+          SELECT doc_id AS k, doc_id % 3 AS m,
+                 round({_g_lat}, 7) AS lat, round({_g_lon}, 7) AS lon,
+                 round({_g_lat2}, 7) AS lat2, round({_g_lon2}, 7) AS lon2,
+                 round(({_g_lat}) - CAST(0.0006 AS DOUBLE), 7) AS lat_lo,
+                 round(({_g_lat}) + CAST(0.0006 AS DOUBLE), 7) AS lat_hi,
+                 round(({_g_lon}) - CAST(0.0009 AS DOUBLE), 7) AS lon_lo,
+                 round(({_g_lon}) + CAST(0.0009 AS DOUBLE), 7) AS lon_hi
+          FROM documents
+        ), boxes AS (
+          SELECT k,
+                 CASE m WHEN 0 THEN lat WHEN 1 THEN least(lat, lat2) ELSE lat_lo END AS minlat,
+                 CASE m WHEN 0 THEN lat WHEN 1 THEN greatest(lat, lat2) ELSE lat_hi END AS maxlat,
+                 CASE m WHEN 0 THEN lon WHEN 1 THEN least(lon, lon2) ELSE lon_lo END AS minlon,
+                 CASE m WHEN 0 THEN lon WHEN 1 THEN greatest(lon, lon2) ELSE lon_hi END AS maxlon
+          FROM geo
+        ), cover AS (
+          SELECT k, cast(t.x as int) AS x, cast(u.y as int) AS y
+          FROM (
+            SELECT k,
+                   {TX14.format(lon="minlon")} AS x0, {TX14.format(lon="maxlon")} AS x1,
+                   {TY14.format(lat="maxlat")} AS y0, {TY14.format(lat="minlat")} AS y1
+            FROM boxes
+          )
+          CROSS JOIN unnest(generate_series(x0, x1)) AS t(x)
+          CROSS JOIN unnest(generate_series(y0, y1)) AS u(y)
+        ), child AS (
+          SELECT x, y, count(*) AS n_elements FROM cover GROUP BY 1, 2
+        )
+        SELECT CAST(12 AS INT) AS zoom,
+               cast(floor(x / 4.0) as int) AS tile_x,
+               cast(floor(y / 4.0) as int) AS tile_y,
+               count(*) AS n_children,
+               sum(n_elements) AS n_elements,
+               round(min({_ts_lat.format(y="y + 1")}), 9) AS minlat,
+               round(min(x / 16384.0 * 360.0 - 180.0), 9) AS minlon,
+               round(max({_ts_lat.format(y="y")}), 9) AS maxlat,
+               round(max((x + 1) / 16384.0 * 360.0 - 180.0), 9) AS maxlon,
+               '12/' || cast(floor(x / 4.0) as int) || '/' || cast(floor(y / 4.0) as int) || '/tileset.json' AS content_uri
+        FROM child
+        GROUP BY 2, 3
     """
 
     # Triangulation over the rectangle fixtures, verified through its

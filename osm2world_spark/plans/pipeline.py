@@ -261,7 +261,13 @@ class TilePipeline:
         self._commit(stage, counts.select("tile_z12"), run_ts)
         return n_new
 
-    def run(self, docs: DataFrame, run_ts: str = "run0", with_overlaps: bool = True) -> dict:
+    def run(
+        self,
+        docs: DataFrame,
+        run_ts: str = "run0",
+        with_overlaps: bool = True,
+        with_tileset: bool = False,
+    ) -> dict:
         """Execute the pipeline; safe to re-run after a kill — committed
         tiles are skipped, partially written tiles are overwritten.
 
@@ -334,6 +340,23 @@ class TilePipeline:
                 F.concat_ws("#", a_key[0], a_key[1]) == F.col("a_prefix"),
             ).drop("a_prefix")
             report["overlaps"] = self._run_stage("overlaps", keyed, run_ts)
+
+        if with_tileset:
+            # S8 tileset layout sink: one JSON index doc per populated z12
+            # root over the z14 content tiles (TilesetOutput.java:38-120).
+            # Derived from this run's full tile assignments (cheap re-agg of
+            # the committed stage table keeps resume semantics simple: the
+            # index is rewritten whole, it is metadata, not per-tile data).
+            from .tileset import write_tileset
+
+            all_tiles = (
+                docs.sparkSession.read.parquet(os.path.join(self.out_dir, "tile_assignments"))
+                .select("zoom", "tile_x", "tile_y")
+            )
+            write_tileset(all_tiles, os.path.join(self.out_dir, "tileset"))
+            report["tileset_roots"] = (
+                docs.sparkSession.read.text(os.path.join(self.out_dir, "tileset")).count()
+            )
 
         elements.unpersist()
         return report
