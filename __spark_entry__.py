@@ -1020,6 +1020,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def decontaminate(spark, sf_dir):
+        from osm2world_spark.operators.dedup import decontaminate as dec
+
+        # probe corpus = the deterministic doc_id % 50 benchmark slice;
+        # flag_only surfaces the per-doc verdict for the oracle
+        d = _t(spark, sf_dir, "documents")
+        probes = d.where(F.col("doc_id") % 50 == 0)
+        return dec(d, probes, flag_only=True)
+
+    q["decontaminate"] = decontaminate
+
     def lsh_cosine_topk(spark, sf_dir):
         from osm2world_spark.operators.similarity import lsh_cosine_topk as lct
 
@@ -1784,6 +1795,22 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_near_dups"] = f"""
         WITH {mh_pairs_ctes}
         SELECT a_id, b_id, jaccard FROM mh_pairs
+    """
+
+    # Decontamination: a doc is contaminated iff it shares ANY word
+    # 3-gram with the probe slice (docs shorter than n tokens shingle to
+    # their whole text, mirrored by the shared fragment).
+    sql["decontaminate"] = f"""
+        WITH probe_sh AS (
+          SELECT DISTINCT unnest({shingle_list}) AS shingle
+          FROM documents WHERE doc_id % 50 = 0
+        ), doc_sh AS (
+          SELECT DISTINCT doc_id, unnest({shingle_list}) AS shingle FROM documents
+        ), hits AS (
+          SELECT DISTINCT doc_id FROM doc_sh JOIN probe_sh USING (shingle)
+        )
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
     """
 
     # Near-dup clusters: the same verified pair list closed transitively

@@ -313,3 +313,44 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+    flag_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: remove (or flag) training documents that
+    share any word n-gram with a probe/benchmark corpus — the standard
+    eval-contamination guard in a training-data pipeline.
+
+    Scale shape: both sides shingle to (id, shingle) pairs; the probe
+    shingle set is deduplicated and joined distinct-semi against the doc
+    shingles. The probe side is a benchmark suite (thousands of docs, not
+    billions), so Spark's planner broadcasts it under AQE size rules; the
+    corpus side streams through one hash join with no row blowup (semi
+    join emits each doc at most once per partition before the distinct).
+
+    flag_only=True returns every doc with an `is_contaminated` column;
+    default returns the clean subset of `docs` unchanged.
+    """
+    pt = probe_text_col or text_col
+    doc_sh = shingle_table(docs, text_col, id_col, n)
+    probe_sh = (
+        probes.select(F.explode(_shingles(pt, n)).alias("shingle")).distinct()
+    )
+    hit_ids = doc_sh.join(probe_sh, "shingle", "left_semi").select("doc_id").distinct()
+    if flag_only:
+        return docs.join(
+            hit_ids.withColumn("is_contaminated", F.lit(True)),
+            docs[id_col] == hit_ids["doc_id"],
+            "left",
+        ).select(
+            docs[id_col].alias(id_col),
+            F.coalesce(F.col("is_contaminated"), F.lit(False)).alias("is_contaminated"),
+        )
+    return docs.join(hit_ids, docs[id_col] == hit_ids["doc_id"], "left_anti")

@@ -147,3 +147,30 @@ def test_dedup_clusters_transitive_with_singletons(spark):
         assert out[s]["cluster_id"] == s and out[s]["is_canonical"]
     # exactly one canonical row per cluster id
     assert sum(r["is_canonical"] for r in out.values()) == 3
+
+
+def test_decontaminate_ngram_hits_and_clean_passthrough(spark):
+    """A doc sharing one 3-gram with a probe is removed; clean docs pass
+    through unchanged; short docs match on whole-text shingles."""
+    from osm2world_spark.operators.dedup import decontaminate
+
+    d = _docs(
+        spark,
+        [
+            ("t1", "the capital of france is paris obviously"),
+            ("t2", "nothing in common with any benchmark here"),
+            ("t3", "short text"),  # < 3 tokens -> whole-text shingle
+            ("t4", "short words"),
+        ],
+    )
+    probes = _docs(
+        spark,
+        [
+            ("b1", "what is the capital of france answer"),  # shares "capital of france"
+            ("b2", "short text"),
+        ],
+    )
+    clean = {r["doc_id"] for r in decontaminate(d, probes).collect()}
+    assert clean == {"t2", "t4"}
+    flags = {r["doc_id"]: r["is_contaminated"] for r in decontaminate(d, probes, flag_only=True).collect()}
+    assert flags == {"t1": True, "t2": False, "t3": True, "t4": False}
