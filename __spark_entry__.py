@@ -1031,6 +1031,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = decontaminate
 
+    def sample_split(spark, sf_dir):
+        from osm2world_spark.operators.packing import sample_split as ss
+
+        return ss(_t(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.05)
+
+    q["sample_split"] = sample_split
+
+    def pack_sequences(spark, sf_dir):
+        from osm2world_spark.operators.packing import pack_sequences as ps
+
+        return ps(_t(spark, sf_dir, "documents"), budget_tokens=256, n_buckets=8)
+
+    q["pack_sequences"] = pack_sequences
+
     def lsh_cosine_topk(spark, sf_dir):
         from osm2world_spark.operators.similarity import lsh_cosine_topk as lct
 
@@ -1811,6 +1825,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+    # Deterministic split + sequence packing: md5-prefix hash arithmetic
+    # and one window per hash bucket — both bit-exact across engines.
+    _u32 = "(('0x' || substr(md5({c}::VARCHAR), 1, 8))::BIGINT)"
+    sql["sample_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_u32.format(c="doc_id")} / 4294967296.0 < 0.1 THEN 'val'
+                    WHEN {_u32.format(c="doc_id")} / 4294967296.0 < 0.15 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    """
+    sql["pack_sequences"] = f"""
+        WITH sized AS (
+          SELECT doc_id,
+                 cast({_u32.format(c="doc_id")} % 8 as int) AS bucket,
+                 cast({ntok} as bigint) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               cast(floor((sum(n_tokens) OVER w - n_tokens) / 256.0) as bigint) AS bin_id,
+               n_tokens
+        FROM sized
+        WINDOW w AS (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
 
     # Near-dup clusters: the same verified pair list closed transitively

@@ -1,0 +1,86 @@
+"""Training-batch assembly operators: deterministic corpus splits and
+sequence packing — the last mile between a cleaned corpus and a
+pretraining data loader.
+
+Both are pure Column/window arithmetic (no UDFs) and deliberately use the
+md5-prefix hash (the engine's cross-engine-portable family, see
+dedup._hash60) so the driver oracle reproduces every assignment bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import token_count
+
+
+def _unit_hash(col) -> F.Column:
+    """Deterministic uniform [0, 1) from the md5 prefix of a column's
+    string form — stable across engines, seeds nothing."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(float(1 << 32))
+    )
+
+
+def sample_split(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, split in {train,val,test}): hash-of-id thresholding — the
+    standard leakage-safe split (membership depends only on the id, so
+    re-runs, corpus growth, and distributed execution can't reshuffle
+    membership the way sampling by position would)."""
+    u = _unit_hash(F.col(id_col))
+    split = (
+        F.when(u < val_frac, F.lit("val"))
+        .when(u < val_frac + test_frac, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(F.col(id_col), split.alias("split"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, bin_id, n_tokens): group documents into
+    ~budget_tokens bins (sequence packing for pretraining batches).
+
+    Scale shape: a GLOBAL first-fit pack is inherently sequential, so the
+    corpus is hash-bucketed first (each bucket ~1/n_buckets of the data —
+    size n_buckets so a bucket fits one task) and packed independently
+    per bucket with the next-fit rule: docs ordered by (n_tokens desc,
+    id), bin = floor(exclusive-prefix-sum / budget). One window over the
+    bucket partition — no global sort, no driver loop; bins can overflow
+    by at most one document (the standard streaming-pack tolerance).
+    """
+    n_tok = token_count(F.col(text_col))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(n_buckets),
+    ).cast("int")
+    sized = docs.select(
+        F.col(id_col), bucket.alias("bucket"), n_tok.cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("n_tokens").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sized.select(
+        id_col,
+        "bucket",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens))
+        .cast("bigint")
+        .alias("bin_id"),
+        "n_tokens",
+    )

@@ -1,0 +1,42 @@
+"""Split + sequence-packing operators: determinism, bin budgets, and
+membership stability under corpus growth."""
+
+from pyspark.sql import functions as F
+
+from osm2world_spark.operators.packing import pack_sequences, sample_split
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_sample_split_deterministic_and_stable(spark):
+    d = _docs(spark, [(f"d{i}", "x") for i in range(400)])
+    s1 = {r["doc_id"]: r["split"] for r in sample_split(d, 0.2, 0.1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in sample_split(d, 0.2, 0.1).collect()}
+    assert s1 == s2
+    # roughly the requested fractions (hash-uniform, 400 draws)
+    n = len(s1)
+    assert 0.10 < sum(v == "val" for v in s1.values()) / n < 0.30
+    assert 0.03 < sum(v == "test" for v in s1.values()) / n < 0.20
+    # membership is id-local: growing the corpus never reshuffles old docs
+    bigger = _docs(spark, [(f"d{i}", "x") for i in range(800)])
+    s3 = {r["doc_id"]: r["split"] for r in sample_split(bigger, 0.2, 0.1).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+
+
+def test_pack_sequences_budget_and_partition(spark):
+    rows = [(f"d{i}", " ".join(["tok"] * (10 + i % 90))) for i in range(300)]
+    d = _docs(spark, rows)
+    out = pack_sequences(d, budget_tokens=200, n_buckets=4).collect()
+    assert len(out) == 300  # every doc lands in exactly one bin
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r["bucket"], r["bin_id"]), []).append(r["n_tokens"])
+    for (_, _), toks in by_bin.items():
+        # next-fit rule: a bin's exclusive prefix stays under budget, so the
+        # total may overflow by at most its final (smallest-so-far) doc
+        assert sum(toks) - max(toks) < 200
+    # most bins are well-filled (packing, not one-doc-per-bin)
+    fills = [sum(t) for t in by_bin.values()]
+    assert sum(f >= 150 for f in fills) >= len(fills) * 0.6
