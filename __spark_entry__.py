@@ -1038,6 +1038,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_split"] = sample_split
 
+    def repetition_stats(spark, sf_dir):
+        from osm2world_spark.operators.text import repetition_stats as rs
+
+        return rs(_t(spark, sf_dir, "documents"))
+
+    q["repetition_stats"] = repetition_stats
+
     def pack_sequences(spark, sf_dir):
         from osm2world_spark.operators.packing import pack_sequences as ps
 
@@ -1825,6 +1832,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+    # Gopher-style repetition filters over word bigrams.
+    sql["repetition_stats"] = """
+        WITH bg AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(string_split(text, ' ')) - 1 >= 1 THEN
+              list_transform(range(len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+            ELSE [text] END) AS b
+          FROM documents
+        ), counts AS (
+          SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               cast(floor(max(n) / cast(sum(n) as double) * 1000000.0 + 0.5) as bigint) AS top_bigram_frac_u6,
+               cast(floor(count(*) / cast(sum(n) as double) * 1000000.0 + 0.5) as bigint) AS distinct_bigram_frac_u6,
+               cast(max(n) as bigint) AS top_bigram_n
+        FROM counts GROUP BY doc_id
     """
 
     # Deterministic split + sequence packing: md5-prefix hash arithmetic

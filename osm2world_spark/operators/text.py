@@ -106,3 +106,37 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     h = F.md5(F.col(text_col))
     fp60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
     return docs.select(F.col(id_col), h.alias("fp_md5"), fp60.alias("fp60"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition quality filters (the public Gopher-style rules): per doc,
+    the fraction of word bigrams occupied by the single most frequent
+    bigram (`top_bigram_frac_u6`), the fraction of distinct bigrams
+    (`distinct_bigram_frac_u6`), and the most frequent bigram's count
+    (`top_bigram_n`). Highly templated / looping documents score a high
+    top-bigram fraction and a low distinct fraction and get dropped by a
+    threshold filter downstream.
+
+    Scale shape: explode to (doc, bigram) -> ONE partial-aggregated
+    groupBy to (doc, bigram, n) -> ONE groupBy to per-doc stats. Both
+    aggregations map-side combine; nothing is quadratic in document count
+    or length. Pure Column arithmetic, ANSI-portable (split on single
+    spaces mirrors the oracle's string_split)."""
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - 1
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+    bg = docs.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        micro(F.max("n") / F.sum("n")).alias("top_bigram_frac_u6"),
+        micro(F.count("*") / F.sum("n")).alias("distinct_bigram_frac_u6"),
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+    )

@@ -40,3 +40,23 @@ def test_pack_sequences_budget_and_partition(spark):
     # most bins are well-filled (packing, not one-doc-per-bin)
     fills = [sum(t) for t in by_bin.values()]
     assert sum(f >= 150 for f in fills) >= len(fills) * 0.6
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from osm2world_spark.operators.text import repetition_stats
+
+    d = _docs(
+        spark,
+        [
+            ("loop", "spam ham " * 50 + "spam ham"),      # one bigram dominates
+            ("varied", " ".join(f"w{i}" for i in range(100))),  # all bigrams unique
+            ("tiny", "word"),                              # < 2 tokens
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    # 102 tokens -> 101 bigrams: "spam ham" 51x, "ham spam" 50x
+    assert out["loop"]["top_bigram_n"] == 51
+    assert out["loop"]["top_bigram_frac_u6"] == int(51 / 101 * 1e6 + 0.5)
+    assert out["varied"]["top_bigram_n"] == 1
+    assert out["varied"]["distinct_bigram_frac_u6"] == 1000000
+    assert out["tiny"]["top_bigram_n"] == 1 and out["tiny"]["top_bigram_frac_u6"] == 1000000
