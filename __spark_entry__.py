@@ -619,6 +619,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    # --- temporal: gap-based sessionization roll-up (one-shuffle window plan)
+    def sessionize_events(spark, sf_dir):
+        from osm2world_spark.operators.temporal import session_stats
+
+        return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30.0)
+
+    q["sessionize_events"] = sessionize_events
+
+    # --- temporal: as-of join — each click gets the most recent prior error
+    # value for the same user (union-and-window, O(|L|+|R|), one shuffle)
+    def asof_events(spark, sf_dir):
+        from osm2world_spark.operators.temporal import asof_join
+
+        e = _t(spark, sf_dir, "events")
+        clicks = e.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        # dedup right on (user_id, ts) so the latest-row choice is
+        # deterministic for both engines
+        errors = (
+            e.where(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("err_value"))
+        )
+        out = asof_join(clicks, errors, "user_id", "ts", ["err_value"])
+        return out.select(
+            "event_id", "user_id", F.round(F.col("err_value_asof"), 6).alias("err_value_asof")
+        )
+
+    q["asof_events"] = asof_events
+
     # --- A7: ordered collect per group
     def collect_sorted(spark, sf_dir):
         e = _t(spark, sf_dir, "events")
@@ -2454,6 +2485,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, date_trunc('hour', ts) AS hour,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    sql["sessionize_events"] = """
+        WITH marks AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM marks
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(max(epoch(ts)) - min(epoch(ts)), 6) AS span_sec,
+               round(sum(value), 6) AS sum_value
+        FROM sess GROUP BY 1, 2
+    """
+
+    sql["asof_events"] = """
+        SELECT l.event_id, l.user_id, round(r.err_value, 6) AS err_value_asof
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS err_value
+                        FROM events WHERE event_type = 'error'
+                        GROUP BY 1, 2) r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
     sql["collect_sorted"] = """

@@ -5,7 +5,7 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 The headline metric is documents tiled+joined per second: the flagship
 pipeline (interleaved docs -> elements -> z12/z14 tile assignment +
 typed-overlap spatial self-join) over the deterministic synthetic document
-table (size via $SPARK_GRAFT_BENCH_DOCS, default 40000).
+table (size via $SPARK_GRAFT_BENCH_DOCS, default 120000).
 
 Scaling protocol (BASELINE.md): run this same script at
 SPARK_GRAFT_CPUS=8 and =32 on identical input; efficiency =

@@ -1,0 +1,122 @@
+"""Temporal operators over the event stream: gap-based sessionization and
+an as-of (most-recent-prior) join.
+
+The reference engine is batch-spatial and has no event-time semantics
+(SURVEY.md §2.8); these are the engine's scale-path analytics for the
+`events` table — the temporal siblings of the spatial kNN/attach family
+(`nearest_attach` is the spatial as-of analog, operators/attach.py).
+
+Spark shape — both are pure window/join plans, no Python:
+
+- `sessionize`: one hash shuffle on the entity key; `lag` marks gap
+  breaks, a running `sum` over the same window numbers sessions. Two
+  window functions over ONE window spec → Catalyst plans a single
+  Exchange + Sort, then both windows run in the same physical Window
+  node. At 100 TB this is the minimal plan for sessionization: one
+  shuffle, no state blow-up (contrast a stateful stream, which needs
+  the same partitioning plus a state store).
+- `asof_join`: each left row matched to the latest right row with
+  `right.ts <= left.ts` within the entity key. Implemented as
+  union-and-window (tag both sides, one window ordered by (ts, tag)
+  carries the last right value forward) — one shuffle on the key,
+  linear in |L|+|R|, never builds the |L|×|R| range-join intermediate
+  a naive `ts_r <= ts_l` theta-join would. DuckDB's native ASOF JOIN
+  is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _epoch(col: F.Column) -> F.Column:
+    """Epoch seconds (with subsecond fraction) from a TIMESTAMP or
+    TIMESTAMP_NTZ column. NTZ cannot cast to double directly; going
+    through TIMESTAMP is exact because the engine pins
+    spark.sql.session.timeZone=UTC (session.py), so the wall-clock is
+    interpreted identically to DuckDB's naive epoch()."""
+    return col.cast("timestamp").cast("double")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign each event a per-key `session_id` (1-based, in time order):
+    a new session starts when the gap to the previous event of the same
+    key exceeds `gap_minutes`. Ties on ts are broken by event order within
+    the window sort (deterministic given unique ts per key)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_s = _epoch(F.col(ts_col)) - F.lag(_epoch(F.col(ts_col))).over(w)
+    is_new = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60.0), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn("session_id", F.sum(is_new).over(w))
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, session) roll-up: event count, span seconds, value sum.
+    The groupBy reuses the sessionize shuffle's partitioning (same key
+    prefix), so AQE coalesces rather than re-exchanging."""
+    s = sessionize(events, gap_minutes, key_col, ts_col)
+    return s.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.max(_epoch(F.col(ts_col))) - F.min(_epoch(F.col(ts_col))), 6
+        ).alias("span_sec"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the `value_cols` of the LATEST right row
+    with right.ts <= left.ts and the same key (null if none precedes).
+
+    Union-and-window: right rows are tagged 0, left rows 1; sorting by
+    (ts, tag) inside each key puts each right row before any same-instant
+    left row, and `last(value, ignorenulls=True)` carries the most recent
+    right values onto the left rows. One shuffle, O(|L|+|R|) — the plan a
+    range theta-join cannot give."""
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_asof_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c) if c in (key_col, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_asof_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_asof_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        *lcols,
+        F.col("_asof_tag"),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("_asof_tag") == 1).drop("_asof_tag")
