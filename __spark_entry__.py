@@ -1076,6 +1076,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = repetition_stats
 
+    def tfidf_terms(spark, sf_dir):
+        from osm2world_spark.operators.text import tfidf_top_terms
+
+        return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+    q["tfidf_terms"] = tfidf_terms
+
+    def stratified_sample(spark, sf_dir):
+        from osm2world_spark.operators.packing import stratified_sample as strat
+
+        out = strat(
+            _t(spark, sf_dir, "events"),
+            {"click": 0.5, "view": 0.1, "error": 1.0},
+        )
+        return out.select("event_id", "user_id", "event_type")
+
+    q["stratified_sample"] = stratified_sample
+
+    def events_quantiles(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return e.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.count("*").alias("n"),
+        )
+
+    q["events_quantiles"] = events_quantiles
+
     def pack_sequences(spark, sf_dir):
         from osm2world_spark.operators.packing import pack_sequences as ps
 
@@ -1887,6 +1916,41 @@ def oracle_sql() -> dict[str, str]:
     # Deterministic split + sequence packing: md5-prefix hash arithmetic
     # and one window per hash bucket — both bit-exact across engines.
     _u32 = "(('0x' || substr(md5({c}::VARCHAR), 1, 8))::BIGINT)"
+    sql["tfidf_terms"] = """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM terms WHERE term <> '' GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(floor(CAST(tf.tf AS DOUBLE) * (n.n_docs + 1.0)
+                              / (CAST(dfreq.df_t AS DOUBLE) + 1.0)
+                              * 1000000.0 + 0.5) AS BIGINT) AS score_u6
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, term, score_u6,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_u6 DESC, term ASC) AS INT) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term, score_u6, rk FROM ranked WHERE rk <= 3
+    """
+
+    sql["events_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """
+
     sql["sample_split"] = f"""
         SELECT doc_id,
                CASE WHEN {_u32.format(c="doc_id")} / 4294967296.0 < 0.1 THEN 'val'
@@ -1894,6 +1958,16 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'train' END AS split
         FROM documents
     """
+    sql["stratified_sample"] = f"""
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE {_u32.format(c="event_id")} / 4294967296.0 <
+              CASE event_type WHEN 'click' THEN 0.5
+                              WHEN 'view' THEN 0.1
+                              WHEN 'error' THEN 1.0
+                              ELSE 0.0 END
+    """
+
     sql["pack_sequences"] = f"""
         WITH sized AS (
           SELECT doc_id,

@@ -84,3 +84,25 @@ def pack_sequences(
         .alias("bin_id"),
         "n_tokens",
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "event_type",
+    id_col: str = "event_id",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the unit hash of
+    its id falls below its stratum's fraction. Unlike sampleBy, membership
+    is a pure function of the id — re-runs, added partitions, and engine
+    choice cannot change which rows are kept (the leakage-safe property
+    sample_split relies on), and the filter pushes down as an ordinary
+    predicate (no sampler node, no RNG state per partition)."""
+    u = _unit_hash(F.col(id_col))
+    thresh = None
+    for k, frac in sorted(fractions.items()):
+        cond = F.col(stratum_col) == k
+        thresh = F.when(cond, F.lit(frac)) if thresh is None else thresh.when(cond, F.lit(frac))
+    thresh = thresh.otherwise(F.lit(default_frac)) if thresh is not None else F.lit(default_frac)
+    return df.where(u < thresh)

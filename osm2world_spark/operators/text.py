@@ -140,3 +140,48 @@ def repetition_stats(
         micro(F.count("*") / F.sum("n")).alias("distinct_bigram_frac_u6"),
         F.max("n").cast("bigint").alias("top_bigram_n"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, term, score_u6, rk).
+
+    idf is the RATIONAL inverse document frequency (N + 1) / (df + 1)
+    rather than its logarithm: integer-ratio division and multiplication
+    are bit-identical IEEE ops in every engine, while ln() differs by ulps
+    between libm and the JVM — through the micro() fixed-point snap a
+    one-ulp drift could flip a floor boundary or a rank. Monotonicity per
+    term is the same, thresholds just live on a different scale.
+
+    Scale shape: explode -> (doc, term) count [shuffle 1, map-side
+    combine] -> term document-frequency [shuffle 2, vocabulary-sized] ->
+    hash join back (vocabulary can be huge at 100 TB; no forced
+    broadcast, AQE picks one when it fits) -> per-doc top-k window.
+    N comes from a 1-row aggregate cross-joined in, not a driver action."""
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            micro(
+                F.col("tf").cast("double")
+                * (F.col("n_docs") + 1.0)
+                / (F.col("df_t").cast("double") + 1.0)
+            ).alias("score_u6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u6").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
