@@ -650,6 +650,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_events"] = asof_events
 
+    # --- temporal: native session_window agg (the streaming-stateful
+    # sibling of sessionize_events; merge rule is diff < gap, so the
+    # exact-gap boundary splits — unlike sessionize's strictly-greater rule)
+    def session_windows(spark, sf_dir):
+        from osm2world_spark.streaming.ingest import stream_session_stats
+
+        return stream_session_stats(_t(spark, sf_dir, "events"), gap_minutes=30.0)
+
+    q["session_windows"] = session_windows
+
     # --- A7: ordered collect per group
     def collect_sorted(spark, sf_dir):
         e = _t(spark, sf_dir, "events")
@@ -2580,6 +2590,26 @@ def oracle_sql() -> dict[str, str]:
                round(max(epoch(ts)) - min(epoch(ts)), 6) AS span_sec,
                round(sum(value), 6) AS sum_value
         FROM sess GROUP BY 1, 2
+    """
+
+    sql["session_windows"] = """
+        WITH marks AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 1800 SECOND AS session_end,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sid
     """
 
     sql["asof_events"] = """

@@ -82,3 +82,56 @@ def stream_into_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str, max_files: int = 64) -> DataFrame:
+    """File-source event stream (new parquet files under `path`)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def stream_session_stats(
+    events_stream: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark_minutes: float = 60.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time sessionization as a streaming stateful aggregation:
+    watermark bounds state (sessions older than the watermark are
+    finalized and evicted — without it, per-key session state grows
+    forever), and `session_window` merges events whose gaps are under
+    `gap_minutes` into one growing window per key. The identical
+    expression runs in batch (same function, batch DataFrame in), which
+    is how the test pins stream/batch agreement. This is the
+    native-state sibling of the batch `operators/temporal.sessionize`
+    plan (lag + running sum), whose strictly-greater gap rule differs at
+    the exact-gap boundary from session_window's merge rule."""
+    win = F.session_window(F.col(ts_col), f"{gap_minutes * 60:.0f} seconds")
+    src = events_stream
+    if events_stream.isStreaming:
+        src = events_stream.withWatermark(ts_col, f"{watermark_minutes * 60:.0f} seconds")
+    return (
+        src.groupBy(F.col(key_col), win)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -104,3 +104,36 @@ def test_batch_pipeline_resume_unscoped(spark, tmp_path):
     assert r1["tile_assignments"] > 0
     assert r2["tile_assignments"] == 0  # everything already committed
     assert n1 == n2
+
+
+def test_stream_session_stats_matches_batch(spark, tmp_path):
+    from osm2world_spark.streaming.ingest import stream_events, stream_session_stats
+
+    src = str(tmp_path / "events")
+    # two appends -> two source files, so sessions span micro-batch input files
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out = stream_session_stats(stream_events(spark, src), gap_minutes=30.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n_events, sum_value FROM sess"
+        ).collect()
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in stream_session_stats(
+            spark.read.parquet(src), gap_minutes=30.0
+        ).collect()
+    )
+    assert got == want and len(got) > 0
