@@ -1454,6 +1454,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["network_connector_cuts"] = network_connector_cuts
 
+    # BFS hop distances from the network's end nodes (degree 1) — the
+    # Pregel-shaped frontier iteration over the positional node graph
+    def network_hops(spark, sf_dir):
+        from osm2world_spark.operators.network import (
+            node_degrees,
+            segment_hop_distances,
+        )
+
+        segs = _network_segs(spark, sf_dir)
+        seeds = node_degrees(segs).where(F.col("kind") == "end").select("node")
+        return segment_hop_distances(segs, seeds, max_hops=8)
+
+    q["network_hops"] = network_hops
+
     return q
 
 
@@ -2801,6 +2815,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.src AS node, r.lbl FROM reach r JOIN edges e ON e.dst = r.node
         )
         SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """
+
+    sql["network_hops"] = f"""
+        WITH RECURSIVE {_net_segs}, edges AS (
+          SELECT a.node AS src, b.node AS dst
+          FROM eps2 a JOIN eps2 b USING (seg_id)
+          WHERE a.node != b.node
+        ), deg AS (
+          SELECT node, count(*) AS d FROM eps2 GROUP BY node
+        ), seeds AS (
+          SELECT node FROM deg WHERE d = 1
+        ), r AS (
+          SELECT node, 0 AS hops FROM seeds
+          UNION
+          SELECT e.dst AS node, r.hops + 1 AS hops
+          FROM r JOIN edges e ON e.src = r.node WHERE r.hops < 8
+        )
+        SELECT node, CAST(min(hops) AS INT) AS hops FROM r GROUP BY node
     """
 
     # connector bisector cuts: the exact Column algebra of

@@ -369,3 +369,50 @@ def components_from_edges(
         if changed == 0:
             break
     return labels
+
+
+def hop_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Multi-source BFS over (src, dst) edges: (node, hops) = minimum hop
+    count from any seed node, nodes beyond `max_hops` omitted.
+
+    Frontier iteration, the Pregel shape in DataFrame form: each round
+    expands only the LAST round's frontier (not the whole settled set) and
+    anti-joins the settled set away, so per-round work is proportional to
+    the frontier, rounds are bounded by min(max_hops, graph diameter), and
+    the loop exits early when a frontier comes back empty (one bounded
+    isEmpty action per round on a lazily checkpointed frame — same
+    iteration discipline as components_from_edges)."""
+    dist = seeds.select("node").distinct().withColumn("hops", F.lit(0))
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist
+
+
+def segment_hop_distances(
+    segments: DataFrame, seeds: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """BFS hop distances over the positional node graph of a segment set
+    (edge list built exactly as connected_components does)."""
+    eps = segment_endpoints(segments).select("seg_id", "node")
+    edges = (
+        eps.alias("a")
+        .join(eps.alias("b"), "seg_id")
+        .where(F.col("a.node") != F.col("b.node"))
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+        .distinct()
+    )
+    return hop_distances(edges, seeds, max_hops=max_hops)

@@ -186,3 +186,26 @@ def test_connected_components_vs_union_find(spark):
         for m in members:
             want[m] = lbl
     assert got == want
+
+
+def test_hop_distances_bfs(spark):
+    from osm2world_spark.operators.network import hop_distances
+
+    # path 1-2-3-4-5 plus disconnected 9-10; seed at node 1
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)]]
+        + [(b, a) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)]],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in hop_distances(edges, seeds, max_hops=8).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # 9/10 unreachable -> absent
+
+    # max_hops truncates the frontier
+    got3 = {r["node"]: r["hops"] for r in hop_distances(edges, seeds, max_hops=2).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2}
+
+    # multi-source takes the minimum over seeds
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got2 = {r["node"]: r["hops"] for r in hop_distances(edges, seeds2, max_hops=8).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
