@@ -660,6 +660,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_windows"] = session_windows
 
+    # --- temporal: bucketed interval join (clicks x errors within 10 min,
+    # same user) — cell-cover + refine, one dimension down from the
+    # spatial join; never the per-key cartesian a range theta-join plans
+    def interval_events(spark, sf_dir):
+        from osm2world_spark.operators.temporal import interval_join
+
+        e = _t(spark, sf_dir, "events")
+        clicks = e.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = e.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        out = interval_join(clicks, errors, "user_id", "ts", 600.0)
+        return out.select(
+            "event_id",
+            F.col("r_event_id"),
+            F.round(F.col("dt_sec"), 6).alias("dt_sec"),
+        )
+
+    q["interval_events"] = interval_events
+
     # --- A7: ordered collect per group
     def collect_sorted(spark, sf_dir):
         e = _t(spark, sf_dir, "events")
@@ -2624,6 +2646,15 @@ def oracle_sql() -> dict[str, str]:
                max(ts) + INTERVAL 1800 SECOND AS session_end,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM sess GROUP BY user_id, sid
+    """
+
+    sql["interval_events"] = """
+        SELECT l.event_id, r.event_id AS r_event_id,
+               round(epoch(l.ts) - epoch(r.ts), 6) AS dt_sec
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+          ON l.user_id = r.user_id
+         AND abs(epoch(l.ts) - epoch(r.ts)) <= 600.0
     """
 
     sql["asof_events"] = """

@@ -120,3 +120,47 @@ def asof_join(
         ],
     )
     return carried.where(F.col("_asof_tag") == 1).drop("_asof_tag")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_seconds: float,
+) -> DataFrame:
+    """All (left, right) pairs with equal `key_col` and |left.ts - right.ts|
+    <= window_seconds — the time-interval join (inner: the bucket
+    replication makes outer variants ill-defined row-per-row).
+
+    A naive range theta-join degenerates to a per-key cartesian product
+    (Spark plans BroadcastNestedLoopJoin or a sort-merge with full range
+    scan). Instead: quantize time into window-sized buckets, replicate the
+    LEFT side into its bucket and both neighbors (any pair within the
+    window differs by at most one bucket), and equi-join on (key, bucket)
+    — one hash shuffle per side, candidate count proportional to true
+    local density, exact filter after. The same cell-cover + refine shape
+    as the spatial join (operators/spatial_join.py), one dimension down.
+
+    Column layout: left columns keep their names, right columns get an
+    `r_` prefix (key/ts included, so both sides' timestamps survive)."""
+    w = float(window_seconds)
+    lb = F.floor(_epoch(F.col(ts_col)) / w).cast("bigint")
+    l_rep = left.select(
+        "*", F.explode(F.array(lb - 1, lb, lb + 1)).alias("_lb")
+    )
+    r_tag = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        F.floor(_epoch(F.col(ts_col)) / w).cast("bigint").alias("_rb"),
+    )
+    joined = l_rep.join(
+        r_tag,
+        (F.col("_lb") == F.col("_rb")) & (F.col(key_col) == F.col(f"r_{key_col}")),
+        "inner",
+    )
+    dt = _epoch(F.col(ts_col)) - _epoch(F.col(f"r_{ts_col}"))
+    return (
+        joined.where(F.abs(dt) <= w)
+        .drop("_lb", "_rb")
+        .withColumn("dt_sec", dt)
+    )

@@ -88,3 +88,28 @@ def test_asof_join_preserves_left_rows_and_one_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_interval_join_window_and_buckets(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10.0)), (2, 2, _ts(10.0))],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, _ts(9.0)),   # 60s before -> in window
+            (101, 1, _ts(20.0)),  # 600s after -> boundary, inclusive
+            (102, 1, _ts(20.001)),  # just past the window
+            (103, 2, _ts(10.0)),  # other key, dt=0
+            (104, 1, _ts(0.05)),  # 597s before, crosses a 600s bucket edge
+        ],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    from osm2world_spark.operators.temporal import interval_join
+
+    out = interval_join(left, right, "user_id", "ts", 600.0)
+    pairs = {(r["event_id"], r["r_event_id"]) for r in out.collect()}
+    assert pairs == {(1, 100), (1, 101), (1, 104), (2, 103)}
+    # bucketed equi-join, not a nested-loop range join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
