@@ -723,14 +723,21 @@ def _grouped_surface(
     # estimate ignores the quadratic per-group kernel cost), starving the
     # executors — observed as 50% idle CPUs on local[16]
     n_parts = int(surface.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # type rank computed JVM-side: the kernel's canonical (a, b) ordering
+    # needs it per pair, and a pandas .map over every surface row was ~8%
+    # of kernel time
+    trank = (
+        F.when(F.col("etype") == "node", 0)
+        .when(F.col("etype") == "segment", 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("trank")
+    )
     return (
-        replicated.select(gkey.alias("gkey"), F.col("cell"), F.col("gi"), F.col("gj"), *cols)
+        replicated.select(gkey.alias("gkey"), F.col("cell"), F.col("gi"), F.col("gj"), trank, *cols)
         .repartition(2 * n_parts, F.col("gkey"))
         .sortWithinPartitions("gkey", "eid")
     )
-
-
-_TYPE_RANK = {"node": 0, "segment": 1, "area": 2}
 
 
 def _emit_group_pairs(pdf: pd.DataFrame, cell_size: float, salt_buckets: int,
@@ -765,8 +772,6 @@ def _emit_group_pairs(pdf: pd.DataFrame, cell_size: float, salt_buckets: int,
     salt = pdf["salt"].to_numpy(np.int64)
     gi_row = pdf["gi"].to_numpy(np.int64)
     gj_row = pdf["gj"].to_numpy(np.int64)
-    eid = pdf["eid"].values
-
     grp_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
     local = np.arange(n, dtype=np.int64) - starts[grp_of_row]
     diag_row = gi_row == gj_row
@@ -822,14 +827,15 @@ def _emit_group_pairs(pdf: pd.DataFrame, cell_size: float, salt_buckets: int,
     ii, jj = ii[own], jj[own]
 
     # canonical order: eid-ascending (diag pairs already are; only the
-    # off-diag pairs can need a swap), then type rank. Fixed-width (<U)
-    # elementwise comparison is O(pairs) — the earlier unique+inverse-code
-    # pass paid an O(pairs log pairs) string argsort for the same answer.
-    eid_str = eid.astype(str)
-    swap_eid = eid_str[ii] > eid_str[jj]
+    # off-diag pairs can need a swap), then type rank. Both members of a
+    # pair sit in the SAME group of a frame sorted by (gkey, eid), so row
+    # index order IS eid order — an integer compare replaces the earlier
+    # fixed-width string compare (which itself replaced an O(P log P)
+    # string argsort).
+    swap_eid = ii > jj
     a = np.where(swap_eid, jj, ii)
     b = np.where(swap_eid, ii, jj)
-    rank = pdf["etype"].map(_TYPE_RANK).to_numpy(np.int64)
+    rank = pdf["trank"].to_numpy(np.int64)
     swap_t = rank[a] > rank[b]
     a, b = np.where(swap_t, b, a), np.where(swap_t, a, b)
 
