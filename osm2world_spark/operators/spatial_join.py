@@ -339,7 +339,9 @@ def _ww_rows(pdf: pd.DataFrame) -> pd.DataFrame | None:
         pdf["b_eid"].values[hit],
         "segment",
         "INTERSECT",
-        [[{"x": float(x), "z": float(z)}] for x, z in zip(ix, iz)],
+        # .tolist() up front: native floats in one C pass, no per-element
+        # numpy-scalar -> float() call in the comprehension
+        [[{"x": x, "z": z}] for x, z in zip(ix.tolist(), iz.tolist())],
     )
 
 
@@ -441,10 +443,10 @@ def _wa_rows(pdf: pd.DataFrame) -> pd.DataFrame | None:
             bounds = np.searchsorted(irow_s, np.unique(irow_s), side="left")
             uniq = np.unique(irow_s)
             ends = np.append(bounds[1:], len(irow_s))
-            for r, s0, s1 in zip(uniq, bounds, ends):
+            ix_l, iz_l = ix_s.tolist(), iz_s.tolist()  # native floats once
+            for r, s0, s1 in zip(uniq.tolist(), bounds.tolist(), ends.tolist()):
                 positions[out_pos_idx[r]] = [
-                    {"x": float(x), "z": float(z)}
-                    for x, z in zip(ix_s[s0:s1], iz_s[s0:s1])
+                    {"x": x, "z": z} for x, z in zip(ix_l[s0:s1], iz_l[s0:s1])
                 ]
     return _out_frame(
         pdf["a_eid"].values[keep],
