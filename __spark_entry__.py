@@ -1490,6 +1490,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["network_hops"] = network_hops
 
+    # weighted shortest-path distances (Bellman-Ford frontier relaxation,
+    # edge weight = segment metric length), seeded from the end nodes
+    def network_distances(spark, sf_dir):
+        from osm2world_spark.operators.network import (
+            node_degrees,
+            segment_weighted_distances,
+        )
+
+        segs = _network_segs(spark, sf_dir)
+        seeds = node_degrees(segs).where(F.col("kind") == "end").select("node")
+        out = segment_weighted_distances(segs, seeds, max_rounds=16)
+        return out.select("node", F.round(F.col("dist"), 6).alias("dist"))
+
+    q["network_distances"] = network_distances
+
     return q
 
 
@@ -2864,6 +2879,27 @@ def oracle_sql() -> dict[str, str]:
           FROM r JOIN edges e ON e.src = r.node WHERE r.hops < 8
         )
         SELECT node, CAST(min(hops) AS INT) AS hops FROM r GROUP BY node
+    """
+
+    sql["network_distances"] = f"""
+        WITH RECURSIVE {_net_segs}, seg_w AS (
+          SELECT seg_id, sqrt((x2 - x1) * (x2 - x1) + (z2 - z1) * (z2 - z1)) AS w
+          FROM segs
+        ), edges AS (
+          SELECT a.node AS src, b.node AS dst, w
+          FROM eps2 a JOIN eps2 b USING (seg_id) JOIN seg_w USING (seg_id)
+          WHERE a.node != b.node
+        ), deg AS (
+          SELECT node, count(*) AS d FROM eps2 GROUP BY node
+        ), seeds AS (
+          SELECT node FROM deg WHERE d = 1
+        ), r AS (
+          SELECT node, CAST(0.0 AS DOUBLE) AS dist, 0 AS hops FROM seeds
+          UNION ALL
+          SELECT e.dst AS node, r.dist + e.w AS dist, r.hops + 1 AS hops
+          FROM r JOIN edges e ON e.src = r.node WHERE r.hops < 8
+        )
+        SELECT node, round(min(dist), 6) AS dist FROM r GROUP BY node
     """
 
     # connector bisector cuts: the exact Column algebra of

@@ -416,3 +416,82 @@ def segment_hop_distances(
         .distinct()
     )
     return hop_distances(edges, seeds, max_hops=max_hops)
+
+
+def weighted_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 16,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Multi-source shortest-path distances over weighted (src, dst, w)
+    edges: (node, dist) = minimum total weight from any seed, unreachable
+    nodes absent. Non-negative weights assumed (road/way lengths).
+
+    Bellman-Ford in the frontier shape: each round relaxes only edges out
+    of nodes IMPROVED last round, folds candidates into the settled map
+    with a min-agg, and keeps as the new frontier only nodes whose
+    distance actually improved — so work tracks the improvement wave, not
+    |V| x rounds, and the loop exits as soon as a round improves nothing.
+    Rounds are bounded by the longest shortest path's hop count
+    (max_rounds backstop); one min-agg shuffle per round."""
+    dist = seeds.select("node").distinct().withColumn("dist", F.lit(0.0))
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            edges.join(
+                frontier.select(
+                    F.col("node").alias("src"), F.col("dist").alias("d_src")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("d_src") + F.col(weight_col)).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.withColumnRenamed("dist", "d_old")
+            .join(cand.withColumnRenamed("dist", "d_new"), "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("d_old"), F.lit(float("inf"))),
+                    F.coalesce(F.col("d_new"), F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.coalesce(F.col("d_new"), F.lit(float("inf")))
+                    < F.coalesce(F.col("d_old"), F.lit(float("inf")))
+                ).alias("_improved"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        frontier = merged.where(F.col("_improved")).drop("_improved")
+        dist = merged.drop("_improved")
+        if frontier.isEmpty():
+            break
+    return dist
+
+
+def segment_weighted_distances(
+    segments: DataFrame, seeds: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """Shortest metric distances over the positional node graph, edge
+    weight = segment length (both directions)."""
+    eps = segment_endpoints(segments).select("seg_id", "node")
+    length = F.sqrt(
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("z2") - F.col("z1")) * (F.col("z2") - F.col("z1"))
+    )
+    seg_w = segments.select("seg_id", length.alias("w"))
+    edges = (
+        eps.alias("a")
+        .join(eps.alias("b"), "seg_id")
+        .where(F.col("a.node") != F.col("b.node"))
+        .join(seg_w, "seg_id")
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"), "w")
+        .distinct()
+    )
+    return weighted_distances(edges, seeds, max_rounds=max_rounds)

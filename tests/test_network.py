@@ -209,3 +209,24 @@ def test_hop_distances_bfs(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], "node bigint")
     got2 = {r["node"]: r["hops"] for r in hop_distances(edges, seeds2, max_hops=8).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_weighted_distances_relaxation(spark):
+    from osm2world_spark.operators.network import weighted_distances
+
+    # diamond: 1->2 (w=1), 1->3 (w=10), 2->3 (w=1), 3->4 (w=1); symmetric
+    raw = [(1, 2, 1.0), (1, 3, 10.0), (2, 3, 1.0), (3, 4, 1.0)]
+    edges = spark.createDataFrame(
+        raw + [(b, a, w) for a, b, w in raw], "src bigint, dst bigint, w double"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in weighted_distances(edges, seeds).collect()}
+    # shortest to 3 goes around via 2 (1+1=2), NOT the direct w=10 edge
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+    # a later round must re-improve a node settled too high in an earlier
+    # round (Bellman-Ford, not BFS): direct edge relaxes 3 to 10 in round
+    # 1, the 2-hop path lowers it to 2 in round 2 -> 4 must see 3.0 not 11
+    seeds2 = spark.createDataFrame([(1,), (4,)], "node bigint")
+    got2 = {r["node"]: r["dist"] for r in weighted_distances(edges, seeds2).collect()}
+    assert got2 == {1: 0.0, 4: 0.0, 2: 1.0, 3: 1.0}
