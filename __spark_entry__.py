@@ -451,7 +451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x1.alias("x1"), z1.alias("z1"),
             (x1 + dx).alias("x2"), (z1 + dz).alias("z2"),
         )
-        return sweep_intersections(seg, cell_size=500.0)
+        # cell 100 m on the 1 km extent: ~100 independent groups (vs 4-9 at
+        # 500 m, which starved a 32-core run); crossings are cell-size-
+        # invariant (complete mode dedups by owning cell) — 2.2x measured
+        return sweep_intersections(seg, cell_size=100.0)
 
     q["sweep_intersections"] = sweep_intersections_q
 
