@@ -1140,6 +1140,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_quantiles"] = events_quantiles
 
+    # fixed-width value histogram per event type: floor-division binning
+    # (identical IEEE arithmetic in any engine; aggregation pushes down
+    # map-side, the distributed-histogram shape)
+    def events_histogram(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        bucket = F.least(
+            F.floor(F.col("value") / 2.5).cast("int"), F.lit(9)
+        )
+        return (
+            e.groupBy("event_type", F.greatest(bucket, F.lit(0)).alias("bucket"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["events_histogram"] = events_histogram
+
     def pack_sequences(spark, sf_dir):
         from osm2world_spark.operators.packing import pack_sequences as ps
 
@@ -2622,6 +2637,13 @@ def oracle_sql() -> dict[str, str]:
     sql["events_hourly"] = """
         SELECT user_id, date_trunc('hour', ts) AS hour,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["events_histogram"] = """
+        SELECT event_type,
+               greatest(least(CAST(floor(value / 2.5) AS INT), 9), 0) AS bucket,
+               count(*) AS n
         FROM events GROUP BY 1, 2
     """
 
