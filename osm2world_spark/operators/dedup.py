@@ -335,8 +335,9 @@ def decontaminate(
     corpus side streams through one hash join with no row blowup (semi
     join emits each doc at most once per partition before the distinct).
 
-    flag_only=True returns every doc with an `is_contaminated` column;
-    default returns the clean subset of `docs` unchanged.
+    flag_only=True returns every doc row (all columns) with an
+    `is_contaminated` column appended; default returns the clean subset of
+    `docs` unchanged.
     """
     pt = probe_text_col or text_col
     doc_sh = shingle_table(docs, text_col, id_col, n)
@@ -350,7 +351,7 @@ def decontaminate(
             docs[id_col] == hit_ids["doc_id"],
             "left",
         ).select(
-            docs[id_col].alias(id_col),
+            *[docs[c] for c in docs.columns],
             F.coalesce(F.col("is_contaminated"), F.lit(False)).alias("is_contaminated"),
         )
     return docs.join(hit_ids, docs[id_col] == hit_ids["doc_id"], "left_anti")

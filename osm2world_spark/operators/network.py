@@ -434,7 +434,13 @@ def weighted_distances(
     distance actually improved — so work tracks the improvement wave, not
     |V| x rounds, and the loop exits as soon as a round improves nothing.
     Rounds are bounded by the longest shortest path's hop count
-    (max_rounds backstop); one min-agg shuffle per round."""
+    (max_rounds backstop); one min-agg shuffle per round.
+
+    If the improvement wave is still active when max_rounds is hit, the
+    returned distances are UPPER BOUNDS (minimum over paths of at most
+    max_rounds edges), not final shortest distances; that truncation is
+    logged as a warning so callers can distinguish converged from
+    truncated results."""
     dist = seeds.select("node").distinct().withColumn("dist", F.lit(0.0))
     frontier = dist
     for _ in range(max_rounds):
@@ -472,6 +478,17 @@ def weighted_distances(
         dist = merged.drop("_improved")
         if frontier.isEmpty():
             break
+    else:
+        # loop exhausted max_rounds with the in-loop isEmpty never breaking:
+        # the wave is still active, so distances are bounds, not finals
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "weighted_distances hit max_rounds=%d with an active improvement "
+            "wave; returned distances are upper bounds (paths of <= %d edges)",
+            max_rounds,
+            max_rounds,
+        )
     return dist
 
 

@@ -89,14 +89,22 @@ def asof_join(
 
     Union-and-window: right rows are tagged 0, left rows 1; sorting by
     (ts, tag) inside each key puts each right row before any same-instant
-    left row, and `last(value, ignorenulls=True)` carries the most recent
-    right values onto the left rows. One shuffle, O(|L|+|R|) — the plan a
-    range theta-join cannot give."""
+    left row. The carried marker is the whole right-row STRUCT (null only
+    on left rows), so `last(_, ignorenulls=True)` carries the matching
+    right row even when its individual values are NULL — a legitimately
+    NULL right value is returned as NULL, not skipped for an older
+    non-null one. Ties at the same (key, ts) break deterministically on
+    the struct's field values (greatest wins), so value_cols must be
+    orderable types. One shuffle, O(|L|+|R|) — the plan a range theta-join
+    cannot give."""
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    row_t = StructType([StructField(c, right.schema[c].dataType) for c in value_cols])
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("_asof_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(row_t).alias("_asof_row"),
     )
     tagged_r = right.select(
         *[
@@ -104,22 +112,22 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_asof_tag"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_asof_row"),
     )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("_asof_tag").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_asof_tag").asc(), F.col("_asof_row").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_l.unionByName(tagged_r).select(
         *lcols,
         F.col("_asof_tag"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last(F.col("_asof_row"), ignorenulls=True).over(w).alias("_asof_row"),
     )
-    return carried.where(F.col("_asof_tag") == 1).drop("_asof_tag")
+    return carried.where(F.col("_asof_tag") == 1).select(
+        *lcols,
+        *[F.col("_asof_row")[c].alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def interval_join(

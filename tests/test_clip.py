@@ -104,3 +104,94 @@ def test_owner_unique_and_clip_cover(spark):
             assert xs[0] == xs[-1] and zs[0] == zs[-1]
     clipped.unpersist()
     els.unpersist()
+
+
+def _scalar_clip_reference(pdf, origin):
+    """The pre-vectorization per-row kernel, kept as the semantics oracle
+    for _clip_batch (emission order and float arithmetic must match
+    exactly)."""
+    import pandas as pd
+
+    from osm2world_spark.functions.projection import np_to_xz
+    from osm2world_spark.functions.tiles import py_tile_bounds
+
+    out = {k: [] for k in ("doc_id", "span_idx", "element_type", "zoom", "tile_x", "tile_y", "geom")}
+    for row in pdf.itertuples(index=False):
+        minlat, minlon, maxlat, maxlon = py_tile_bounds(row.zoom, row.tile_x, row.tile_y)
+        xa, za = np_to_xz(np.array([minlat, maxlat]), np.array([minlon, maxlon]), origin)
+        minx, maxx = sorted((xa[0], xa[1]))
+        minz, maxz = sorted((za[0], za[1]))
+        rings_out = []
+        for ring in row.geom:
+            arr = np.asarray(ring)
+            xs, zs = arr[0::2].copy(), arr[1::2].copy()
+            if row.element_type == "node":
+                if minx <= xs[0] <= maxx and minz <= zs[0] <= maxz:
+                    rings_out.append(list(ring))
+                continue
+            if row.element_type == "way":
+                for kx, kz in _clip_polyline(xs, zs, minx, minz, maxx, maxz):
+                    p = np.empty(len(kx) * 2)
+                    p[0::2], p[1::2] = kx, kz
+                    rings_out.append(p.tolist())
+                continue
+            res = _sh_clip_ring(xs, zs, minx, minz, maxx, maxz)
+            if res is not None:
+                p = np.empty(len(res[0]) * 2)
+                p[0::2], p[1::2] = res
+                rings_out.append(p.tolist())
+        if not rings_out:
+            continue
+        for k in ("doc_id", "span_idx", "element_type", "zoom", "tile_x", "tile_y"):
+            out[k].append(getattr(row, k))
+        out["geom"].append(rings_out)
+    return pd.DataFrame(out)
+
+
+def test_clip_batch_matches_scalar_kernel_exactly():
+    """_clip_batch (flat vectorized) == per-row scalar kernel, bit-for-bit:
+    same surviving rows, same ring/piece order, identical float coords."""
+    import pandas as pd
+
+    from osm2world_spark.functions.projection import np_to_xz
+    from osm2world_spark.functions.tiles import py_tile_bounds
+    from osm2world_spark.operators.clip import _clip_batch
+
+    rng = np.random.default_rng(7)
+    rows = []
+    zoom = 14
+    for i in range(600):
+        tx, ty = int(rng.integers(8605, 8609)), int(rng.integers(5745, 5749))
+        minlat, minlon, maxlat, maxlon = py_tile_bounds(zoom, tx, ty)
+        xa, za = np_to_xz(np.array([minlat, maxlat]), np.array([minlon, maxlon]), DEFAULT_ORIGIN)
+        cx, cz = xa.mean(), za.mean()
+        w = abs(xa[1] - xa[0])
+        et = ["node", "way", "area"][i % 3]
+        rings = []
+        for _ in range(1 if et == "node" else int(rng.integers(1, 4))):
+            pts = 1 if et == "node" else int(rng.integers(2 if et == "way" else 3, 12))
+            xs = cx + rng.uniform(-1.5, 1.5, pts) * w
+            zs = cz + rng.uniform(-1.5, 1.5, pts) * w
+            if et == "area":
+                xs = np.append(xs, xs[0])
+                zs = np.append(zs, zs[0])
+            p = np.empty(len(xs) * 2)
+            p[0::2], p[1::2] = xs, zs
+            rings.append(p.tolist())
+        rows.append(
+            dict(doc_id=f"d{i}", span_idx=i % 5, element_type=et, zoom=zoom,
+                 tile_x=tx, tile_y=ty, geom=rings)
+        )
+    pdf = pd.DataFrame(rows)
+    a = _scalar_clip_reference(pdf, DEFAULT_ORIGIN)
+    b = _clip_batch(pdf, DEFAULT_ORIGIN)
+    assert b is not None and len(a) == len(b)
+    for i in range(len(a)):
+        ra, rb = a.iloc[i], b.iloc[i]
+        for c in ("doc_id", "span_idx", "element_type", "zoom", "tile_x", "tile_y"):
+            assert ra[c] == rb[c], (i, c)
+        ga = ra["geom"]
+        gb = [list(r) for r in rb["geom"]]
+        assert len(ga) == len(gb), (i, ra["doc_id"])
+        for ka, kb in zip(ga, gb):
+            assert np.array_equal(np.asarray(ka), np.asarray(kb)), (i, ka[:4], kb[:4])

@@ -14,6 +14,21 @@ sys.path.insert(0, "/root/repo")
 
 
 def _norm(v):
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            v = float(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+        if isinstance(v, np.ndarray):
+            return tuple(_norm(x) for x in v)
+    except ImportError:
+        pass
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -62,16 +77,35 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sorted(sdf.columns)
-            s_rows = [tuple(_norm(r[c]) for c in s_cols) for r in sdf.collect()]
-            o = con.sql(oracles[name])
-            o_cols = sorted(o.columns)
-            idx = [o.columns.index(c) for c in o_cols]
-            o_rows = [tuple(_norm(row[i]) for i in idx) for row in o.fetchall()]
+            s_pdf = sdf.toPandas()
+            s_rows = [
+                tuple(_norm(v) for v in row)
+                for row in s_pdf[s_cols].itertuples(index=False, name=None)
+            ]
+            # Go through pandas on the DuckDB side too — the driver compares
+            # via dataframes, where e.g. HUGEINT (sum of BIGINT) lands as
+            # float64, not Python int. fetchall() would hide that.
+            o_pdf = con.sql(oracles[name]).df()
+            o_cols = sorted(o_pdf.columns)
+            o_rows = [
+                tuple(_norm(v) for v in row)
+                for row in o_pdf[o_cols].itertuples(index=False, name=None)
+            ]
             ok_schema = s_cols == o_cols
             ok_count = len(s_rows) == len(o_rows)
             ok_values = sorted(map(repr, s_rows)) == sorted(map(repr, o_rows))
-            status = "OK" if (ok_schema and ok_count and ok_values) else "MISMATCH"
+            # int-vs-float column kind mismatches hash-diverge in the driver
+            kind_warn = []
+            if ok_schema:
+                for c in s_cols:
+                    sk = s_pdf[c].dtype.kind
+                    ok = o_pdf[c].dtype.kind
+                    if {sk, ok} == {"i", "f"} or {sk, ok} == {"u", "f"}:
+                        kind_warn.append(f"{c}: spark={s_pdf[c].dtype} duck={o_pdf[c].dtype}")
+            status = "OK" if (ok_schema and ok_count and ok_values and not kind_warn) else "MISMATCH"
             print(f"[oracle] {name}: {status} spark={len(s_rows)} duck={len(o_rows)} cols_ok={ok_schema}")
+            if kind_warn:
+                print(f"    dtype-kind mismatch (int vs float): {kind_warn}")
             if status != "OK":
                 failures.append(name)
                 if not ok_schema:
