@@ -1530,6 +1530,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["network_distances"] = network_distances
 
+    # real SRTM .hgt binary codec (S6 completion): two 1201x1201 tiles are
+    # ENCODED to real big-endian row-flipped hgt bytes (one plain, one
+    # zipped — both payload paths), then DECODED by the production kernel;
+    # the oracle recomputes the deterministic grid formula directly, so any
+    # codec error (endianness, row flip, offset, zip path) breaks the match
+    def srtm_decode(spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from osm2world_spark.sources.raster import BLANK_VALUE, PIXELS
+        from osm2world_spark.sources.srtm import decode_hgt_tiles, encode_hgt, hgt_filename
+
+        cells = spark.createDataFrame(
+            [(13, 48, False), (14, 48, True)], "cell_lon int, cell_lat int, zipped boolean"
+        )
+
+        def make_files(batches):
+            yy, xx = np.mgrid[0:PIXELS, 0:PIXELS]
+            for pdf in batches:
+                names, payloads = [], []
+                for lon, lat, zipped in zip(pdf["cell_lon"], pdf["cell_lat"], pdf["zipped"]):
+                    vals = ((xx * 7 + yy * 13 + int(lon) * 1000 + int(lat) * 17) % 4000) - 500
+                    grid = np.where(
+                        (xx * 31 + yy * 37) % 499 == 0, BLANK_VALUE, vals
+                    ).astype(np.int16)
+                    names.append(hgt_filename(int(lon), int(lat), zipped=bool(zipped)))
+                    payloads.append(encode_hgt(grid, zipped=bool(zipped)))
+                yield pd.DataFrame({"file_name": names, "payload": payloads})
+
+        files = cells.mapInPandas(make_files, schema="file_name string, payload binary")
+        return decode_hgt_tiles(files).where("px % 97 = 0 AND py % 89 = 0")
+
+    q["srtm_decode"] = srtm_decode
+
+    # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
+    # strictly overlaps each base rectangle's lower-left corner — the face
+    # decomposition must return exactly the L-shaped hexagon, whose six
+    # canonically-ordered vertices the oracle states in closed form
+    def cag_pieces(spark, sf_dir):
+        from osm2world_spark.operators.cag import cag_pieces as cp
+
+        c = _planar(_t(spark, sf_dir, "customer"), "c_custkey")
+        hax = (40 + F.col("key") % 20).cast("double")
+        haz = (30 + F.col("key") % 25).cast("double")
+        ax0, az0 = F.col("x") - hax, F.col("z") - haz
+        ax1, az1 = F.col("x") + hax, F.col("z") + haz
+        bx1 = ax0 + (10 + F.col("key") % 25).cast("double")
+        bz1 = az0 + (8 + F.col("key") % 20).cast("double")
+        bx0, bz0 = ax0 - 50.0, az0 - 60.0
+        pairs = c.select(
+            F.col("key").cast("string").alias("pair_id"),
+            F.array(F.array(ax0, az0, ax1, az0, ax1, az1, ax0, az1, ax0, az0)).alias("a_geom"),
+            F.array(F.array(bx0, bz0, bx1, bz0, bx1, bz1, bx0, bz1, bx0, bz0)).alias("b_geom"),
+        )
+        out = cp(pairs, op="subtract", snap=1e-3)
+        vtx = F.transform(
+            F.sequence(F.lit(0), (F.size("outer") / 2 - 1).cast("int")),
+            lambda i: F.struct(
+                i.alias("vtx"),
+                F.floor(F.col("outer")[i * 2] * 1000.0 + 0.5).cast("bigint").alias("x_mm"),
+                F.floor(F.col("outer")[i * 2 + 1] * 1000.0 + 0.5).cast("bigint").alias("z_mm"),
+            ),
+        )
+        return out.select(
+            "pair_id", "piece_idx", "n_holes", F.explode(vtx).alias("v")
+        ).select("pair_id", "piece_idx", "n_holes", "v.vtx", "v.x_mm", "v.z_mm")
+
+    q["cag_pieces"] = cag_pieces
+
     return _driver_window_order(q)
 
 
@@ -2979,6 +3048,51 @@ def oracle_sql() -> dict[str, str]:
 
     # connector bisector cuts: the exact Column algebra of
     # operators/network.connector_cuts mirrored term by term
+    # cag_pieces: the A-minus-B face decomposition of a rectangle whose
+    # lower-left corner is strictly covered by B is a single L-shaped
+    # hexagon; canonical order starts at the lexicographic min vertex
+    # (ax0, bz1) and runs CCW
+    sql["cag_pieces"] = f"""
+        WITH p AS (
+          SELECT c_custkey AS k,
+                 {X_M.format(k="c_custkey")} AS x, {Z_M.format(k="c_custkey")} AS z,
+                 CAST(40 + c_custkey % 20 AS DOUBLE) AS hax,
+                 CAST(30 + c_custkey % 25 AS DOUBLE) AS haz
+          FROM customer
+        ), r AS (
+          SELECT k,
+                 x - hax AS ax0, z - haz AS az0, x + hax AS ax1, z + haz AS az1,
+                 (x - hax) + CAST(10 + k % 25 AS DOUBLE) AS bx1,
+                 (z - haz) + CAST(8 + k % 20 AS DOUBLE) AS bz1
+          FROM p
+        ), v AS (SELECT unnest(generate_series(0, 5)) AS vtx)
+        SELECT cast(k as varchar) AS pair_id,
+               0 AS piece_idx, 0 AS n_holes, cast(vtx as int) AS vtx,
+               cast(floor(1000.0 * (CASE vtx
+                    WHEN 0 THEN ax0 WHEN 1 THEN bx1 WHEN 2 THEN bx1
+                    WHEN 3 THEN ax1 WHEN 4 THEN ax1 ELSE ax0 END) + 0.5) as bigint) AS x_mm,
+               cast(floor(1000.0 * (CASE vtx
+                    WHEN 0 THEN bz1 WHEN 1 THEN bz1 WHEN 2 THEN az0
+                    WHEN 3 THEN az0 WHEN 4 THEN az1 ELSE az1 END) + 0.5) as bigint) AS z_mm
+        FROM r CROSS JOIN v
+    """
+
+    # srtm_decode: the decoded pixel table must equal the grid formula the
+    # encoder wrote — recomputed here directly, never through the codec
+    sql["srtm_decode"] = """
+        WITH cells(cell_lon, cell_lat) AS (VALUES (13, 48), (14, 48)),
+        pxs AS (SELECT unnest(generate_series(0, 1200, 97)) AS px),
+        pys AS (SELECT unnest(generate_series(0, 1200, 89)) AS py)
+        SELECT CAST(cell_lon AS INT) AS cell_lon,
+               CAST(cell_lat AS INT) AS cell_lat,
+               CAST(px AS INT) AS px,
+               CAST(py AS INT) AS py,
+               CAST(CASE WHEN (px * 31 + py * 37) % 499 = 0 THEN -32768
+                    ELSE ((px * 7 + py * 13 + cell_lon * 1000 + cell_lat * 17) % 4000) - 500
+                    END AS SMALLINT) AS elev
+        FROM cells, pxs, pys
+    """
+
     sql["network_connector_cuts"] = f"""
         WITH {_net_segs}, two AS (
           SELECT *, count(*) OVER (PARTITION BY node) AS deg,

@@ -113,6 +113,155 @@ def intersection_pieces(a_geom, b_geom) -> tuple[float, float, float, list[np.nd
     return area_a, area_b, inter, pieces
 
 
+# ------------------------------------------------------ flat pair kernel
+#
+# Batch-vectorized tri x tri clipping: ALL (triangle_of_A x triangle_of_B)
+# combos of an Arrow batch are clipped at once (the _pair_combos
+# row-expansion of the AA spatial-join kernel), 3 half-plane passes per
+# clip since the clipper is a triangle. The scalar _clip_convex above is
+# retained as the semantics oracle (equivalence-tested in
+# tests/test_boolean.py).
+
+
+def _excl_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.cumsum(a)
+    return out - a
+
+
+def _flat_ranges(counts: np.ndarray) -> np.ndarray:
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def _halfplane_pass(px, pz, starts, npts, eax, eaz, ebx, ebz):
+    """One general half-plane clip pass over ALL polys at once: poly k is
+    clipped to the left of its directed edge (eax[k],eaz[k])->(ebx,ebz).
+    Emission order/formulas identical to _clip_convex (cur if inside, then
+    intersection at t = d_i / (d_i - d_j))."""
+    n_polys = len(starts)
+    total = len(px)
+    if total == 0:
+        return px, pz, starts, npts
+    poly_of = np.repeat(np.arange(n_polys, dtype=np.int64), npts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, npts)
+    nxt = np.where(
+        within == np.repeat(npts, npts) - 1,
+        np.repeat(starts, npts),
+        np.arange(total, dtype=np.int64) + 1,
+    )
+    ax, az = eax[poly_of], eaz[poly_of]
+    d = (ebx[poly_of] - ax) * (pz - az) - (ebz[poly_of] - az) * (px - ax)
+    inside = d >= 0
+    in_nxt = inside[nxt]
+    cross = inside != in_nxt
+    dd = d - d[nxt]
+    t = np.where(cross, d / np.where(dd != 0, dd, 1.0), 0.0)
+    ix = px + t * (px[nxt] - px)
+    iz = pz + t * (pz[nxt] - pz)
+
+    emit = inside.astype(np.int64) + cross.astype(np.int64)
+    pos = np.cumsum(emit) - emit
+    out_total = int(emit.sum())
+    out_x = np.empty(out_total)
+    out_z = np.empty(out_total)
+    out_x[pos[inside]] = px[inside]
+    out_z[pos[inside]] = pz[inside]
+    ipos = pos[cross] + inside[cross].astype(np.int64)
+    out_x[ipos] = ix[cross]
+    out_z[ipos] = iz[cross]
+    new_npts = np.bincount(poly_of, weights=emit, minlength=n_polys).astype(np.int64)
+    return out_x, out_z, _excl_cumsum(new_npts), new_npts
+
+
+def _pair_combos(na: np.ndarray, nb: np.ndarray):
+    """Row-wise cross-product expansion (spatial_join._pair_combos)."""
+    n = len(na)
+    a_start = _excl_cumsum(na)
+    b_start = _excl_cumsum(nb)
+    m = na * nb
+    comb_row = np.repeat(np.arange(n, dtype=np.int64), m)
+    local = _flat_ranges(m)
+    nb_r = nb[comb_row]
+    ii = a_start[comb_row] + local // nb_r
+    jj = b_start[comb_row] + local % nb_r
+    return comb_row, ii, jj
+
+
+def _flat_shoelace(px, pz, starts, npts) -> np.ndarray:
+    """Signed area per poly over the flat layout (open rings)."""
+    total = len(px)
+    if total == 0:
+        return np.zeros(len(starts))
+    n_polys = len(starts)
+    poly_of = np.repeat(np.arange(n_polys, dtype=np.int64), npts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, npts)
+    nxt = np.where(
+        within == np.repeat(npts, npts) - 1,
+        np.repeat(starts, npts),
+        np.arange(total, dtype=np.int64) + 1,
+    )
+    terms = px * pz[nxt] - px[nxt] * pz
+    return 0.5 * np.bincount(poly_of, weights=terms, minlength=n_polys)
+
+
+def _batch_boolean(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized kernel body: triangulate per row (inherently sequential,
+    bounded by polygon size), then clip ALL triangle pairs of the batch in
+    3 flat half-plane passes."""
+    tris_a_all, tris_b_all, na, nb, area_a, area_b = [], [], [], [], [], []
+    for ag, bg in zip(pdf["a_geom"], pdf["b_geom"]):
+        ta = _poly_triangles(ag)
+        tb = _poly_triangles(bg)
+        tris_a_all.extend(ta)
+        tris_b_all.extend(tb)
+        na.append(len(ta))
+        nb.append(len(tb))
+        area_a.append(sum(_poly_area(t) for t in ta))
+        area_b.append(sum(_poly_area(t) for t in tb))
+    n = len(pdf)
+    na = np.asarray(na, dtype=np.int64)
+    nb = np.asarray(nb, dtype=np.int64)
+    area_a = np.asarray(area_a)
+    area_b = np.asarray(area_b)
+    if tris_a_all and tris_b_all and (na * nb).sum() > 0:
+        TA = np.asarray(tris_a_all)  # (sum(na), 3, 2)
+        TB = np.asarray(tris_b_all)
+        comb_row, ii, jj = _pair_combos(na, nb)
+        px = TA[ii][:, :, 0].ravel()
+        pz = TA[ii][:, :, 1].ravel()
+        npts = np.full(len(ii), 3, dtype=np.int64)
+        starts = np.arange(len(ii), dtype=np.int64) * 3
+        for e in range(3):
+            px, pz, starts, npts = _halfplane_pass(
+                px, pz, starts, npts,
+                TB[jj, e, 0], TB[jj, e, 1],
+                TB[jj, (e + 1) % 3, 0], TB[jj, (e + 1) % 3, 1],
+            )
+        areas = _flat_shoelace(px, pz, starts, npts)
+        areas = np.where(npts >= 3, areas, 0.0)
+        pos_mask = areas > 0.0
+        inter = np.bincount(comb_row[pos_mask], weights=areas[pos_mask], minlength=n)
+        n_pieces = np.bincount(comb_row[pos_mask], minlength=n).astype(np.int64)
+    else:
+        inter = np.zeros(n)
+        n_pieces = np.zeros(n, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "pair_id": pdf["pair_id"].to_numpy(),
+            "n_pieces": n_pieces.astype(np.int32),
+            "area_a": area_a,
+            "area_b": area_b,
+            "area_intersection": inter,
+            "area_a_minus_b": area_a - inter,
+            "area_b_minus_a": area_b - inter,
+        }
+    )
+
+
 BOOLEAN_SCHEMA = StructType(
     [
         StructField("pair_id", StringType()),
@@ -133,16 +282,7 @@ def polygon_boolean(pairs: DataFrame) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            rows = []
-            for pid, ag, bg in zip(pdf["pair_id"], pdf["a_geom"], pdf["b_geom"]):
-                aa, ab, ai, pieces = intersection_pieces(ag, bg)
-                rows.append((pid, len(pieces), aa, ab, ai, aa - ai, ab - ai))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "pair_id", "n_pieces", "area_a", "area_b",
-                    "area_intersection", "area_a_minus_b", "area_b_minus_a",
-                ],
-            )
+            if len(pdf):
+                yield _batch_boolean(pdf)
 
     return pairs.mapInPandas(kernel, schema=BOOLEAN_SCHEMA)
