@@ -1424,14 +1424,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # float32 features (sum <= 4080, error << 0.5), so the oracle is
     # closed-form integer arithmetic over the pixel grid.
     def media_decode(spark, sf_dir):
+        # BOTH real image codecs through the one magic-byte dispatch path:
+        # PNG gradient fixtures (lossless roundtrip) and baseline JPEG
+        # constant-block fixtures (exactly-decodable despite the lossy
+        # format: all-ones quant + DC-only blocks)
         from osm2world_spark.operators.multimodal import (
             extract_features,
+            synthetic_jpeg_media,
             synthetic_png_media,
         )
 
-        keys = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
-        media = synthetic_png_media(keys, "o_orderkey", size=16)
-        feats = extract_features(media, real_codecs=True)
+        o = _t(spark, sf_dir, "orders")
+        png = synthetic_png_media(o.where(F.col("o_orderkey") % 50 == 0), "o_orderkey", size=16)
+        jpg = synthetic_jpeg_media(o.where(F.col("o_orderkey") % 50 == 7), "o_orderkey", blocks=2)
+        feats = extract_features(png.unionByName(jpg), real_codecs=True)
         return feats.select(
             "doc_id", F.posexplode("feature").alias("cell", "f")
         ).select(
@@ -2928,14 +2934,23 @@ def oracle_sql() -> dict[str, str]:
     # / 255. The Spark side recovers the exact integer block sum from the
     # float32 feature, so both sides reduce to this closed form.
     sql["media_decode"] = """
-        WITH keys AS (
-          SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 50 = 0
-        ), px AS (
-          SELECT k, (y // 4) * 4 + (x // 4) AS cell,
-                 (y * 16 + x + k) % 256 AS v
-          FROM keys,
+        WITH png_px AS (
+          SELECT o_orderkey AS k, (y // 4) * 4 + (x // 4) AS cell,
+                 (y * 16 + x + o_orderkey) % 256 AS v
+          FROM orders,
                unnest(generate_series(0, 15)) AS ty(y),
                unnest(generate_series(0, 15)) AS tx(x)
+          WHERE o_orderkey % 50 = 0
+        ), jpg_px AS (
+          -- constant 8x8 blocks: pixel value = ((y//8)*2 + (x//8) + 7k) % 256
+          SELECT o_orderkey AS k, (y // 4) * 4 + (x // 4) AS cell,
+                 ((y // 8) * 2 + (x // 8) + o_orderkey * 7) % 256 AS v
+          FROM orders,
+               unnest(generate_series(0, 15)) AS ty(y),
+               unnest(generate_series(0, 15)) AS tx(x)
+          WHERE o_orderkey % 50 = 7
+        ), px AS (
+          SELECT * FROM png_px UNION ALL SELECT * FROM jpg_px
         )
         SELECT CAST(k AS VARCHAR) AS doc_id, CAST(cell AS INT) AS cell,
                CAST(sum(v) AS BIGINT) AS lum_sum

@@ -191,3 +191,153 @@ def calculate_elevations(
     return connectors.withColumn(
         "ele", F.coalesce(from_node, from_owner, terrain)
     )
+
+
+# -------------------------------------------------- validator + zero interp
+
+def zero_interpolate(queries: DataFrame, sites: DataFrame | None = None, **_) -> DataFrame:
+    """ZeroInterpolator (map_elevation/creation/ZeroInterpolator.java):
+    every query point gets elevation 0.0; known sites are ignored. The
+    trivial arm of the TerrainInterpolator strategy matrix."""
+    return queries.withColumn("ele", F.lit(0.0))
+
+
+def validate_constraints(
+    connectors: DataFrame,
+    vertical: DataFrame | None = None,
+    smoothness: DataFrame | None = None,
+) -> DataFrame:
+    """EleConstraintValidator (map_elevation/creation/
+    EleConstraintValidator.java:24-185): a pass-through wrapper's CHECKS as
+    data — it does not change elevations (use validated_enforce for the
+    wrapped pass-through), it returns one row per detected contradiction.
+
+    - `vertical` (upper, lower, ctype in MIN|MAX|EXACT, distance):
+      a vertical-distance constraint between two connectors that the
+      same-ele relation already forces equal is contradictory
+      ("vertical distance despite same ele", :100-116 — only constraints
+      that actually separate the pair count: type != MAX with distance > 0
+      or type != MIN with distance < 0).
+    - `smoothness` (c1, c2, c3): triples whose incline change per meter
+      exceeds the reference's threshold (|inc2 - inc1| / dist > 200,
+      :150-173) are logged.
+
+    The same-ele relation is the SimpleEleConstraintEnforcer component
+    (same position AND (shared reference clique or both ON)), size >= 2 —
+    exactly the stiff sets enforce_simple averages over. Output columns:
+    kind, c1, c2, detail."""
+    pos = F.concat_ws(
+        ",",
+        (F.col("x") + F.lit(0.0)).cast("string"),
+        (F.col("z") + F.lit(0.0)).cast("string"),
+    )
+    on = F.col("ground_state") == "ON"
+    w_ref = Window.partitionBy("_pos", "ref")
+    df = connectors.withColumn("_pos", pos)
+    ref_has_on = F.max(F.when(on, 1).otherwise(0)).over(w_ref)
+    df = df.withColumn(
+        "_comp",
+        F.when(F.col("ref").isNotNull() & (ref_has_on == 1), F.lit("P"))
+        .when(F.col("ref").isNotNull(), F.concat(F.lit("R:"), F.col("ref")))
+        .when(on, F.lit("P"))
+        .otherwise(F.concat(F.lit("S:"), F.col("conn_id"))),
+    )
+    w_comp = Window.partitionBy("_pos", "_comp")
+    comp = df.select(
+        "conn_id",
+        F.concat_ws("|", "_pos", "_comp").alias("comp_key"),
+        (F.count(F.lit(1)).over(w_comp) >= 2).alias("in_stiff_set"),
+        "x",
+        "z",
+        F.col("ele").alias("_y"),
+    )
+
+    spark = connectors.sparkSession
+    warnings = None
+
+    if vertical is not None:
+        separating = (
+            ((F.col("ctype") != "MAX") & (F.col("distance") > 0))
+            | ((F.col("ctype") != "MIN") & (F.col("distance") < 0))
+        )
+        cu = comp.select(
+            F.col("conn_id").alias("upper"),
+            F.col("comp_key").alias("_ku"),
+            F.col("in_stiff_set").alias("_su"),
+        )
+        cl = comp.select(
+            F.col("conn_id").alias("lower"),
+            F.col("comp_key").alias("_kl"),
+            F.col("in_stiff_set").alias("_sl"),
+        )
+        bad = (
+            vertical.where(separating)
+            .join(cu, "upper")
+            .join(cl, "lower")
+            .where(F.col("_su") & F.col("_sl") & (F.col("_ku") == F.col("_kl")))
+            .select(
+                F.lit("vertical distance despite same ele").alias("kind"),
+                F.col("upper").alias("c1"),
+                F.col("lower").alias("c2"),
+                F.concat(F.col("ctype"), F.lit(" "), F.col("distance").cast("string")).alias("detail"),
+            )
+        )
+        warnings = bad
+
+    if smoothness is not None:
+        pts = comp.select("conn_id", "x", "z", "_y")
+
+        def _pt(alias):
+            return pts.select(
+                F.col("conn_id").alias(alias),
+                F.col("x").alias(f"{alias}_x"),
+                F.col("z").alias(f"{alias}_z"),
+                F.col("_y").alias(f"{alias}_y"),
+            )
+
+        t = (
+            smoothness.join(_pt("c1"), "c1").join(_pt("c2"), "c2").join(_pt("c3"), "c3")
+        )
+        d12 = F.sqrt(
+            (F.col("c2_x") - F.col("c1_x")) ** 2 + (F.col("c2_z") - F.col("c1_z")) ** 2
+        )
+        d23 = F.sqrt(
+            (F.col("c3_x") - F.col("c2_x")) ** 2 + (F.col("c3_z") - F.col("c2_z")) ** 2
+        )
+        inc1 = (F.col("c2_y") - F.col("c1_y")) / d12
+        inc2 = (F.col("c3_y") - F.col("c2_y")) / d23
+        d13 = F.sqrt(
+            (F.col("c3_x") - F.col("c1_x")) ** 2 + (F.col("c3_z") - F.col("c1_z")) ** 2
+        )
+        rough = (
+            t.where(F.abs(inc2 - inc1) / d13 > 200.0)
+            .select(
+                F.lit("smoothness").alias("kind"),
+                F.col("c1"),
+                F.col("c3").alias("c2"),
+                F.concat(
+                    F.round(F.abs(inc2 - inc1) * 100, 1).cast("string"),
+                    F.lit("% over "),
+                    F.round(d13, 1).cast("string"),
+                    F.lit("m"),
+                ).alias("detail"),
+            )
+        )
+        warnings = rough if warnings is None else warnings.unionByName(rough)
+
+    if warnings is None:
+        warnings = spark.createDataFrame([], "kind string, c1 string, c2 string, detail string")
+    return warnings
+
+
+def validated_enforce(
+    connectors: DataFrame,
+    vertical: DataFrame | None = None,
+    smoothness: DataFrame | None = None,
+    enforcer=None,
+) -> tuple[DataFrame, DataFrame]:
+    """The EleConstraintValidator wrapper proper: pass every call through
+    to the wrapped enforcer (default SimpleEleConstraintEnforcer) AND
+    return the contradiction rows alongside the enforced result."""
+    inner = enforcer or enforce_simple
+    return inner(connectors), validate_constraints(connectors, vertical, smoothness)

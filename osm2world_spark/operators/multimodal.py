@@ -3,13 +3,13 @@
 Media payloads are opaque `binary` columns + typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
 over `mapInPandas`. The image decode path is REAL for PNG
-(`extract_features(real_codecs=True)` -> functions/png.py, a pure
-stdlib-zlib codec — no PIL/libav in this sandbox): actual pixels are
-reconstructed through the PNG scanline filters and reduced to a 4x4
-block-luminance feature grid. Other media types (jpeg/audio/video)
-would dispatch to their codecs at the same one-function seam; the
-deterministic hash stub (`_fake_decode`) remains for synthetic payloads
-that are not image bytes.
+(functions/png.py, stdlib zlib + numpy scanline filters) AND baseline
+JPEG (functions/jpeg.py, pure-stdlib ITU-T T.81 Huffman + DCT) — no
+PIL/libav in this sandbox: `extract_features(real_codecs=True)`
+dispatches on magic bytes, reconstructs actual pixels, and reduces them
+to a 4x4 block-luminance feature grid. Audio/video would dispatch at the
+same one-function seam; the deterministic hash stub (`_fake_decode`)
+remains for synthetic payloads that are not image bytes.
 """
 
 from __future__ import annotations
@@ -109,13 +109,63 @@ def synthetic_png_media(keys: DataFrame, key_col: str, size: int = 16) -> DataFr
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _png_decode_features(payload: bytes) -> np.ndarray:
-    """REAL decode path: payload is a PNG (stdlib-zlib codec,
-    functions/png.py); features are the 4x4 block mean-luminance grid.
-    Non-PNG media types would dispatch to their codecs here."""
+def synthetic_jpeg_media(keys: DataFrame, key_col: str, blocks: int = 2) -> DataFrame:
+    """One REAL baseline JPEG per key: a (blocks*8 x blocks*8) image whose
+    8x8 blocks are each CONSTANT, value (block_row * blocks + block_col +
+    key * 7) % 256, encoded with the all-ones quantization table — constant
+    blocks quantize to exact DC-only coefficients, so the lossy format
+    roundtrips EXACTLY and the decoded pixels have a closed form the
+    driver oracle can state."""
+    from osm2world_spark.functions.jpeg import encode_jpeg_gray
+
+    base = keys.select(F.col(key_col).cast("bigint").alias("k"))
+    size = blocks * 8
+
+    def gen(batches):
+        by, bx = np.mgrid[0:blocks, 0:blocks]
+        block_idx = (by * blocks + bx).astype(np.int64)
+        for pdf in batches:
+            ks = pdf["k"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(k) for k in ks],
+                    "span_idx": np.zeros(len(ks), np.int32),
+                    "media_ref": [str(k) for k in ks],
+                    "media_type": ["image"] * len(ks),
+                    "payload": [
+                        encode_jpeg_gray(
+                            np.repeat(
+                                np.repeat(((block_idx + int(k) * 7) % 256).astype(np.uint8), 8, axis=0),
+                                8,
+                                axis=1,
+                            )
+                        )
+                        for k in ks
+                    ],
+                    "width": np.full(len(ks), size, np.int32),
+                    "height": np.full(len(ks), size, np.int32),
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _real_decode_features(payload: bytes) -> np.ndarray:
+    """REAL decode path: dispatch on magic bytes — PNG (functions/png.py)
+    or baseline JPEG (functions/jpeg.py), both pure-stdlib codecs;
+    features are the 4x4 block mean-luminance grid."""
     from osm2world_spark.functions.png import block_mean_features, decode_png
 
+    payload = bytes(payload)
+    if payload[:2] == b"\xff\xd8":
+        from osm2world_spark.functions.jpeg import decode_jpeg
+
+        return block_mean_features(decode_jpeg(payload), grid=4)
     return block_mean_features(decode_png(payload), grid=4)
+
+
+# backwards-compatible alias (round-3 name)
+_png_decode_features = _real_decode_features
 
 
 def extract_features(media: DataFrame, real_codecs: bool = False) -> DataFrame:
@@ -129,7 +179,7 @@ def extract_features(media: DataFrame, real_codecs: bool = False) -> DataFrame:
     real_codecs=False keeps the deterministic hash stub for synthetic
     payloads that are not real image bytes (e.g. media_table's
     utf8-of-media_ref placeholders)."""
-    decode = _png_decode_features if real_codecs else _fake_decode
+    decode = _real_decode_features if real_codecs else _fake_decode
 
     def kernel(batches):
         for pdf in batches:

@@ -672,12 +672,20 @@ def _refine_kernel(batches):
 _PAIR_BLOCK = 65_536
 
 
-# adaptive salting: a dense cell with n elements gets S ~ n / _TARGET_SIDE
-# salt buckets (capped), so every (i, j) group's pair-combo count is
+# adaptive salting: a dense cell with n elements gets S = ceil(n /
+# _TARGET_SIDE) salt buckets, so every (i, j) group's pair-combo count is
 # bounded by ~(2 * _TARGET_SIDE)^2 regardless of how dense the city is —
-# the straggler cap that makes wall-clock scale with cores
+# the straggler cap that makes wall-clock scale with cores. The bucket
+# count is fully density-derived up to _MAX_SALT = 1024, i.e. the bounded-
+# task guarantee holds to _TARGET_SIDE * _MAX_SALT = 262k elements PER
+# 100 m CELL (far beyond any real urban density; beyond it groups grow
+# quadratically again). Memory bound: a dense cell replicates each element
+# S times (n * S slim rows ~ n^2 / _TARGET_SIDE), the price of making the
+# quadratic work independently schedulable. The cap also sizes the gkey
+# packing: cell ids use 42 bits (metric_cells), so gi/gj strides of 2^10
+# each keep gkey = cell * _MAX_SALT^2 + gi * _MAX_SALT + gj inside int64.
 _TARGET_SIDE = 256
-_MAX_SALT = 32
+_MAX_SALT = 1024
 
 
 def _dense_cells(covered: DataFrame, threshold: int) -> DataFrame:

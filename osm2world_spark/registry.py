@@ -133,11 +133,14 @@ def _register_builtins() -> None:
     register("ann", "ivf", ivf_topk)
 
     # elevation post-pass (EleConstraintEnforcer dispatch,
-    # O2WConfig.java:373 NONE/SIMPLE)
-    from .operators.elevation import enforce_simple
+    # O2WConfig.java:373 NONE/SIMPLE; validator wraps any enforcer,
+    # EleConstraintValidator.java:24)
+    from .operators.elevation import enforce_simple, validated_enforce, zero_interpolate
 
     register("ele_enforcer", "simple", enforce_simple, "simpleeleconstraintenforcer")
     register("ele_enforcer", "none", lambda df, **kw: df, "noneeleconstraintenforcer")
+    register("ele_enforcer", "validator", validated_enforce, "eleconstraintvalidator")
+    register("interpolator", "zero", zero_interpolate, "zerointerpolator")
 
 
 _register_builtins()

@@ -243,3 +243,80 @@ def test_random_profile_matches_bruteforce(spark):
             assert got[k] is None, k
         else:
             assert got[k] == pytest.approx(want[k]), k
+
+
+def test_zero_interpolator(spark):
+    from osm2world_spark import registry
+    from osm2world_spark.operators.elevation import zero_interpolate
+
+    q = spark.createDataFrame([(1, 2.0, 3.0), (2, 4.0, 5.0)], "q_id int, x double, z double")
+    out = zero_interpolate(q).collect()
+    assert all(r.ele == 0.0 for r in out)
+    assert registry.resolve("interpolator", "ZeroInterpolator") is zero_interpolate
+
+
+def test_constraint_validator_flags_contradiction(spark):
+    """EleConstraintValidator: a MIN vertical-distance constraint between
+    two connectors forced equal by the same-ele relation is contradictory
+    (EleConstraintValidator.java:100-116)."""
+    from osm2world_spark import registry
+    from osm2world_spark.operators.elevation import (
+        validate_constraints,
+        validated_enforce,
+    )
+
+    conns = spark.createDataFrame(
+        [
+            # a and b: same position, both ON -> one stiff set (same ele)
+            ("a", 0.0, 0.0, None, "ON", 10.0),
+            ("b", 0.0, 0.0, None, "ON", 12.0),
+            # c: far away singleton
+            ("c", 9.0, 9.0, None, "ON", 5.0),
+        ],
+        "conn_id string, x double, z double, ref string, ground_state string, ele double",
+    )
+    vertical = spark.createDataFrame(
+        [
+            ("a", "b", "MIN", 2.0),   # contradiction: same ele but must differ
+            ("a", "c", "MIN", 2.0),   # fine: different stiff sets
+            ("a", "b", "MAX", 2.0),   # fine: MAX with positive distance doesn't separate
+        ],
+        "upper string, lower string, ctype string, distance double",
+    )
+    warns = validate_constraints(conns, vertical=vertical).collect()
+    assert len(warns) == 1
+    assert warns[0].kind == "vertical distance despite same ele"
+    assert {warns[0].c1, warns[0].c2} == {"a", "b"}
+
+    # wrapper passes the enforcement through unchanged
+    enforced, warns2 = validated_enforce(conns, vertical=vertical)
+    eles = {r.conn_id: r.ele for r in enforced.collect()}
+    assert eles["a"] == eles["b"] == 11.0  # stiff-set average
+    assert eles["c"] == 5.0
+    assert warns2.count() == 1
+    assert registry.resolve("ele_enforcer", "EleConstraintValidator") is validated_enforce
+
+
+def test_constraint_validator_smoothness_log(spark):
+    from osm2world_spark.operators.elevation import validate_constraints
+
+    conns = spark.createDataFrame(
+        [
+            # sharp kink: inclines -/+ huge over a tiny horizontal span
+            ("p", 0.000, 0.0, None, "ON", 0.0),
+            ("q", 0.001, 0.0, None, "ON", 5.0),
+            ("r", 0.002, 0.0, None, "ON", 0.0),
+            # gentle triple
+            ("u", 0.0, 5.0, None, "ON", 0.0),
+            ("v", 10.0, 5.0, None, "ON", 1.0),
+            ("w", 20.0, 5.0, None, "ON", 2.0),
+        ],
+        "conn_id string, x double, z double, ref string, ground_state string, ele double",
+    )
+    triples = spark.createDataFrame(
+        [("p", "q", "r"), ("u", "v", "w")], "c1 string, c2 string, c3 string"
+    )
+    warns = validate_constraints(conns, smoothness=triples).collect()
+    assert len(warns) == 1
+    assert warns[0].kind == "smoothness"
+    assert warns[0].c1 == "p" and warns[0].c2 == "r"

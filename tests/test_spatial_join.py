@@ -200,3 +200,63 @@ def test_pair_block_chunking_preserves_results(spark):
 
     assert canon(full) == canon(tiny)
     elements.unpersist()
+
+
+def test_dense_cell_salting_bounds_group_pairs(spark):
+    """A >20k-element single-cell hotspot must plan into salted groups
+    whose pair-combo counts stay under the documented bound
+    ((2 * _TARGET_SIDE)^2), with the salt count density-derived (not
+    capped at a fixed small constant)."""
+    import pyspark.sql.functions as F
+
+    from osm2world_spark.operators.spatial_join import (
+        _MAX_SALT,
+        _TARGET_SIDE,
+        _grouped_surface,
+    )
+
+    n = 21_000
+    # tiny elements jittered inside ONE 150 m cell
+    base = spark.range(n).select(
+        F.concat(F.lit("e"), F.col("id")).alias("eid"),
+        F.lit("node").alias("etype"),
+        F.lit(None).cast("bigint").alias("way_key"),
+        F.lit(0).alias("seg_idx"),
+        (10.0 + F.pmod(F.col("id") * 13, 100) / 1.0).alias("x1"),
+        (10.0 + F.pmod(F.col("id") * 7, 100) / 1.0).alias("z1"),
+        F.lit(0.0).alias("x2"),
+        F.lit(0.0).alias("z2"),
+        F.array(F.array(F.lit(0.0), F.lit(0.0))).alias("geom"),
+    ).withColumns(
+        {
+            "minx": F.col("x1"), "minz": F.col("z1"),
+            "maxx": F.col("x1") + 0.5, "maxz": F.col("z1") + 0.5,
+        }
+    )
+    grouped = _grouped_surface(base, cell_size=150.0, salt_buckets=8, dense_threshold=4000)
+    stats = (
+        grouped.groupBy("gkey", "gi", "gj")
+        .agg(
+            F.sum((F.col("salt") == F.col("gi")).cast("int")).alias("n_left"),
+            F.sum((F.col("salt") == F.col("gj")).cast("int")).alias("n_right"),
+        )
+        .collect()
+    )
+    import math
+
+    expected_s = math.ceil(n / _TARGET_SIDE)
+    assert expected_s > 32, "test must exceed the old fixed cap"
+    assert expected_s <= _MAX_SALT
+    salts = {r.gi for r in stats} | {r.gj for r in stats}
+    assert len(salts) == expected_s
+    bound = (2 * _TARGET_SIDE) ** 2
+    worst = 0
+    for r in stats:
+        if r.gi == r.gj:
+            combos = r.n_left * (r.n_left - 1) // 2
+        else:
+            combos = r.n_left * r.n_right
+        worst = max(worst, combos)
+    assert worst <= bound, (worst, bound)
+    # group keys stay unique per (cell, gi, gj) — int64 packing holds
+    assert len({r.gkey for r in stats}) == len(stats)
