@@ -1605,6 +1605,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cag_pieces"] = cag_pieces
 
+    # corpus bigram LM familiarity (perplexity proxy): integer evidence
+    # columns only — the float mean_logp is pytest-covered (log summation
+    # order is not cross-engine deterministic)
+    def ngram_lm(spark, sf_dir):
+        from osm2world_spark.operators.text import ngram_lm_score
+
+        d = _t(spark, sf_dir, "documents")
+        return ngram_lm_score(d, n=2).select("doc_id", "n_ngrams", "sum_freq", "vocab")
+
+    q["ngram_lm"] = ngram_lm
+
+    # S4 Overpass/OSM-JSON source: synthesize real OSM-JSON response
+    # documents from orders (nodes + ways, to_json), parse them back
+    # through the Catalyst-native from_json reader, and emit the element
+    # table — any schema/dialect error breaks the match. The HTTP fetch
+    # itself is the out-of-scope part (no network in the sandbox).
+    def _osm_json_elements(spark, sf_dir):
+        from osm2world_spark.sources.overpass import parse_osm_json
+
+        o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+        lat = F.expr(LAT.format(k="k"))
+        lon = F.expr(LON.format(k="k"))
+        nodes = o.select(
+            (F.col("k") / 200).cast("bigint").alias("response_id"),
+            F.struct(
+                F.lit("node").alias("type"),
+                F.col("k").cast("bigint").alias("id"),
+                lat.alias("lat"),
+                lon.alias("lon"),
+                F.create_map(F.lit("name"), F.concat(F.lit("n"), F.col("k"))).alias("tags"),
+                F.lit(None).cast("array<bigint>").alias("nodes"),
+                F.lit(None).cast(
+                    "array<struct<type:string,ref:bigint,role:string>>"
+                ).alias("members"),
+            ).alias("e"),
+        )
+        ways = (
+            o.groupBy((F.col("k") / 8).cast("bigint").alias("way_id"))
+            .agg(F.sort_array(F.collect_list(F.col("k").cast("bigint"))).alias("node_ids"))
+            .select(
+                (F.col("way_id") * 8 / 200).cast("bigint").alias("response_id"),
+                F.struct(
+                    F.lit("way").alias("type"),
+                    F.col("way_id").alias("id"),
+                    F.lit(None).cast("double").alias("lat"),
+                    F.lit(None).cast("double").alias("lon"),
+                    F.create_map(F.lit("highway"), F.lit("residential")).alias("tags"),
+                    F.col("node_ids").alias("nodes"),
+                    F.lit(None).cast(
+                        "array<struct<type:string,ref:bigint,role:string>>"
+                    ).alias("members"),
+                ).alias("e"),
+            )
+        )
+        responses = (
+            nodes.unionByName(ways)
+            .groupBy("response_id")
+            .agg(
+                F.to_json(
+                    F.struct(
+                        F.lit("0.6").alias("version"),
+                        F.lit("spark").alias("generator"),
+                        F.collect_list("e").alias("elements"),
+                    )
+                ).alias("json")
+            )
+        )
+        return parse_osm_json(responses)
+
+    def osm_json_parse(spark, sf_dir):
+        els = _osm_json_elements(spark, sf_dir)
+        return els.select(
+            "response_id",
+            "elem_type",
+            "elem_id",
+            F.floor(F.col("lat") * 1e7 + 0.5).cast("bigint").alias("lat_u7"),
+            F.floor(F.col("lon") * 1e7 + 0.5).cast("bigint").alias("lon_u7"),
+            F.size("tags").alias("n_tags"),
+            F.coalesce(F.size("node_ids"), F.lit(-1)).alias("n_node_refs"),
+        )
+
+    q["osm_json_parse"] = osm_json_parse
+
+    # way node-ref resolution: posexplode + join + ordered collect
+    def osm_way_geometry(spark, sf_dir):
+        from osm2world_spark.sources.overpass import assemble_way_geometries
+
+        els = _osm_json_elements(spark, sf_dir)
+        ways = assemble_way_geometries(els)
+        return ways.select(
+            F.col("way_id"),
+            F.col("n_pts").cast("bigint").alias("n_pts"),
+            F.col("n_missing"),
+            F.floor(F.element_at("lats", 1) * 1e7 + 0.5).cast("bigint").alias("lat0_u7"),
+            F.floor(F.element_at("lons", 1) * 1e7 + 0.5).cast("bigint").alias("lon0_u7"),
+            F.floor(F.element_at("lats", -1) * 1e7 + 0.5).cast("bigint").alias("lat1_u7"),
+            F.floor(F.element_at("lons", -1) * 1e7 + 0.5).cast("bigint").alias("lon1_u7"),
+        )
+
+    q["osm_way_geometry"] = osm_way_geometry
+
     return _driver_window_order(q)
 
 
@@ -1627,7 +1728,8 @@ _WINDOW_FIRST = [
     "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
-    "srtm_decode", "cag_pieces",
+    "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
+    "osm_way_geometry",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
@@ -1635,8 +1737,7 @@ _WINDOW_FIRST = [
     "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
     "sessionize_events", "asof_events", "interval_events", "session_windows",
-    "nearest_attach", "terrain_patches", "ngram_jaccard", "simhash",
-    "dim_join_agg", "topk_orders",
+    "nearest_attach", "terrain_patches", "ngram_jaccard",
 ]
 
 
@@ -3063,6 +3164,65 @@ def oracle_sql() -> dict[str, str]:
 
     # connector bisector cuts: the exact Column algebra of
     # operators/network.connector_cuts mirrored term by term
+    # osm_json_parse / osm_way_geometry: the synthesized OSM-JSON responses
+    # recomputed directly from orders — parse/dialect errors break the match
+    _lat_k = LAT.format(k="k")
+    _lon_k = LON.format(k="k")
+    sql["osm_json_parse"] = f"""
+        WITH ks AS (SELECT o_orderkey AS k FROM orders),
+        nodes AS (
+          SELECT CAST(k // 200 AS BIGINT) AS response_id,
+                 'node' AS elem_type, CAST(k AS BIGINT) AS elem_id,
+                 cast(floor(({_lat_k}) * 10000000.0 + 0.5) as bigint) AS lat_u7,
+                 cast(floor(({_lon_k}) * 10000000.0 + 0.5) as bigint) AS lon_u7,
+                 1 AS n_tags, -1 AS n_node_refs
+          FROM ks
+        ), ways AS (
+          SELECT CAST((k // 8) * 8 // 200 AS BIGINT) AS response_id,
+                 'way' AS elem_type, CAST(k // 8 AS BIGINT) AS elem_id,
+                 CAST(NULL AS BIGINT) AS lat_u7, CAST(NULL AS BIGINT) AS lon_u7,
+                 1 AS n_tags, CAST(count(*) AS INT) AS n_node_refs
+          FROM ks GROUP BY 1, 2, 3
+        )
+        SELECT * FROM nodes UNION ALL SELECT * FROM ways
+    """
+    sql["osm_way_geometry"] = f"""
+        WITH w AS (
+          SELECT CAST(o_orderkey // 8 AS BIGINT) AS way_id, o_orderkey AS k FROM orders
+        ), ends AS (
+          SELECT way_id, count(*) AS n_pts, min(k) AS k0, max(k) AS k1
+          FROM w GROUP BY way_id
+        )
+        SELECT way_id, CAST(n_pts AS BIGINT) AS n_pts, CAST(0 AS INT) AS n_missing,
+               cast(floor(({LAT.format(k="k0")}) * 10000000.0 + 0.5) as bigint) AS lat0_u7,
+               cast(floor(({LON.format(k="k0")}) * 10000000.0 + 0.5) as bigint) AS lon0_u7,
+               cast(floor(({LAT.format(k="k1")}) * 10000000.0 + 0.5) as bigint) AS lat1_u7,
+               cast(floor(({LON.format(k="k1")}) * 10000000.0 + 0.5) as bigint) AS lon1_u7
+        FROM ends
+    """
+
+    # ngram_lm: corpus bigram counts joined back per doc — exact integer
+    # evidence (gram count, summed corpus frequency, vocabulary size)
+    bigram_list = (
+        "CASE WHEN len(string_split(text, ' ')) - 1 >= 1 THEN "
+        "list_transform(range(len(string_split(text, ' ')) - 1), "
+        "i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]) "
+        "ELSE [text] END"
+    )
+    sql["ngram_lm"] = f"""
+        WITH grams AS (
+          SELECT doc_id, unnest({bigram_list}) AS gram FROM documents
+        ), counts AS (
+          SELECT gram, count(*) AS freq FROM grams GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(sum(c.freq) AS BIGINT) AS sum_freq,
+               CAST((SELECT count(*) FROM counts) AS BIGINT) AS vocab
+        FROM grams g JOIN counts c USING (gram)
+        GROUP BY g.doc_id
+    """
+
     # cag_pieces: the A-minus-B face decomposition of a rectangle whose
     # lower-left corner is strictly covered by B is a single L-shaped
     # hexagon; canonical order starts at the lexicographic min vertex

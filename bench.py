@@ -153,6 +153,11 @@ def main() -> None:
                 "n_tile_rows": n_tiles,
                 "n_overlaps": n_overlaps,
                 "flagship_reps_sec": rep_secs,
+                # r3 swapped ww_intersections (arbitrary %97 all-pairs, ~12s)
+                # for sweep_intersections in the bench SET, so total_sec is
+                # not comparable across r1/r2 vs r3+; the flagship metric
+                # (unchanged definition since r1) is the comparable series.
+                "note": "headline series = flagship_tile_join (definition unchanged since r1); total_sec not comparable to r1/r2 (bench set changed in r3)",
             }
         )
     )

@@ -185,3 +185,55 @@ def tfidf_top_terms(
         F.col("score_u6").desc(), F.col("term").asc()
     )
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram language-model familiarity score (the perplexity-proxy
+    quality signal of a training-data pipeline): per document, the mean
+    add-one-smoothed log-probability of its word n-grams under the
+    corpus's own n-gram counts, plus the exact integer evidence
+    (n_ngrams, sum of corpus frequencies of the doc's n-grams, vocabulary
+    size) so the score is auditable.
+
+    Scale shape: pass 1 builds the corpus n-gram count table (explode +
+    groupBy = ONE shuffle with map-side combine); pass 2 joins each doc's
+    n-grams to the counts on the n-gram key (plain hash join — the count
+    table shards with the corpus, nothing collects) and folds per doc.
+    Skewed head n-grams are bounded by the combine: a count row per
+    distinct n-gram, not per occurrence.
+    """
+    from .dedup import _shingles
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("freq"))
+    vocab = counts.agg(
+        F.count("*").alias("vocab"), F.sum("freq").alias("total_grams")
+    )
+    per_doc = (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum("freq").alias("sum_freq"),
+            F.sum(F.log(F.col("freq") + 1.0)).alias("_sum_log_num"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        F.col("sum_freq").cast("bigint").alias("sum_freq"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        # mean log P(gram) with add-one smoothing over the corpus unigram
+        # model of n-grams: log((freq+1) / (total+vocab)) averaged
+        (
+            (F.col("_sum_log_num") - F.col("n_ngrams") * F.log(F.col("total_grams") + F.col("vocab")))
+            / F.col("n_ngrams")
+        ).alias("mean_logp"),
+    )

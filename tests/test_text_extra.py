@@ -1,5 +1,6 @@
 """TF-IDF top terms and stratified sampling semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from osm2world_spark.operators.packing import stratified_sample
@@ -51,3 +52,32 @@ def test_stratified_sample_rates_and_determinism(spark):
     # unlisted strata default to dropped
     none_kept = stratified_sample(df, {"zzz": 1.0}, id_col="event_id")
     assert none_kept.count() == 0
+
+
+def test_ngram_lm_score(spark):
+    """Bigram LM familiarity: integer evidence exact, mean_logp matches a
+    hand-computed add-one-smoothed unigram-of-bigrams model."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from osm2world_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "x y z"), ("c", "q")],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_lm_score(docs, n=2).collect()}
+    # grams: a -> [x y, y x, x y]; b -> [x y, y z]; c -> [q] (short-doc rule)
+    # counts: "x y": 3, "y x": 1, "y z": 1, "q": 1 -> vocab 4, total 6
+    assert rows["a"].n_ngrams == 3 and rows["a"].sum_freq == 3 + 1 + 3
+    assert rows["b"].n_ngrams == 2 and rows["b"].sum_freq == 3 + 1
+    assert rows["c"].n_ngrams == 1 and rows["c"].sum_freq == 1
+    assert rows["a"].vocab == 4
+    denom = math.log(6 + 4)
+    want_a = (math.log(4) + math.log(2) + math.log(4)) / 3 - denom
+    assert rows["a"].mean_logp == pytest.approx(want_a, abs=1e-12)
+    want_c = math.log(2) - denom
+    assert rows["c"].mean_logp == pytest.approx(want_c, abs=1e-12)
+    # familiar docs score higher than the singleton
+    assert rows["a"].mean_logp > rows["c"].mean_logp
