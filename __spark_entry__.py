@@ -1706,6 +1706,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["osm_way_geometry"] = osm_way_geometry
 
+    # real RIFF/WAVE PCM audio decode: integer-exact windowed evidence
+    # (abs-sum + sign-change count per eighth) recomputed in SQL
+    def audio_decode(spark, sf_dir):
+        from osm2world_spark.operators.multimodal import (
+            extract_features,
+            synthetic_wav_media,
+        )
+
+        keys = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 21)
+        media = synthetic_wav_media(keys, "o_orderkey", n_samples=1024)
+        feats = extract_features(media, real_codecs=True)
+        return feats.select("doc_id", F.posexplode("feature").alias("i", "f")).select(
+            "doc_id",
+            F.col("i").cast("int").alias("i"),
+            F.col("f").cast("bigint").alias("v"),
+        )
+
+    q["audio_decode"] = audio_decode
+
     return _driver_window_order(q)
 
 
@@ -1729,7 +1748,7 @@ _WINDOW_FIRST = [
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
-    "osm_way_geometry",
+    "osm_way_geometry", "audio_decode",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
@@ -1737,7 +1756,7 @@ _WINDOW_FIRST = [
     "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
     "sessionize_events", "asof_events", "interval_events", "session_windows",
-    "nearest_attach", "terrain_patches", "ngram_jaccard",
+    "nearest_attach", "terrain_patches",
 ]
 
 
@@ -3164,6 +3183,37 @@ def oracle_sql() -> dict[str, str]:
 
     # connector bisector cuts: the exact Column algebra of
     # operators/network.connector_cuts mirrored term by term
+    # audio_decode: windowed evidence of the decoded PCM samples — window
+    # w covers samples [floor(1024*w/8), floor(1024*(w+1)/8)); feature
+    # index 2w = sum |s|, 2w+1 = sign changes (s >= 0 transitions)
+    sql["audio_decode"] = """
+        WITH ks AS (
+          SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 50 = 21
+        ), s AS (
+          SELECT k, i,
+                 ((i * (k % 31 + 3) + k) % 2048) - 1024 AS v,
+                 (i * 8) // 1024 AS w
+          FROM ks, unnest(generate_series(0, 1023)) AS t(i)
+        ), marked AS (
+          SELECT k, w, i, v,
+                 CASE WHEN lag(v) OVER (PARTITION BY k, w ORDER BY i) IS NULL
+                      THEN 0
+                      WHEN (v >= 0) != (lag(v) OVER (PARTITION BY k, w ORDER BY i) >= 0)
+                      THEN 1 ELSE 0 END AS sc
+          FROM s
+        ), agg AS (
+          SELECT k, w, sum(abs(v)) AS abs_sum, sum(sc) AS n_sc
+          FROM marked GROUP BY k, w
+        )
+        SELECT CAST(k AS VARCHAR) AS doc_id, CAST(w * 2 AS INT) AS i,
+               CAST(abs_sum AS BIGINT) AS v
+        FROM agg
+        UNION ALL
+        SELECT CAST(k AS VARCHAR) AS doc_id, CAST(w * 2 + 1 AS INT) AS i,
+               CAST(n_sc AS BIGINT) AS v
+        FROM agg
+    """
+
     # osm_json_parse / osm_way_geometry: the synthesized OSM-JSON responses
     # recomputed directly from orders — parse/dialect errors break the match
     _lat_k = LAT.format(k="k")

@@ -151,9 +151,11 @@ def synthetic_jpeg_media(keys: DataFrame, key_col: str, blocks: int = 2) -> Data
 
 
 def _real_decode_features(payload: bytes) -> np.ndarray:
-    """REAL decode path: dispatch on magic bytes — PNG (functions/png.py)
-    or baseline JPEG (functions/jpeg.py), both pure-stdlib codecs;
-    features are the 4x4 block mean-luminance grid."""
+    """REAL decode path: dispatch on magic bytes — PNG (functions/png.py),
+    baseline JPEG (functions/jpeg.py), or RIFF/WAVE PCM audio
+    (functions/wav.py), all pure-stdlib codecs. Images reduce to the 4x4
+    block mean-luminance grid; audio reduces to 8 windows x (abs-sum,
+    sign-change count) — both 16-dim."""
     from osm2world_spark.functions.png import block_mean_features, decode_png
 
     payload = bytes(payload)
@@ -161,6 +163,10 @@ def _real_decode_features(payload: bytes) -> np.ndarray:
         from osm2world_spark.functions.jpeg import decode_jpeg
 
         return block_mean_features(decode_jpeg(payload), grid=4)
+    if payload[:4] == b"RIFF":
+        from osm2world_spark.functions.wav import audio_window_features, decode_wav
+
+        return audio_window_features(decode_wav(payload)[0], windows=8)
     return block_mean_features(decode_png(payload), grid=4)
 
 
@@ -194,3 +200,36 @@ def extract_features(media: DataFrame, real_codecs: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+def synthetic_wav_media(keys: DataFrame, key_col: str, n_samples: int = 1024) -> DataFrame:
+    """One REAL RIFF/WAVE PCM payload per key: 16-bit mono, sample i =
+    ((i * (k % 31 + 3) + k) % 2048) - 1024 — pure integer arithmetic, so
+    the decoded windowed evidence (abs-sum, sign changes) has a closed
+    form the driver oracle can recompute."""
+    from osm2world_spark.functions.wav import encode_wav
+
+    base = keys.select(F.col(key_col).cast("bigint").alias("k"))
+
+    def gen(batches):
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ks = pdf["k"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(k) for k in ks],
+                    "span_idx": np.zeros(len(ks), np.int32),
+                    "media_ref": [str(k) for k in ks],
+                    "media_type": ["audio"] * len(ks),
+                    "payload": [
+                        encode_wav(
+                            (((idx * (int(k) % 31 + 3) + int(k)) % 2048) - 1024).astype(np.int16)
+                        )
+                        for k in ks
+                    ],
+                    "width": np.full(len(ks), n_samples, np.int32),
+                    "height": np.ones(len(ks), np.int32),
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)

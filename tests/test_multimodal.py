@@ -118,3 +118,59 @@ def test_extract_features_real_codecs_through_spark(spark):
     assert set(got) == set(want)
     for ref in want:
         assert np.array_equal(got[ref], want[ref]), ref
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+    import pytest as _pytest
+
+    from osm2world_spark.functions.wav import (
+        audio_window_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32767, 1000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, sample_rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(s, mono)
+    # stereo interleave roundtrip
+    stereo = rng.integers(-32768, 32767, (500, 2)).astype(np.int16)
+    s2, _ = decode_wav(encode_wav(stereo))
+    np.testing.assert_array_equal(s2, stereo)
+    # odd-size chunk word alignment: extra unknown chunk before data
+    raw = encode_wav(mono)
+    injected = raw[:12] + b"LIST\x05\x00\x00\x00hello\x00" + raw[12:]
+    fixed = injected[:4] + (len(injected) - 8).to_bytes(4, "little") + injected[8:]
+    s3, _ = decode_wav(fixed)
+    np.testing.assert_array_equal(s3, mono)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x89PNG1234567890")
+    # windowed evidence closed form
+    samples = np.array([3, -4, 5, -6, 7, 8, -9, 10], dtype=np.int16)
+    f = audio_window_features(samples, windows=2)
+    assert f.tolist() == [3 + 4 + 5 + 6, 3.0, 7 + 8 + 9 + 10, 2.0]
+
+
+def test_audio_dispatch_in_extract_features(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from osm2world_spark.operators.multimodal import (
+        extract_features,
+        synthetic_wav_media,
+    )
+
+    keys = spark.range(3).select((F.col("id") * 50 + 21).alias("k"))
+    media = synthetic_wav_media(keys, "k", n_samples=1024)
+    rows = {r.doc_id: r.feature for r in extract_features(media, real_codecs=True).collect()}
+    assert len(rows) == 3
+    for k_str, feat in rows.items():
+        k = int(k_str)
+        idx = np.arange(1024, dtype=np.int64)
+        s = ((idx * (k % 31 + 3) + k) % 2048) - 1024
+        seg = s[:128]
+        assert feat[0] == float(np.abs(seg).sum())
+        sign = seg >= 0
+        assert feat[1] == float(np.count_nonzero(sign[1:] != sign[:-1]))
