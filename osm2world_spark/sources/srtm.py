@@ -196,3 +196,21 @@ def hgt_sites(
         & (py < F.least(last, F.floor(PIXELS * (F.lit(maxlat) - F.col("cell_lat")))))
     )
     return raster_sites(pixels, origin)
+
+
+def read_hgt_dir(spark, tile_dir: str) -> DataFrame:
+    """Tile directory -> (file_name, payload) rows via Spark's binaryFile
+    source — one task per file, executors read payloads directly (the
+    distributed analogue of SRTMData's lazy per-cell file loading). Only
+    SRTM-pattern names are scanned (pathGlobFilter prunes at listing
+    time, before any bytes move), matching loadTileIfNecessary's
+    pattern-matched directory listing (SRTMData.java:86-110)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.hgt*")
+        .load(tile_dir)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content").alias("payload"),
+    )

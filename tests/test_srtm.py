@@ -117,3 +117,21 @@ def test_hgt_sites_bounds_and_blank(spark):
     probe_x, probe_y = x0 + 1, y0 + 1
     if grid[probe_y, probe_x] != BLANK_VALUE:
         assert ids[f"13_48_{probe_x}_{probe_y}"] == float(grid[probe_y, probe_x])
+
+
+def test_read_hgt_dir_binaryfile(spark, tmp_path):
+    from osm2world_spark.sources.srtm import decode_hgt_tiles, read_hgt_dir
+
+    g1, g2 = _grid(11), _grid(12)
+    (tmp_path / "N48E013.hgt").write_bytes(encode_hgt(g1))
+    (tmp_path / "N48E014.hgt.zip").write_bytes(encode_hgt(g2, zipped=True))
+    (tmp_path / "README.txt").write_text("not a tile")
+    files = read_hgt_dir(spark, str(tmp_path))
+    assert {r.file_name for r in files.select("file_name").collect()} == {
+        "N48E013.hgt",
+        "N48E014.hgt.zip",
+    }
+    px = decode_hgt_tiles(files)
+    row = px.where("cell_lon = 13 AND px = 7 AND py = 9").first()
+    assert row.elev == g1[9, 7]
+    assert px.count() == 2 * PIXELS * PIXELS
