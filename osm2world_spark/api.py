@@ -87,6 +87,43 @@ class Engine:
 
         return clip_to_tiles(elements, self._origin(), zoom=zoom or self.config.cell_zoom)
 
+    def subtract(self, pairs: DataFrame, snap: float | None = 1e-3) -> DataFrame:
+        """CAG piece geometry: A - B result polygons with holes
+        (CAGUtil.subtractPolygons)."""
+        from .operators.cag import cag_pieces
+
+        return cag_pieces(pairs, op="subtract", snap=snap)
+
+    def intersect(self, pairs: DataFrame, snap: float | None = 1e-3) -> DataFrame:
+        """CAG piece geometry: A ∩ B result polygons
+        (CAGUtil.intersectPolygons)."""
+        from .operators.cag import cag_pieces
+
+        return cag_pieces(pairs, op="intersect", snap=snap)
+
+    def srtm_sites(self, tile_dir: str, minlat: float, minlon: float,
+                   maxlat: float, maxlon: float) -> DataFrame:
+        """Real SRTM .hgt tiles -> metric elevation sites
+        (SRTMData.getSites semantics incl. seam pad)."""
+        from .sources.srtm import hgt_sites, read_hgt_dir
+
+        files = read_hgt_dir(self.spark, tile_dir)
+        return hgt_sites(files, self._origin(), minlat, minlon, maxlat, maxlon)
+
+    def osm_elements(self, responses: DataFrame) -> DataFrame:
+        """Overpass / OSM-API JSON responses -> element rows
+        (OverpassReader + JsonReader semantics)."""
+        from .sources.overpass import parse_osm_json
+
+        return parse_osm_json(responses)
+
+    def media_features(self, media: DataFrame) -> DataFrame:
+        """Decode media payloads (PNG / baseline JPEG / WAV PCM, by magic
+        bytes) into fixed 16-dim feature rows."""
+        from .operators.multimodal import extract_features
+
+        return extract_features(media, real_codecs=True)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",

@@ -57,3 +57,51 @@ def test_engine_interpolator_config(spark):
     eng = Engine(spark, EngineConfig(interpolator="idw"))
     rows = eng.elevations(queries, sites).collect()
     assert len(rows) == 1 and abs(rows[0]["ele"] - 5.0) < 1e-9
+
+
+def test_engine_round4_surfaces(spark, tmp_path):
+    """The round-4 sources/operators are reachable from the facade."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.api import Engine
+    from osm2world_spark.sources.srtm import encode_hgt
+    from osm2world_spark.functions.png import encode_png
+    from osm2world_spark.sources.raster import PIXELS
+
+    eng = Engine(spark)
+
+    # CAG subtract through the facade
+    pairs = spark.createDataFrame(
+        [("p", [[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0]],
+          [[-5.0, -5.0, 4.0, -5.0, 4.0, 6.0, -5.0, 6.0, -5.0, -5.0]])],
+        "pair_id string, a_geom array<array<double>>, b_geom array<array<double>>",
+    )
+    assert eng.subtract(pairs).count() == 1
+    assert eng.intersect(pairs).count() == 1
+
+    # SRTM directory -> sites
+    grid = np.full((PIXELS, PIXELS), 500, dtype=np.int16)
+    (tmp_path / "N48E013.hgt").write_bytes(encode_hgt(grid))
+    sites = eng.srtm_sites(str(tmp_path), 48.05, 13.10, 48.06, 13.11)
+    assert sites.count() > 0
+
+    # OSM JSON -> elements
+    resp = spark.createDataFrame(
+        [(0, json.dumps({"version": 0.6, "elements": [
+            {"type": "node", "id": 1, "lat": 48.5, "lon": 13.3}]}))],
+        "response_id int, json string",
+    )
+    els = eng.osm_elements(resp)
+    assert els.where("version_ok").count() == 1
+
+    # media decode through the facade (PNG path)
+    media = spark.createDataFrame(
+        [("d", 0, "r", "image", bytearray(encode_png(np.zeros((8, 8), np.uint8))), 8, 8)],
+        "doc_id string, span_idx int, media_ref string, media_type string, "
+        "payload binary, width int, height int",
+    )
+    feats = eng.media_features(media).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 16
