@@ -1725,6 +1725,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_decode"] = audio_decode
 
+    # PII/URL scrub: deterministic emails/URLs injected per doc, masked by
+    # the Column regexp pass; md5 of the scrubbed text is the value hash
+    def pii_scrub(spark, sf_dir):
+        from osm2world_spark.operators.text import pii_scrub as ps
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.concat(F.lit(" http://ex.com/p/"), F.col("doc_id"))
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        out = ps(d)
+        return out.select("doc_id", "n_urls", "n_emails", F.md5("scrubbed").alias("scrub_md5"))
+
+    q["pii_scrub"] = pii_scrub
+
     return _driver_window_order(q)
 
 
@@ -1748,7 +1768,7 @@ _WINDOW_FIRST = [
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
-    "osm_way_geometry", "audio_decode",
+    "osm_way_geometry", "audio_decode", "pii_scrub",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
@@ -1756,7 +1776,7 @@ _WINDOW_FIRST = [
     "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
     "sessionize_events", "asof_events", "interval_events", "session_windows",
-    "nearest_attach", "terrain_patches",
+    "nearest_attach",
 ]
 
 
@@ -3183,6 +3203,27 @@ def oracle_sql() -> dict[str, str]:
 
     # connector bisector cuts: the exact Column algebra of
     # operators/network.connector_cuts mirrored term by term
+    # pii_scrub: recompute injection + masking in DuckDB (RE2 and Java
+    # regex agree on the explicit-character-class patterns)
+    sql["pii_scrub"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' contact: user' || doc_id || '@example.com'
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' http://ex.com/p/' || doc_id ELSE '' END AS text
+          FROM documents
+        ), u AS (
+          SELECT doc_id,
+                 len(string_split_regex(text, 'https?://[^ \t\n]+')) - 1 AS n_urls,
+                 regexp_replace(text, 'https?://[^ \t\n]+', '<URL>', 'g') AS t1
+          FROM d
+        )
+        SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
+               CAST(len(string_split_regex(t1, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+')) - 1 AS INT) AS n_emails,
+               md5(regexp_replace(t1, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g')) AS scrub_md5
+        FROM u
+    """
+
     # audio_decode: windowed evidence of the decoded PCM samples — window
     # w covers samples [floor(1024*w/8), floor(1024*(w+1)/8)); feature
     # index 2w = sum |s|, 2w+1 = sign changes (s >= 0 transitions)

@@ -237,3 +237,37 @@ def ngram_lm_score(
             / F.col("n_ngrams")
         ).alias("mean_logp"),
     )
+
+
+# conservative patterns (explicit character classes only, so the Java-regex
+# engine in Spark and RE2 in DuckDB agree symbol for symbol)
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+URL_RE = "https?://[^ \\t\\n]+"
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+) -> DataFrame:
+    """PII / URL scrubbing (the standard pre-training text hygiene pass):
+    masks email addresses and URLs with placeholder tokens and surfaces the
+    per-doc match counts as audit columns. Pure Column regexp arithmetic —
+    whole-stage codegen, no Python, trivially linear at any corpus size.
+
+    Counts are computed BEFORE masking (a URL containing an @ would
+    otherwise double-mask); URLs are masked first so an email inside a URL
+    counts once, as part of the URL."""
+    t = F.col(text_col)
+    n_urls = F.size(F.split(t, URL_RE, -1)) - 1
+    scrub_u = F.regexp_replace(t, URL_RE, url_token)
+    n_emails = F.size(F.split(scrub_u, EMAIL_RE, -1)) - 1
+    scrubbed = F.regexp_replace(scrub_u, EMAIL_RE, email_token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_urls.cast("int").alias("n_urls"),
+        n_emails.cast("int").alias("n_emails"),
+        scrubbed.alias("scrubbed"),
+    )

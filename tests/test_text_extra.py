@@ -81,3 +81,26 @@ def test_ngram_lm_score(spark):
     assert rows["c"].mean_logp == pytest.approx(want_c, abs=1e-12)
     # familiar docs score higher than the singleton
     assert rows["a"].mean_logp > rows["c"].mean_logp
+
+
+def test_pii_scrub(spark):
+    from osm2world_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "write to john.doe+x@corp.example.org or visit https://ex.com/a?q=1 now"),
+            ("b", "no pii here"),
+            ("c", "two mails x@y.io and z@w.co plus http://u.v/w"),
+            # an email-looking string inside a URL counts as the URL only
+            ("d", "see https://ex.com/mail/me@host.com please"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows["a"].n_emails == 1 and rows["a"].n_urls == 1
+    assert rows["a"].scrubbed == "write to <EMAIL> or visit <URL> now"
+    assert rows["b"].n_emails == 0 and rows["b"].n_urls == 0
+    assert rows["b"].scrubbed == "no pii here"
+    assert rows["c"].n_emails == 2 and rows["c"].n_urls == 1
+    assert rows["d"].n_urls == 1 and rows["d"].n_emails == 0
+    assert rows["d"].scrubbed == "see <URL> please"
