@@ -135,3 +135,20 @@ def stream_session_stats(
             "sum_value",
         )
     )
+
+
+def stream_dedup_documents(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same doc_id whose
+    event times fall within the watermark window
+    (`dropDuplicatesWithinWatermark`), the streaming twin of the batch
+    exact-dedup pass. State is bounded by the watermark — the dedup key
+    set older than the delay is evicted, so a continuous ingest never
+    accumulates unbounded keys (the property a plain dropDuplicates on a
+    stream would violate)."""
+    return docs_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["doc_id"]
+    )

@@ -137,3 +137,41 @@ def test_stream_session_stats_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_documents(spark, tmp_path):
+    """Watermarked streaming dedup passes each doc_id once per watermark
+    window and agrees with the batch exact-dedup count."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.sources.documents import synthetic_documents
+    from osm2world_spark.streaming.ingest import stream_dedup_documents
+
+    src = str(tmp_path / "in")
+    docs = synthetic_documents(spark, 200, seed=3).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + F.pmod(F.xxhash64("doc_id"), F.lit(60))),
+    )
+    # duplicate every row (a re-delivery within the watermark window)
+    docs.unionByName(docs).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, spans array<struct<kind string, text string, "
+            "media_ref string, offset int>>, ingest_ts timestamp"
+        )
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_dedup_documents(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("doc_id").distinct().count() == 200
