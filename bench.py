@@ -124,6 +124,21 @@ def main() -> None:
             lambda: _mnd(documents, k=32, bands=8, threshold=0.2, portable=False).count(),
             reps=min(reps, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))),
         )
+    if names:
+        # clip operator (vectorized r4): per-tile split of the full element
+        # surface at z14 — NEW key in r4, does not affect older series
+        from osm2world_spark.operators.clip import clip_to_tiles
+        from osm2world_spark.sources.documents import DEFAULT_ORIGIN
+
+        clip_docs = synthetic_documents(spark, 40000, seed=7, constant_density=True)
+        clip_elems = extract_elements(clip_docs).persist()
+        clip_elems.count()
+        timed(
+            "clip_tiles_40k",
+            lambda: clip_to_tiles(clip_elems, DEFAULT_ORIGIN, zoom=14).count(),
+            reps=min(reps, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))),
+        )
+        clip_elems.unpersist()
     for name in names:
         try:
             # best of `reps` identical runs (first execution pays one-time
