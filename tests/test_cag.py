@@ -126,3 +126,47 @@ def test_cag_pieces_canonical_order(spark):
     assert outer[:4] == [0.0, 6.0, 4.0, 6.0]
     assert rows[0].n_holes == 0
     assert rows[0].area == pytest.approx(76.0)
+
+
+def test_area_consistency_random_convex(spark):
+    """Face decomposition vs triangle-decomposition areas on random CONVEX
+    polygons (generic segment directions, multi-intersection boundaries —
+    nothing axis-aligned)."""
+    from osm2world_spark.operators.boolean import polygon_boolean
+
+    def convex(rng, cx, cz, r):
+        # star polygon with every angular gap < pi (gap fractions bounded
+        # by 1.5 / (0.5*(n-1) + 1.5) < 0.5), so the ring is always simple
+        n = int(rng.integers(5, 9))
+        inc = rng.uniform(0.5, 1.5, n)
+        angles = 2 * np.pi * np.cumsum(inc) / inc.sum()
+        xs = cx + np.cos(angles) * r * rng.uniform(0.7, 1.3, len(angles))
+        zs = cz + np.sin(angles) * r * rng.uniform(0.7, 1.3, len(angles))
+        ring = np.empty(2 * (len(xs) + 1))
+        ring[0:-2:2], ring[1:-2:2] = xs, zs
+        ring[-2], ring[-1] = xs[0], zs[0]
+        return [[float(v) for v in ring]]
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(25):
+        a = convex(rng, float(rng.uniform(0, 40)), float(rng.uniform(0, 40)), 20.0)
+        b = convex(rng, float(rng.uniform(0, 40)), float(rng.uniform(0, 40)), 15.0)
+        rows.append((str(i), a, b))
+    pairs = spark.createDataFrame(
+        rows, "pair_id string, a_geom array<array<double>>, b_geom array<array<double>>"
+    )
+    booleans = {r["pair_id"]: r for r in polygon_boolean(pairs).collect()}
+    piece_area = {}
+    for r in cag_pieces(pairs, op="subtract").collect():
+        piece_area[r.pair_id] = piece_area.get(r.pair_id, 0.0) + r.area
+    inter_area = {}
+    for r in cag_pieces(pairs, op="intersect").collect():
+        inter_area[r.pair_id] = inter_area.get(r.pair_id, 0.0) + r.area
+    for pid, b in booleans.items():
+        assert piece_area.get(pid, 0.0) == pytest.approx(
+            b["area_a"] - b["area_intersection"], abs=1e-6
+        ), pid
+        assert inter_area.get(pid, 0.0) == pytest.approx(
+            b["area_intersection"], abs=1e-6
+        ), pid
