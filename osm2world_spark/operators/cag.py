@@ -25,6 +25,13 @@ containment tests are vectorized numpy, the face trace is the reference's
 own O(edges) loop. This operator backs the rare-by-construction paths
 (shrinkHugeAreas residuals, terrain cutouts), not the per-element hot
 path.
+
+Known limitation (shared with the reference's own face decomposition):
+COLLINEAR OVERLAPPING boundary segments between inputs are not noded
+against each other (the zero-denominator case is skipped, like
+SimpleLineSegmentIntersectionFinder) — polygons sharing a partial
+boundary edge should go through the area-only polygon_boolean kernel,
+whose Sutherland-Hodgman clipping handles tangency exactly.
 """
 
 from __future__ import annotations
