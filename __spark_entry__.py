@@ -1745,6 +1745,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    # IVF with the deterministic first_k codebook: the whole inverted
+    # index (centroids, cell assignment, probes, rerank) is SQL-rebuildable
+    # so the driver hash-verifies the IVF plumbing end to end (the kmeans
+    # codebook variant stays rows-only — iterative training is not SQL)
+    def ivf_ann_fixed(spark, sf_dir):
+        from osm2world_spark.operators.similarity import ivf_topk
+
+        e = _t(spark, sf_dir, "embeddings")
+        return ivf_topk(
+            e.where(F.col("vec_id") < 20), e, k=5, n_cells=16, n_probe=4,
+            codebook="first_k",
+        )
+
+    q["ivf_ann_fixed"] = ivf_ann_fixed
+
     return _driver_window_order(q)
 
 
@@ -1768,7 +1783,7 @@ _WINDOW_FIRST = [
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
-    "osm_way_geometry", "audio_decode", "pii_scrub",
+    "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
@@ -1776,7 +1791,6 @@ _WINDOW_FIRST = [
     "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
     "sessionize_events", "asof_events", "interval_events", "session_windows",
-    "nearest_attach",
 ]
 
 
@@ -2371,6 +2385,54 @@ def oracle_sql() -> dict[str, str]:
                  round({dot} / ({nrm.format(v='q')} * {nrm.format(v='c')}), 6) AS cos_sim
           FROM embeddings q CROSS JOIN embeddings c
           WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        )
+        WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
+        QUALIFY row_number() OVER w <= 5
+    """
+
+    # ivf_ann_fixed: rebuild the deterministic IVF index in SQL —
+    # centroids = 16 lowest-id embeddings, each vector assigned to its
+    # max-cosine centroid (ties -> lower centroid index, matching the
+    # stable argsort), queries probe their 4 nearest cells, exact rerank
+    _csim = (
+        "list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(range(len(c.embedding)), i -> c.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE))))"
+    )
+    sql["ivf_ann_fixed"] = f"""
+        WITH cent AS (
+          SELECT vec_id, embedding,
+                 cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS c_idx
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), corpus_cells AS (
+          SELECT n_id, cell FROM (
+            SELECT e.vec_id AS n_id, c.c_idx AS cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_csim} DESC, c.c_idx ASC
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE rnk = 1
+        ), probes AS (
+          SELECT q_id, cell FROM (
+            SELECT e.vec_id AS q_id, c.c_idx AS cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_csim} DESC, c.c_idx ASC
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id < 20
+          ) WHERE rnk <= 4
+        )
+        SELECT q_id, cast(row_number() OVER w AS int) AS rank, n_id, cos_sim
+        FROM (
+          SELECT p.q_id, cc.n_id,
+                 round({dot.replace('q.embedding', 'q.embedding').replace('c.embedding', 'n.embedding')}
+                       / ({nrm.format(v='q')} * {nrm.format(v='n')}), 6) AS cos_sim
+          FROM probes p
+          JOIN corpus_cells cc ON cc.cell = p.cell AND cc.n_id != p.q_id
+          JOIN embeddings q ON q.vec_id = p.q_id
+          JOIN embeddings n ON n.vec_id = cc.n_id
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
         QUALIFY row_number() OVER w <= 5

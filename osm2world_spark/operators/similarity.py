@@ -197,17 +197,32 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: str = "kmeans",
 ) -> DataFrame:
-    """IVF approximate top-k: a coarse spherical-k-means codebook routes
-    each corpus vector to its nearest centroid cell; queries probe their
-    `n_probe` nearest cells and rerank exactly within them. The inverted
-    index is the partitioning — at scale the corpus is written partitioned
-    by cell and a probe reads n_probe/n_cells of the data."""
+    """IVF approximate top-k: a coarse codebook routes each corpus vector
+    to its nearest centroid cell; queries probe their `n_probe` nearest
+    cells and rerank exactly within them. The inverted index is the
+    partitioning — at scale the corpus is written partitioned by cell and
+    a probe reads n_probe/n_cells of the data.
+
+    codebook='kmeans' (production): deterministic spherical k-means over a
+    hash-sampled subset. codebook='first_k': the n_cells lowest-id corpus
+    vectors, normalized — lower recall, but a pure function of the input
+    with no iterative training, so a SQL oracle can rebuild the whole
+    index (the driver-verified variant)."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import ArrayType, IntegerType
 
-    C = train_ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    if codebook == "first_k":
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col)).limit(n_cells).collect()
+        )
+        X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+        C = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    else:
+        C = train_ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     C_list = C.tolist()
 
     def make_assign(n_top: int):

@@ -51,3 +51,21 @@ def test_ivf_topk_recall(spark):
         ap.setdefault(r["q_id"], set()).add(r["n_id"])
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.8  # clustered data routes well
+
+
+def test_ivf_first_k_codebook(spark):
+    """The deterministic first_k codebook variant: exact within probed
+    cells, and recall against brute force is meaningful (> 0.5 with
+    4/16 probes on the synthetic table)."""
+    from osm2world_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where("vec_id < 10")
+    brute = {(r.q_id, r.n_id) for r in cosine_topk(q, e, k=5).collect()}
+    ivf = {(r.q_id, r.n_id) for r in ivf_topk(q, e, k=5, n_cells=16, n_probe=4, codebook="first_k").collect()}
+    assert len(ivf) > 0
+    recall = len(brute & ivf) / len(brute)
+    assert recall > 0.5, recall
+    # deterministic: identical result on a re-run
+    ivf2 = {(r.q_id, r.n_id) for r in ivf_topk(q, e, k=5, n_cells=16, n_probe=4, codebook="first_k").collect()}
+    assert ivf == ivf2
