@@ -1760,6 +1760,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_fixed"] = ivf_ann_fixed
 
+    # winnowing fingerprint near-dups (MOSS algorithm): portable md5
+    # k-gram hashes so DuckDB rebuilds identical fingerprints/windows
+    def winnow_dups(spark, sf_dir):
+        from osm2world_spark.operators.dedup import winnow_near_dups
+
+        d = _t(spark, sf_dir, "documents")
+        return winnow_near_dups(d, k=8, w=8, min_shared=12, portable=True)
+
+    q["winnow_dups"] = winnow_dups
+
     return _driver_window_order(q)
 
 
@@ -1784,13 +1794,14 @@ _WINDOW_FIRST = [
     # round-4 additions
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
+    "winnow_dups",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
     "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
-    "sessionize_events", "asof_events", "interval_events", "session_windows",
+    "sessionize_events", "asof_events", "interval_events",
 ]
 
 
@@ -2388,6 +2399,36 @@ def oracle_sql() -> dict[str, str]:
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
         QUALIFY row_number() OVER w <= 5
+    """
+
+    # winnow_dups: rebuild the winnowing fingerprints in SQL — md5-prefix
+    # k-gram hashes, per-window min with rightmost tie-break, distinct
+    # (doc, fp), 0.2-df cap, fp-keyed pair join
+    sql["winnow_dups"] = """
+        WITH d AS (
+          SELECT doc_id, text, greatest(len(text) - 7, 0) AS n_grams
+          FROM documents
+        ), h AS (
+          SELECT doc_id, n_grams,
+                 list_transform(range(n_grams),
+                   i -> ('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT) AS hashes
+          FROM d WHERE n_grams >= 8
+        ), wins AS (
+          SELECT doc_id, j,
+                 list_min(list_slice(hashes, j + 1, j + 8)) AS fp
+          FROM h, unnest(range(n_grams - 7)) AS t(j)
+        ), fps AS (
+          SELECT DISTINCT doc_id, fp FROM wins
+        ), capped AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+          ) WHERE df <= greatest(1, cast(floor(0.2 * (SELECT count(*) FROM documents)) as bigint))
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 12
     """
 
     # ivf_ann_fixed: rebuild the deterministic IVF index in SQL —

@@ -355,3 +355,108 @@ def decontaminate(
             F.coalesce(F.col("is_contaminated"), F.lit(False)).alias("is_contaminated"),
         )
     return docs.join(hit_ids, docs[id_col] == hit_ids["doc_id"], "left_anti")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every character k-gram, slide a
+    window of `w` hashes, select each window's MINIMUM (rightmost
+    occurrence on ties), dedupe selections. Guarantees: any shared
+    substring of length >= k + w - 1 yields at least one shared
+    fingerprint, and fingerprint density is ~2/(w+1).
+
+    Output: (doc_id, fp, pos) distinct rows — pos is the 0-based k-gram
+    offset, kept so matches can be verified/located exactly.
+
+    Relational shape: k-grams EXPLODE to rows so each gram is hashed
+    exactly once (a nested array formulation re-inlines the hash array
+    into every window lambda — Catalyst has no common-subexpression
+    elimination across lambdas, turning O(n) hashes into O(n*w)); the
+    w-window min-with-rightmost-tie-break is a bounded collect over
+    `rowsBetween(0, w-1)` on the per-doc position order — ONE exchange,
+    window state capped at w rows. `portable=True` switches the k-gram
+    hash to the md5-prefix family so a SQL oracle rebuilds identical
+    fingerprints (production default: xxhash64)."""
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(0))
+
+    g = F.col("_gram")
+    gram_hash = (
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+        if portable
+        else F.xxhash64(g)
+    )
+    grams = (
+        docs.where(n_grams >= w)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.substring(t, i + 1, k),
+                )
+            ).alias("i", "_gram"),
+        )
+        .select("doc_id", "i", gram_hash.alias("gh"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    pairs = F.collect_list(F.struct(F.col("gh"), F.col("i"))).over(win)
+    mn = F.array_min(F.transform(F.col("_win"), lambda s: s["gh"]))
+    rightmost = F.array_max(
+        F.transform(
+            F.col("_win"), lambda s: F.when(s["gh"] == mn, s["i"]).otherwise(F.lit(-1))
+        )
+    )
+    return (
+        grams.withColumn("_win", pairs)
+        .where(F.size("_win") == w)  # complete windows only
+        .select(
+            "doc_id",
+            mn.alias("fp"),
+            rightmost.cast("int").alias("pos"),
+        )
+        .dropDuplicates(["doc_id", "fp", "pos"])
+    )
+
+
+def winnow_near_dups(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: float | int | None = 0.2,
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing-based near-duplicate pairs: docs sharing >= `min_shared`
+    distinct fingerprints (any common substring of length >= k + w - 1 is
+    guaranteed to surface at least one). The fingerprint-keyed self-join
+    is the same bucketed shape as the shingle join (no all-pairs), with
+    the fractional-df hot-key cap dropping stop-gram fingerprints."""
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col, portable=portable)
+    fp = fp.select("doc_id", "fp").dropDuplicates(["doc_id", "fp"])
+    if max_df:
+        df_col = F.count("*").over(Window.partitionBy("fp"))
+        fp = fp.withColumn("df", df_col)
+        if isinstance(max_df, float):
+            n_docs = docs.count()
+            cap = max(1, int(max_df * n_docs))
+        else:
+            cap = int(max_df)
+        fp = fp.where(F.col("df") <= cap).drop("df")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -174,3 +174,67 @@ def test_decontaminate_ngram_hits_and_clean_passthrough(spark):
     assert clean == {"t2", "t4"}
     flags = {r["doc_id"]: r["is_contaminated"] for r in decontaminate(d, probes, flag_only=True).collect()}
     assert flags == {"t1": True, "t2": False, "t3": True, "t4": False}
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing guarantee: a shared substring of length >= k + w - 1
+    yields at least one shared fingerprint; unrelated texts share none;
+    fingerprint density ~ 2/(w+1)."""
+    from osm2world_spark.operators.dedup import winnow_fingerprints, winnow_near_dups
+
+    shared = "GUARANTEED-COMMON-SUBSTRING-AT-LEAST-K-PLUS-W"  # 45 >= 8+8-1
+    docs = spark.createDataFrame(
+        [
+            ("a", "prefix alpha " + shared + " suffix one"),
+            ("b", "totally different start " + shared + " other tail"),
+            ("c", "zq!7#kv9@wx2$mn4%pl6^rs8&tu0*ab1(cd3)ef5-gh"),
+        ],
+        "doc_id string, text string",
+    )
+    fp = winnow_fingerprints(docs, k=8, w=8).cache()
+    by_doc = {
+        d: {r.fp for r in rows}
+        for d, rows in [
+            (x, fp.where(fp.doc_id == x).collect()) for x in ("a", "b", "c")
+        ]
+    }
+    assert by_doc["a"] & by_doc["b"], "shared substring must share a fingerprint"
+    assert not (by_doc["a"] & by_doc["c"])
+    assert not (by_doc["b"] & by_doc["c"])
+    # density: ~2/(w+1) of the ~n k-gram positions, loose factor-2 bounds
+    n = len("prefix alpha " + shared + " suffix one") - 7
+    assert len(by_doc["a"]) <= 4 * n / 9 + 2
+    assert len(by_doc["a"]) >= n / 18
+    pairs = winnow_near_dups(docs, k=8, w=8, min_shared=1, max_df=None).collect()
+    assert {(r.a_id, r.b_id) for r in pairs} == {("a", "b")}
+    fp.unpersist()
+
+
+def test_winnow_rightmost_tie_break(spark):
+    """Identical k-grams in one window: the rightmost minimum is selected
+    (the winnowing paper's tie rule). w=9 over a period-8 text puts two
+    equal grams in every window, so the tie path is exercised on every
+    selection; the engine must match a brute rightmost reference and
+    differ from the leftmost variant."""
+    import hashlib
+
+    from osm2world_spark.operators.dedup import winnow_fingerprints
+
+    text = "abcde" * 8  # period-5: gram(p) == gram(p+5), ties inside every window
+    k, w = 8, 9
+    docs = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    got = {(r.fp, r.pos) for r in winnow_fingerprints(docs, k=k, w=w, portable=True).collect()}
+
+    def brute(tie):
+        n = len(text) - k + 1
+        hs = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:15], 16) for i in range(n)]
+        out = set()
+        for j in range(n - w + 1):
+            win = hs[j:j + w]
+            mn = min(win)
+            idxs = [i for i, v in enumerate(win) if v == mn]
+            out.add((mn, j + (max(idxs) if tie == "right" else min(idxs))))
+        return out
+
+    assert got == brute("right")
+    assert got != brute("left")  # the tie path is actually exercised
