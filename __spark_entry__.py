@@ -1770,6 +1770,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_dups"] = winnow_dups
 
+    # count-min sketch: build the 4x256 sketch over the corpus tokens and
+    # point-estimate every distinct token; exact counts joined alongside
+    # so the over-count-only invariant is data the oracle also checks
+    def count_min(spark, sf_dir):
+        from osm2world_spark.operators.sketches import (
+            count_min_estimate,
+            count_min_sketch,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).where(
+            F.col("tok") != ""
+        )
+        sketch = count_min_sketch(toks, "tok", depth=4, width=256)
+        exact = toks.groupBy(F.col("tok").alias("key")).agg(F.count("*").alias("exact"))
+        est = count_min_estimate(sketch, exact.select("key"), "key", depth=4, width=256)
+        return est.join(exact, "key").select(
+            "key", F.col("est").cast("bigint").alias("est"),
+            F.col("exact").cast("bigint").alias("exact"),
+        )
+
+    q["count_min"] = count_min
+
+    # HyperLogLog registers over doc ids: pure-integer rank construction
+    # (bit length via base-2 conv), so the register table is engine-exact
+    def hll_sketch(spark, sf_dir):
+        from osm2world_spark.operators.sketches import hll_registers
+
+        d = _t(spark, sf_dir, "documents")
+        return hll_registers(d.select(F.col("doc_id").cast("string").alias("v")), "v", p=12)
+
+    q["hll_sketch"] = hll_sketch
+
     return _driver_window_order(q)
 
 
@@ -1794,14 +1827,14 @@ _WINDOW_FIRST = [
     # round-4 additions
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
-    "winnow_dups",
+    "winnow_dups", "count_min", "hll_sketch",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
     "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
-    "sessionize_events", "asof_events", "interval_events",
+    "sessionize_events",
 ]
 
 
@@ -2399,6 +2432,45 @@ def oracle_sql() -> dict[str, str]:
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
         QUALIFY row_number() OVER w <= 5
+    """
+
+    # count_min / hll_sketch: replicate the salted-md5 hash family and
+    # the integer sketch constructions directly
+    _cm_h = "('0x' || substr(md5({salt} || '|' || {v}), 1, 15))::BIGINT"
+    sql["count_min"] = f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), t AS (SELECT tok FROM toks WHERE tok != ''),
+        cells AS (
+          SELECT r, ({_cm_h.format(salt="r", v="tok")}) % 256 AS bucket, count(*) AS cnt
+          FROM t, unnest(generate_series(0, 3)) AS s(r)
+          GROUP BY 1, 2
+        ), exact AS (
+          SELECT tok AS key, count(*) AS exact FROM t GROUP BY tok
+        ), probes AS (
+          SELECT key, r, ({_cm_h.format(salt="r", v="key")}) % 256 AS bucket
+          FROM exact, unnest(generate_series(0, 3)) AS s(r)
+        )
+        SELECT p.key,
+               CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est,
+               CAST(any_value(e.exact) AS BIGINT) AS exact
+        FROM probes p
+        LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        JOIN exact e ON e.key = p.key
+        GROUP BY p.key
+    """
+    sql["hll_sketch"] = """
+        WITH h AS (
+          SELECT ('0x' || substr(md5('hll|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM documents
+        ), rr AS (
+          SELECT CAST(hv % 4096 AS INT) AS idx,
+                 CAST(CASE WHEN hv // 4096 > 0
+                      THEN 49 - length(bin(hv // 4096))
+                      ELSE 49 END AS INT) AS rank
+          FROM h
+        )
+        SELECT idx, max(rank) AS r FROM rr GROUP BY idx
     """
 
     # winnow_dups: rebuild the winnowing fingerprints in SQL — md5-prefix

@@ -1,0 +1,127 @@
+"""Distributed sketches: count-min frequency estimation and HyperLogLog
+distinct counting, built from public constructions (Cormode/Muthukrishnan
+2005; Flajolet et al. 2007) with a deterministic md5-prefix hash family so
+results are engine-reproducible (the same reason the MinHash driver mode
+is portable).
+
+Scale shapes — both sketches are ONE aggregation pass:
+- count-min: token rows explode to d (row, bucket) cells; the sketch is a
+  groupBy over d*width cells (map-side combine), so the shuffle volume is
+  bounded by the SKETCH size, not the corpus. Point estimates join the
+  queried keys against the d cells and take the min.
+- HLL: each value hashes once; its register index is the low bits, its
+  rank is 1 + leading zero count of the remaining bits; the sketch is
+  max(rank) per register — a groupBy over `2^p` rows, mergeable across
+  any partitioning (max is associative), the textbook distributed
+  cardinality shape. (Spark's approx_count_distinct is the production
+  choice; this explicit construction exists for engine-portable
+  verification and as the mergeable-sketch pattern.)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col, salt):
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def count_min_sketch(
+    items: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Item rows -> the (row, bucket, cnt) cells of a depth x width
+    count-min sketch (deterministic salted-md5 row hashes)."""
+    d = items.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(_h60(F.col(value_col), r), F.lit(width)).cast("int").alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell")
+    )
+    return (
+        d.select("cell.row", "cell.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate counts for `keys` from a count-min sketch: the MIN
+    over the key's depth cells (over-count only, never under)."""
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(_h60(F.col(key_col), r), F.lit(width)).cast("int").alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell"),
+    ).select("key", "cell.row", "cell.bucket")
+    return (
+        probes.join(sketch, ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def hll_registers(items: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+    """Item rows -> HyperLogLog registers (idx, rank): idx = low p bits of
+    the 60-bit value hash, rank = 1 + leading-zero count of the remaining
+    (60 - p) bits, register value = max(rank). Mergeable by max under any
+    partitioning."""
+    h = _h60(F.col(value_col), "hll")
+    rest_bits = 60 - p
+    # high bits via shiftright — float division would lose exactness
+    # above 2^53 on the 60-bit hash
+    rest = F.shiftright(h, p)
+    # rank = rest_bits + 1 - bitlength(rest); bit length via the binary
+    # string (conv base 2) — INTEGER arithmetic, because floor(log2(x))
+    # through float log is not engine-portable on exact powers of two
+    bitlen = F.length(F.conv(rest, 10, 2))
+    rank = F.when(rest > 0, F.lit(rest_bits + 1) - bitlen).otherwise(
+        F.lit(rest_bits + 1)
+    )
+    return (
+        items.select(
+            F.pmod(h, F.lit(1 << p)).cast("int").alias("idx"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Registers -> one row (n_registers, estimate): the standard HLL
+    estimator with the small-range linear-counting correction. Absent
+    registers count as rank 0."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count("*").alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+    )
+    s_total = F.col("s") + (F.lit(m) - F.col("nz"))  # 2^0 for empty registers
+    raw = F.lit(alpha * m * m) / s_total
+    zeros = F.lit(m) - F.col("nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        F.col("nz").cast("int").alias("n_registers"),
+        est.alias("estimate"),
+    )
