@@ -1803,6 +1803,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_sketch"] = hll_sketch
 
+    # context-window chunking with overlap: offsets exact, chunk text
+    # verified by md5
+    def chunk_docs(spark, sf_dir):
+        from osm2world_spark.operators.packing import chunk_documents
+
+        d = _t(spark, sf_dir, "documents")
+        out = chunk_documents(d, chunk_tokens=32, overlap=8)
+        return out.select(
+            "doc_id", "chunk_idx", "tok_start", "tok_end",
+            F.md5("chunk").alias("chunk_md5"),
+        )
+
+    q["chunk_docs"] = chunk_docs
+
     return _driver_window_order(q)
 
 
@@ -1827,14 +1841,13 @@ _WINDOW_FIRST = [
     # round-4 additions
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
-    "winnow_dups", "count_min", "hll_sketch",
+    "winnow_dups", "count_min", "hll_sketch", "chunk_docs",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
     "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
-    "sessionize_events",
 ]
 
 
@@ -2432,6 +2445,25 @@ def oracle_sql() -> dict[str, str]:
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
         QUALIFY row_number() OVER w <= 5
+    """
+
+    # chunk_docs: chunking offsets and md5 of each chunk recomputed from
+    # the token list (stride = 32 - 8 = 24; final chunk clipped at n)
+    sql["chunk_docs"] = """
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), c AS (
+          SELECT doc_id, toks, n,
+                 CAST(1 + ceil(greatest(n - 32, 0) / 24.0) AS INT) AS n_chunks
+          FROM d
+        )
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+               CAST(ci * 24 AS INT) AS tok_start,
+               CAST(least(ci * 24 + 32, n) AS INT) AS tok_end,
+               md5(array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')) AS chunk_md5
+        FROM c, unnest(range(n_chunks)) AS t(ci)
     """
 
     # count_min / hll_sketch: replicate the salted-md5 hash family and

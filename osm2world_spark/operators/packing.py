@@ -106,3 +106,49 @@ def stratified_sample(
         thresh = F.when(cond, F.lit(frac)) if thresh is None else thresh.when(cond, F.lit(frac))
     thresh = thresh.otherwise(F.lit(default_frac)) if thresh is not None else F.lit(default_frac)
     return df.where(u < thresh)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into token-budget chunks with overlap (the
+    context-window chunking every pretraining / RAG ingest runs):
+    chunk c covers tokens [c * stride, c * stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk is the remainder
+    (shorter, never empty), and a doc at or under the budget is one chunk.
+
+    Pure Column algebra: tokens -> sequence of chunk starts -> slice +
+    concat per chunk — one projection, no shuffle at all; chunk rows
+    inherit the input partitioning.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_idx"),
+            (c * stride).cast("int").alias("tok_start"),
+            F.least(c * stride + chunk_tokens, n).cast("int").alias("tok_end"),
+            F.concat_ws(" ", F.slice(toks, c * stride + 1, chunk_tokens)).alias("chunk"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.tok_start").alias("tok_start"),
+            F.col("c.tok_end").alias("tok_end"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )

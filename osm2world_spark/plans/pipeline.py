@@ -211,7 +211,18 @@ class TilePipeline:
         c = c.where(F.col("stage") == stage)
         if self.scoped and run_ts is not None:
             c = c.where(F.col("ts") == run_ts)
-        return c.select("tile_z12").distinct()
+        # a tile is committed iff its 'done' rows outnumber its
+        # 'invalidated' retractions (the manifest is append-only; each
+        # invalidate/recompute cycle adds one row of each kind)
+        return (
+            c.groupBy("tile_z12")
+            .agg(
+                F.sum(F.when(F.col("status") == "done", 1).otherwise(0)).alias("_d"),
+                F.sum(F.when(F.col("status") == "invalidated", 1).otherwise(0)).alias("_i"),
+            )
+            .where(F.col("_d") > F.col("_i"))
+            .select("tile_z12")
+        )
 
     def _commit(self, stage: str, tiles: DataFrame, run_ts: str) -> None:
         tiles.select(
@@ -230,6 +241,111 @@ class TilePipeline:
             F.lit(wall_ms).cast("bigint").alias("wall_ms"),
             F.lit(run_ts).alias("run_ts"),
         ).write.mode("append").parquet(os.path.join(self.out_dir, "_lineage"))
+
+    def invalidate(
+        self,
+        changed_docs: DataFrame | None = None,
+        deleted_doc_ids: DataFrame | None = None,
+        run_ts: str = "invalidate",
+        stages: tuple = ("tile_assignments", "overlaps"),
+    ) -> DataFrame:
+        """Incremental update (the production path the reference's
+        OverwriteMode.OLDER approximates with file mtimes): compute the
+        tiles AFFECTED by a document change set and retract their commit
+        rows, so the next `run()` over the updated corpus recomputes
+        exactly those tiles and skips the rest.
+
+        Affected set = OLD cover (tiles the changed/deleted docs occupy in
+        the written tile_assignments stage) UNION NEW cover (tiles of the
+        changed docs' new geometry); the overlaps stage additionally
+        invalidates the 3x3 tile neighborhood (a changed element can pair
+        with geometry in an adjacent tile — the same neighborhood rule
+        run() uses for resume). Stage partition directories of affected
+        tiles are deleted eagerly: dynamic partition overwrite only
+        replaces tiles that receive NEW rows, so a tile whose documents
+        were all deleted would otherwise keep stale data. (On a catalog
+        deployment this is a partition-level DELETE; here it is the
+        parquet-directory equivalent.)
+
+        Returns the affected (stage, tile_z12) rows (also appended to the
+        manifest with status='invalidated')."""
+        import shutil
+
+        spark = self.spark
+        covers = []
+        ids = None
+        if changed_docs is not None:
+            ids = changed_docs.select("doc_id").distinct()
+            new_cover = (
+                extract_elements(changed_docs, self.origin)
+                .withColumn("tile_z12", _tile_z12_col())
+                .select("tile_z12")
+                .distinct()
+            )
+            covers.append(new_cover)
+        if deleted_doc_ids is not None:
+            d = deleted_doc_ids.select("doc_id").distinct()
+            ids = d if ids is None else ids.unionByName(d).distinct()
+        if ids is not None:
+            try:
+                old = spark.read.parquet(os.path.join(self.out_dir, "tile_assignments"))
+                covers.append(
+                    old.join(ids, "doc_id", "left_semi").select("tile_z12").distinct()
+                )
+            except Exception:
+                pass  # nothing written yet -> nothing old to invalidate
+        if not covers:
+            return spark.createDataFrame([], "stage string, tile_z12 bigint")
+        affected = covers[0]
+        for c in covers[1:]:
+            affected = affected.unionByName(c)
+        # materialize to literals BEFORE any partition purge: the lazy plan
+        # reads the stage parquet, which the purge below deletes (the
+        # affected set is change-set-sized metadata, like a partition
+        # DELETE predicate)
+        aff_ids = sorted({r.tile_z12 for r in affected.distinct().collect()})
+        affected = spark.createDataFrame([(v,) for v in aff_ids], "tile_z12 bigint")
+
+        t = T.unpack_tile(F.col("tile_z12"))
+        neighborhood = affected.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dx: F.transform(
+                            F.sequence(F.lit(-1), F.lit(1)),
+                            lambda dy: T.pack_tile(t["zoom"], t["x"] + dx, t["y"] + dy),
+                        ),
+                    )
+                )
+            ).alias("tile_z12")
+        ).distinct()
+
+        per_stage = {
+            "tile_assignments": affected,
+            "overlaps": neighborhood,
+        }
+        out = None
+        for stage in stages:
+            tiles = per_stage.get(stage, affected)
+            # only retract tiles that are actually committed (idempotent)
+            tiles = tiles.join(self.committed_tiles(stage), "tile_z12", "left_semi")
+            rows = tiles.select(
+                F.lit(stage).alias("stage"),
+                F.col("tile_z12"),
+                F.lit("invalidated").alias("status"),
+                F.lit(run_ts).alias("ts"),
+            )
+            rows.write.mode("append").parquet(self._commits_path())
+            # eager partition purge (see docstring)
+            for r in tiles.collect():
+                shutil.rmtree(
+                    os.path.join(self.out_dir, stage, f"tile_z12={r['tile_z12']}"),
+                    ignore_errors=True,
+                )
+            sel = tiles.select(F.lit(stage).alias("stage"), "tile_z12")
+            out = sel if out is None else out.unionByName(sel)
+        return out if out is not None else spark.createDataFrame([], "stage string, tile_z12 bigint")
 
     # ------------------------------------------------------------ stages
 

@@ -60,3 +60,36 @@ def test_repetition_stats_flags_looping_text(spark):
     assert out["varied"]["top_bigram_n"] == 1
     assert out["varied"]["distinct_bigram_frac_u6"] == 1000000
     assert out["tiny"]["top_bigram_n"] == 1 and out["tiny"]["top_bigram_frac_u6"] == 1000000
+
+
+def test_chunk_documents(spark):
+    import pytest as _pt
+
+    from osm2world_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [("long", " ".join(toks)), ("short", "a b c")],
+        "doc_id string, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=40, overlap=10).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    short = [r for r in rows if r.doc_id == "short"]
+    assert len(short) == 1 and short[0].chunk == "a b c" and short[0].tok_end == 3
+    long = [r for r in rows if r.doc_id == "long"]
+    # stride 30: starts 0, 30, 60, 90 -> 1 + ceil(60/30) = 3? extra = 60,
+    # ceil(60/30)=2 -> 3 chunks... but start 60 covers tokens 60..99 (40
+    # tokens) exactly reaching n -> 3 chunks
+    assert [r.tok_start for r in long] == [0, 30, 60]
+    assert [r.tok_end for r in long] == [40, 70, 100]
+    # overlap: chunk 1 starts 10 tokens before chunk 0 ends
+    assert long[0].chunk.split(" ")[30:] == long[1].chunk.split(" ")[:10]
+    # every token covered
+    covered = set()
+    for r in long:
+        covered.update(range(r.tok_start, r.tok_end))
+    assert covered == set(range(100))
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
