@@ -163,3 +163,41 @@ def test_bucketed_stage_partition_and_bucket_pruning(spark, tmp_path):
         assert "Exchange" not in agg_plan, agg_plan
     finally:
         spark.sql("DROP TABLE IF EXISTS stage_bucketed_test")
+
+
+def test_round4_text_ops_stay_jvm_side_and_shuffle_bounded(spark):
+    """Plan audits for the round-4 text/sketch operators: chunking and
+    scrubbing are shuffle-FREE projections; winnowing fingerprints use
+    exactly the per-doc exchange(s) and no Python anywhere; the count-min
+    sketch shuffles SKETCH cells, not corpus rows."""
+    from osm2world_spark.operators.dedup import winnow_fingerprints
+    from osm2world_spark.operators.packing import chunk_documents
+    from osm2world_spark.operators.sketches import count_min_sketch
+    from osm2world_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [("d", "some words appear here again and again ok")],
+        "doc_id string, text string",
+    )
+
+    chunk_plan = _plan(chunk_documents(docs, 8, 2))
+    assert "Exchange" not in chunk_plan, "chunking must not shuffle"
+    assert "EvalPython" not in chunk_plan
+
+    scrub_plan = _plan(pii_scrub(docs))
+    assert "Exchange" not in scrub_plan, "scrubbing must not shuffle"
+    assert "EvalPython" not in scrub_plan
+
+    winnow_plan = _plan(winnow_fingerprints(docs, k=4, w=3))
+    assert "EvalPython" not in winnow_plan
+    # one exchange for the per-doc window + one for the distinct — never
+    # more (the gram rows must not bounce through extra repartitions)
+    assert winnow_plan.count("Exchange hashpartitioning") <= 2
+
+    from pyspark.sql import functions as SF
+
+    cm_plan = _plan(
+        count_min_sketch(docs.select(SF.explode(SF.split("text", " ")).alias("v")), "v")
+    )
+    assert "EvalPython" not in cm_plan
+    assert cm_plan.count("Exchange hashpartitioning") == 1  # the cell agg
