@@ -1817,6 +1817,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_docs"] = chunk_docs
 
+    # product-quantization ANN (asymmetric distance over deterministic
+    # first_k sub-codebooks): codes + ADC ranking fully SQL-rebuildable
+    def pq_ann(spark, sf_dir):
+        from osm2world_spark.operators.similarity import pq_topk
+
+        e = _t(spark, sf_dir, "embeddings")
+        return pq_topk(e.where(F.col("vec_id") < 20), e, k=5, m=8, k_sub=16)
+
+    q["pq_ann"] = pq_ann
+
     return _driver_window_order(q)
 
 
@@ -1841,12 +1851,12 @@ _WINDOW_FIRST = [
     # round-4 additions
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
-    "winnow_dups", "count_min", "hll_sketch", "chunk_docs",
+    "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
-    "sweep_intersections", "poly_boolean", "embedding_near_dups", "knn9",
+    "sweep_intersections", "poly_boolean", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
 ]
 
@@ -2444,6 +2454,44 @@ def oracle_sql() -> dict[str, str]:
           WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
+        QUALIFY row_number() OVER w <= 5
+    """
+
+    # pq_ann: rebuild the PQ index in SQL — per-subspace argmin codes over
+    # the 16 lowest-id sub-codebooks, then asymmetric distance per (q, n)
+    _subd = (
+        "list_sum(list_transform(range(8), t -> "
+        "(({a}.embedding[{j}*8 + t + 1]::DOUBLE) - ({b}.embedding[{j}*8 + t + 1]::DOUBLE)) "
+        "* (({a}.embedding[{j}*8 + t + 1]::DOUBLE) - ({b}.embedding[{j}*8 + t + 1]::DOUBLE))))"
+    )
+    sql["pq_ann"] = f"""
+        WITH cent AS (
+          SELECT embedding, cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS c_idx
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ), dists AS (
+          SELECT e.vec_id AS n_id, jj.j, c.c_idx,
+                 {_subd.format(a="e", b="c", j="jj.j")} AS d
+          FROM embeddings e
+          CROSS JOIN cent c
+          CROSS JOIN unnest(generate_series(0, 7)) AS jj(j)
+        ), codes AS (
+          SELECT n_id, j, c_idx FROM (
+            SELECT n_id, j, c_idx,
+                   row_number() OVER (PARTITION BY n_id, j ORDER BY d ASC, c_idx ASC) AS rnk
+            FROM dists
+          ) WHERE rnk = 1
+        ), adc AS (
+          SELECT q.vec_id AS q_id, cd.n_id, sum({_subd.format(a="q", b="c", j="cd.j")}) AS adc
+          FROM embeddings q
+          JOIN codes cd ON cd.n_id != q.vec_id
+          JOIN cent c ON c.c_idx = cd.c_idx
+          WHERE q.vec_id < 20
+          GROUP BY 1, 2
+        )
+        SELECT q_id, cast(row_number() OVER w AS int) AS rank, n_id,
+               cast(floor(adc * 1000000.0 + 0.5) as bigint) AS adc_u6
+        FROM adc
+        WINDOW w AS (PARTITION BY q_id ORDER BY adc ASC, n_id ASC)
         QUALIFY row_number() OVER w <= 5
     """
 

@@ -306,3 +306,116 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", "cos_sim")
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: str = "first_k",
+) -> DataFrame:
+    """Product-quantization codes (Jegou/Douze/Schmid 2011): the vector is
+    split into `m` contiguous subspaces; each sub-vector is assigned to its
+    nearest (L2) centroid in a per-subspace codebook of `k_sub` entries;
+    the code is the m small indices — the memory-compressed ANN
+    representation (m * log2(k_sub) bits per vector).
+
+    codebook='first_k': subspace centroids = the sub-vectors of the k_sub
+    lowest-id corpus rows — deterministic, so the whole code table is
+    engine-reproducible (the driver-verified mode; a k-means codebook
+    per subspace is the production upgrade, same dataflow).
+
+    Output: (vec_id, code array<int> of length m). One projection over
+    the corpus; the codebooks are a tiny broadcast literal."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col)).limit(k_sub).collect()
+    )
+    C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)  # (k_sub, dim)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    def code_col(j: int):
+        # squared L2 distance of subspace j against each centroid, argmin
+        # with lowest-index tie-break; pure Column arithmetic (the centroid
+        # components are literals)
+        dists = []
+        for c in range(k_sub):
+            terms = [
+                (F.col(vec_col)[j * sub + t].cast("double") - F.lit(float(C[c, j * sub + t]))) ** 2
+                for t in range(sub)
+            ]
+            d = terms[0]
+            for x in terms[1:]:
+                d = d + x
+            dists.append(d)
+        arr = F.array(*dists)
+        return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*[code_col(j) for j in range(m)]).alias("code"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: corpus vectors are represented only
+    by their codes; each query scores a candidate by the sum over
+    subspaces of the exact distance from the query's sub-vector to the
+    candidate's ASSIGNED CENTROID (the ADC table lookup). Returns
+    (q_id, rank, n_id, adc_u6) — approximate by construction; the rerank
+    against true vectors is the usual second stage (cosine_topk over the
+    shortlist)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col)).limit(k_sub).collect()
+    )
+    C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    dim = C.shape[1]
+    sub = dim // m
+    codes = pq_codes(corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col)
+
+    # the query's per-(subspace, centroid) distance table as literal math
+    def q_dist(j: int, c: int):
+        terms = [
+            (F.col("q_vec")[j * sub + t].cast("double") - F.lit(float(C[c, j * sub + t]))) ** 2
+            for t in range(sub)
+        ]
+        d = terms[0]
+        for x in terms[1:]:
+            d = d + x
+        return d
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    pairs = q.crossJoin(codes.withColumnRenamed("vec_id", "n_id")).where(
+        F.col("q_id") != F.col("n_id")
+    )
+    adc = None
+    for j in range(m):
+        tbl = F.array(*[q_dist(j, c) for c in range(k_sub)])
+        term = F.element_at(tbl, F.col("code")[j] + 1)
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "rank", "n_id",
+            F.floor(F.col("adc") * 1e6 + 0.5).cast("bigint").alias("adc_u6"),
+        )
+    )

@@ -69,3 +69,26 @@ def test_ivf_first_k_codebook(spark):
     # deterministic: identical result on a re-run
     ivf2 = {(r.q_id, r.n_id) for r in ivf_topk(q, e, k=5, n_cells=16, n_probe=4, codebook="first_k").collect()}
     assert ivf == ivf2
+
+
+def test_pq_codes_and_recall(spark):
+    """PQ codes: valid index range, deterministic, and the ADC shortlist
+    recalls a reasonable share of the true top-k."""
+    from osm2world_spark.operators.similarity import cosine_topk, pq_codes, pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = {r.vec_id: list(r.code) for r in pq_codes(e, m=8, k_sub=16).collect()}
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c) for c in codes.values())
+    # the 16 codebook rows quantize each of their own subspaces to themselves
+    for vid in range(16):
+        assert codes[vid] == [vid] * 8, vid
+
+    q = e.where("vec_id < 10")
+    brute = {(r.q_id, r.n_id) for r in cosine_topk(q, e, k=5).collect()}
+    # ADC under L2 vs cosine ranking differ; use a wider shortlist for recall
+    pq = {(r.q_id, r.n_id) for r in pq_topk(q, e, k=20, m=8, k_sub=16).collect()}
+    recall = len(brute & pq) / len(brute)
+    assert recall > 0.3, recall
+    # deterministic across invocations
+    pq2 = {(r.q_id, r.n_id) for r in pq_topk(q, e, k=20, m=8, k_sub=16).collect()}
+    assert pq == pq2
