@@ -1827,6 +1827,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_ann"] = pq_ann
 
+    # distributed Lloyd's k-means, one full iteration from the first_k
+    # init — the round is SQL-expressible so the assignment after re-
+    # averaging is hash-verified (multi-iteration runs are pytest-covered)
+    def kmeans_1iter(spark, sf_dir):
+        from osm2world_spark.operators.similarity import kmeans_assign
+
+        e = _t(spark, sf_dir, "embeddings")
+        return kmeans_assign(e, k=8, iters=1)
+
+    q["kmeans_1iter"] = kmeans_1iter
+
     return _driver_window_order(q)
 
 
@@ -1852,11 +1863,12 @@ _WINDOW_FIRST = [
     "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
     "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
+    "kmeans_1iter",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
-    "sweep_intersections", "poly_boolean", "knn9",
+    "sweep_intersections", "knn9",
     "idw300", "raster_zonal", "huge_clip", "pip_membership",
 ]
 
@@ -2455,6 +2467,49 @@ def oracle_sql() -> dict[str, str]:
         )
         WINDOW w AS (PARTITION BY q_id ORDER BY cos_sim DESC, n_id)
         QUALIFY row_number() OVER w <= 5
+    """
+
+    # kmeans_1iter: one Lloyd round in SQL — first_k init, squared-L2
+    # argmin assignment (lowest cluster on ties), per-dim means, empty
+    # clusters keep their init centroid, reassign
+    _l2 = (
+        "list_sum(list_transform(range(64), i -> "
+        "(({a}.v[i+1]) - ({b}.c[i+1])) * (({a}.v[i+1]) - ({b}.c[i+1]))))"
+    )
+    sql["kmeans_1iter"] = f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        ), cent0 AS (
+          SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cluster, v AS c
+          FROM v ORDER BY vec_id LIMIT 8
+        ), a1 AS (
+          SELECT vec_id, cluster FROM (
+            SELECT a.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {_l2.format(a="a", b="c")} ASC, c.cluster ASC
+                   ) AS rnk
+            FROM v a CROSS JOIN cent0 c
+          ) WHERE rnk = 1
+        ), sums AS (
+          SELECT a1.cluster, i.i AS d, sum(v.v[i.i + 1]) AS s, count(*) AS n
+          FROM a1 JOIN v USING (vec_id)
+          CROSS JOIN unnest(range(64)) AS i(i)
+          GROUP BY 1, 2
+        ), cent1 AS (
+          SELECT cluster, array_agg(s / n ORDER BY d) AS c FROM sums GROUP BY cluster
+        ), centf AS (
+          SELECT c0.cluster, coalesce(c1.c, c0.c) AS c
+          FROM cent0 c0 LEFT JOIN cent1 c1 USING (cluster)
+        )
+        SELECT vec_id, cluster FROM (
+          SELECT a.vec_id, c.cluster,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_l2.format(a="a", b="c")} ASC, c.cluster ASC
+                 ) AS rnk
+          FROM v a CROSS JOIN centf c
+        ) WHERE rnk = 1
     """
 
     # pq_ann: rebuild the PQ index in SQL — per-subspace argmin codes over

@@ -419,3 +419,75 @@ def pq_topk(
             F.floor(F.col("adc") * 1e6 + 0.5).cast("bigint").alias("adc_u6"),
         )
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over embedding rows, entirely as
+    DataFrame iteration (no driver-side vectors): centroids live in a
+    k-row DataFrame; each round broadcast-joins them to the corpus,
+    assigns by squared-L2 argmin (lowest index on ties), and re-averages
+    per cluster with a zip_with fold — the aggregation is one shuffle of
+    k*dim numbers, not corpus rows. Initialization = the k lowest-id
+    vectors (deterministic). Empty clusters keep their previous centroid.
+
+    Returns (vec_id, cluster) after `iters` rounds. The iterative shape
+    matches the engine's other fixpoint loops (BFS / Bellman-Ford):
+    per-round lazy localCheckpoint truncates the growing lineage."""
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    centroids = (
+        vecs.orderBy("vec_id").limit(k)
+        .select(F.col("v").alias("c"))
+        .withColumn("cluster", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+        .localCheckpoint(eager=True)
+    )
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_d").asc(), F.col("cluster").asc())
+    for _ in range(iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("_d", dist2)
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select("vec_id", "v", "cluster")
+        )
+        # mean per cluster: dims explode to (cluster, d) rows so the sum
+        # combines MAP-SIDE — only k*dim partial sums cross the wire (a
+        # collect_list of cluster members would hold whole clusters in
+        # task memory)
+        exploded = assigned.select("cluster", F.posexplode("v").alias("d", "val"))
+        sums = exploded.groupBy("cluster", "d").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        new_c = sums.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s", "n"))),
+                lambda t: t["s"] / t["n"],
+            ).alias("c")
+        )
+        centroids = (
+            centroids.select("cluster", F.col("c").alias("_old"))
+            .join(new_c, "cluster", "left")
+            .select("cluster", F.coalesce(F.col("c"), F.col("_old")).alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("_d", dist2)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+    )

@@ -92,3 +92,28 @@ def test_pq_codes_and_recall(spark):
     # deterministic across invocations
     pq2 = {(r.q_id, r.n_id) for r in pq_topk(q, e, k=20, m=8, k_sub=16).collect()}
     assert pq == pq2
+
+
+def test_kmeans_converges_and_separates(spark):
+    """Multi-iteration k-means on two well-separated blobs: every point
+    lands with its blob, iterations are deterministic, and the objective
+    does not increase across rounds."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.operators.similarity import kmeans_assign
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(60):
+        blob = i % 2
+        base = np.full(8, 10.0 * blob)
+        rows.append((i, [float(v) for v in base + rng.normal(0, 0.5, 8)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: r.cluster for r in kmeans_assign(e, k=2, iters=5).collect()}
+    blob0 = {out[i] for i in range(0, 60, 2)}
+    blob1 = {out[i] for i in range(1, 60, 2)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    out2 = {r.vec_id: r.cluster for r in kmeans_assign(e, k=2, iters=5).collect()}
+    assert out == out2
