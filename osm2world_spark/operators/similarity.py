@@ -308,6 +308,16 @@ def lsh_cosine_topk(
     )
 
 
+def _sq_l2(a, b):
+    """Squared L2 between two double arrays: ordered zip_with/aggregate
+    fold (sequential summation — the order a SQL list_sum reproduces)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_codes(
     corpus: DataFrame,
     m: int = 8,
@@ -341,20 +351,18 @@ def pq_codes(
     sub = dim // m
 
     def code_col(j: int):
-        # squared L2 distance of subspace j against each centroid, argmin
-        # with lowest-index tie-break; pure Column arithmetic (the centroid
-        # components are literals)
-        dists = []
-        for c in range(k_sub):
-            terms = [
-                (F.col(vec_col)[j * sub + t].cast("double") - F.lit(float(C[c, j * sub + t]))) ** 2
-                for t in range(sub)
-            ]
-            d = terms[0]
-            for x in terms[1:]:
-                d = d + x
-            dists.append(d)
-        arr = F.array(*dists)
+        # squared L2 of subspace j against each centroid (argmin, lowest
+        # index on ties). Centroids are a literal array-of-arrays and the
+        # distance is a zip_with/aggregate fold — LAMBDA functions keep
+        # the generated code small (a fully unrolled m x k_sub x sub
+        # expression tree blows the JVM's 64KB codegen method limit and
+        # drops the whole stage to interpreted mode)
+        q_sub = F.slice(F.col(vec_col), j * sub + 1, sub)
+        cents = F.array(*[
+            F.array(*[F.lit(float(C[c, j * sub + t])) for t in range(sub)])
+            for c in range(k_sub)
+        ])
+        arr = F.transform(cents, lambda cv: _sq_l2(q_sub, cv))
         return F.array_position(arr, F.array_min(arr)).cast("int") - 1
 
     return corpus.select(
@@ -389,16 +397,15 @@ def pq_topk(
     sub = dim // m
     codes = pq_codes(corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col)
 
-    # the query's per-(subspace, centroid) distance table as literal math
-    def q_dist(j: int, c: int):
-        terms = [
-            (F.col("q_vec")[j * sub + t].cast("double") - F.lit(float(C[c, j * sub + t]))) ** 2
-            for t in range(sub)
-        ]
-        d = terms[0]
-        for x in terms[1:]:
-            d = d + x
-        return d
+    # the query's per-(subspace, centroid) distance table: lambda folds
+    # over literal centroid arrays (codegen-bounded; see pq_codes)
+    def sub_table(j: int):
+        q_sub = F.slice(F.col("q_vec"), j * sub + 1, sub)
+        cents = F.array(*[
+            F.array(*[F.lit(float(C[c, j * sub + t])) for t in range(sub)])
+            for c in range(k_sub)
+        ])
+        return F.transform(cents, lambda cv: _sq_l2(q_sub, cv))
 
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     pairs = q.crossJoin(codes.withColumnRenamed("vec_id", "n_id")).where(
@@ -406,8 +413,7 @@ def pq_topk(
     )
     adc = None
     for j in range(m):
-        tbl = F.array(*[q_dist(j, c) for c in range(k_sub)])
-        term = F.element_at(tbl, F.col("code")[j] + 1)
+        term = F.element_at(sub_table(j), F.col("code")[j] + 1)
         adc = term if adc is None else adc + term
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id").asc())
     return (
