@@ -67,7 +67,12 @@ def audio_window_features(samples: np.ndarray, windows: int = 8) -> np.ndarray:
     oracle can recompute them), returned float32 like the image grid.
     Multi-channel input uses channel 0."""
     s = samples[:, 0] if samples.ndim == 2 else samples
-    s = s.astype(np.int64)
+    # 8-bit PCM is UNSIGNED with a 128 offset (RIFF spec) — center it so
+    # the sign-change feature is meaningful for every supported depth
+    if s.dtype == np.uint8:
+        s = s.astype(np.int64) - 128
+    else:
+        s = s.astype(np.int64)
     n = len(s)
     edges = np.linspace(0, n, windows + 1).astype(int)
     out = np.empty(windows * 2, np.float32)

@@ -129,12 +129,9 @@ def _excl_cumsum(a: np.ndarray) -> np.ndarray:
 
 
 def _flat_ranges(counts: np.ndarray) -> np.ndarray:
-    counts = np.asarray(counts, dtype=np.int64)
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    ends = np.cumsum(counts)
-    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+    from ..functions.geometry import _ranges
+
+    return _ranges(counts)
 
 
 def _halfplane_pass(px, pz, starts, npts, eax, eaz, ebx, ebz):
@@ -231,8 +228,9 @@ def _batch_boolean(pdf: pd.DataFrame) -> pd.DataFrame:
         TA = np.asarray(tris_a_all)  # (sum(na), 3, 2)
         TB = np.asarray(tris_b_all)
         comb_row, ii, jj = _pair_combos(na, nb)
-        px = TA[ii][:, :, 0].ravel()
-        pz = TA[ii][:, :, 1].ravel()
+        ta_g = TA[ii]  # single gather; slicing it avoids a second full copy
+        px = ta_g[:, :, 0].ravel()
+        pz = ta_g[:, :, 1].ravel()
         npts = np.full(len(ii), 3, dtype=np.int64)
         starts = np.arange(len(ii), dtype=np.int64) * 3
         for e in range(3):

@@ -237,9 +237,11 @@ def split_polygon_into_faces(base_geom, subtract_geoms):
     (outer (n,2), holes [(m,2), ...]) pieces covering base - union(subtract).
     """
     base_rings = _rings_of(base_geom)
+    if not base_rings:
+        return []  # degenerate base (no ring with >= 3 points) -> no area
     sub_rings = [_rings_of(g) for g in subtract_geoms]
-    segs = [_segments_of(base_rings)] + [_segments_of(r) for r in sub_rings]
-    edges = _noded_edges(np.concatenate([s for s in segs if len(s)], axis=0))
+    segs = [s for s in [_segments_of(base_rings)] + [_segments_of(r) for r in sub_rings] if len(s)]
+    edges = _noded_edges(np.concatenate(segs, axis=0))
     faces = _trace_faces(edges)
     polys = _build_polygons(faces)
     kept = []
@@ -257,6 +259,8 @@ def intersect_polygons_faces(geoms):
     """intersectPolygons (CAGUtil.java:90-93) piece geometry: faces whose
     interior point lies inside EVERY input polygon."""
     all_rings = [_rings_of(g) for g in geoms]
+    if any(not r for r in all_rings):
+        return []  # a degenerate input has no area to intersect
     segs = np.concatenate([_segments_of(r) for r in all_rings], axis=0)
     faces = _trace_faces(_noded_edges(segs))
     polys = _build_polygons(faces)

@@ -240,13 +240,9 @@ def _sh_clip_rings_flat(px, pz, starts, npts, lo_x, lo_z, hi_x, hi_z):
 
 
 def _flat_ranges(counts):
-    counts = np.asarray(counts, dtype=np.int64)
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    from ..functions.geometry import _ranges
+
+    return _ranges(counts)
 
 
 def _clip_polylines_flat(px, pz, starts, npts, lo_x, lo_z, hi_x, hi_z):

@@ -93,6 +93,35 @@ def is_tunnel(tags: Column) -> Column:
     return v.isNotNull() & (v != "no") & (v != "building_passage")
 
 
+def _with_components(connectors: DataFrame, repartition: bool = False) -> DataFrame:
+    """Adds the stiff-set component key columns (_pos, _comp) — the ONE
+    definition of the same-ele relation, shared by the enforcer and the
+    validator (EleConnector.connectsTo closed form; see enforce_simple).
+    `repartition=True` hash-partitions on the _pos COLUMN between the key
+    projection and the windows, so both window specs reuse that single
+    exchange (enforce_simple's one-shuffle plan)."""
+    df = connectors.withColumn(
+        "_pos",
+        F.concat_ws(
+            ",",
+            (F.col("x") + F.lit(0.0)).cast("string"),
+            (F.col("z") + F.lit(0.0)).cast("string"),
+        ),
+    )
+    if repartition:
+        df = df.repartition("_pos")
+    on = F.col("ground_state") == "ON"
+    w_ref = Window.partitionBy("_pos", "ref")
+    ref_has_on = F.max(F.when(on, F.lit(1)).otherwise(F.lit(0))).over(w_ref)
+    return df.withColumn(
+        "_comp",
+        F.when(F.col("ref").isNotNull() & (ref_has_on == 1), F.lit("P"))
+        .when(F.col("ref").isNotNull(), F.concat(F.lit("R:"), F.col("ref")))
+        .when(on, F.lit("P"))
+        .otherwise(F.concat(F.lit("S:"), F.col("conn_id"))),
+    )
+
+
 def enforce_simple(connectors: DataFrame) -> DataFrame:
     """SimpleEleConstraintEnforcer as one-shuffle window algebra.
 
@@ -115,26 +144,10 @@ def enforce_simple(connectors: DataFrame) -> DataFrame:
     # exchange reuse (the repartition output no longer matches the
     # window's required clustering). `+ 0.0` folds -0.0 into +0.0 first,
     # matching VectorXZ equality; double->string is round-trip exact.
-    df = connectors.withColumn(
-        "_pos",
-        F.concat_ws(
-            ",",
-            (F.col("x") + F.lit(0.0)).cast("string"),
-            (F.col("z") + F.lit(0.0)).cast("string"),
-        ),
-    ).repartition("_pos")
-
-    on = F.col("ground_state") == "ON"
-    w_ref = Window.partitionBy("_pos", "ref")
-    ref_has_on = F.max(F.when(on, F.lit(1)).otherwise(F.lit(0))).over(w_ref)
-
-    df = df.withColumn(
-        "_comp",
-        F.when(F.col("ref").isNotNull() & (ref_has_on == 1), F.lit("P"))
-        .when(F.col("ref").isNotNull(), F.concat(F.lit("R:"), F.col("ref")))
-        .when(on, F.lit("P"))
-        .otherwise(F.concat(F.lit("S:"), F.col("conn_id"))),
-    )
+    # Component construction is shared with the validator
+    # (_with_components); the _pos-column repartition keeps the
+    # one-exchange plan.
+    df = _with_components(connectors, repartition=True)
 
     w_comp = Window.partitionBy("_pos", "_comp")
     n = F.count(F.lit(1)).over(w_comp)
@@ -226,22 +239,7 @@ def validate_constraints(
     (same position AND (shared reference clique or both ON)), size >= 2 —
     exactly the stiff sets enforce_simple averages over. Output columns:
     kind, c1, c2, detail."""
-    pos = F.concat_ws(
-        ",",
-        (F.col("x") + F.lit(0.0)).cast("string"),
-        (F.col("z") + F.lit(0.0)).cast("string"),
-    )
-    on = F.col("ground_state") == "ON"
-    w_ref = Window.partitionBy("_pos", "ref")
-    df = connectors.withColumn("_pos", pos)
-    ref_has_on = F.max(F.when(on, 1).otherwise(0)).over(w_ref)
-    df = df.withColumn(
-        "_comp",
-        F.when(F.col("ref").isNotNull() & (ref_has_on == 1), F.lit("P"))
-        .when(F.col("ref").isNotNull(), F.concat(F.lit("R:"), F.col("ref")))
-        .when(on, F.lit("P"))
-        .otherwise(F.concat(F.lit("S:"), F.col("conn_id"))),
-    )
+    df = _with_components(connectors)
     w_comp = Window.partitionBy("_pos", "_comp")
     comp = df.select(
         "conn_id",
@@ -335,9 +333,16 @@ def validated_enforce(
     vertical: DataFrame | None = None,
     smoothness: DataFrame | None = None,
     enforcer=None,
-) -> tuple[DataFrame, DataFrame]:
+    with_warnings: bool = False,
+):
     """The EleConstraintValidator wrapper proper: pass every call through
-    to the wrapped enforcer (default SimpleEleConstraintEnforcer) AND
-    return the contradiction rows alongside the enforced result."""
+    to the wrapped enforcer (default SimpleEleConstraintEnforcer). By
+    default returns the enforced DataFrame — the same contract as every
+    other ele_enforcer strategy, so registry dispatch is uniform;
+    `with_warnings=True` additionally returns the contradiction rows as
+    (enforced, warnings)."""
     inner = enforcer or enforce_simple
-    return inner(connectors), validate_constraints(connectors, vertical, smoothness)
+    enforced = inner(connectors)
+    if with_warnings:
+        return enforced, validate_constraints(connectors, vertical, smoothness)
+    return enforced

@@ -325,6 +325,7 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: str = "first_k",
+    centroids=None,
 ) -> DataFrame:
     """Product-quantization codes (Jegou/Douze/Schmid 2011): the vector is
     split into `m` contiguous subspaces; each sub-vector is assigned to its
@@ -338,13 +339,21 @@ def pq_codes(
     per subspace is the production upgrade, same dataflow).
 
     Output: (vec_id, code array<int> of length m). One projection over
-    the corpus; the codebooks are a tiny broadcast literal."""
+    the corpus; the codebooks are a tiny broadcast literal. A corpus
+    smaller than k_sub shrinks the codebook to the corpus size.
+    `centroids` lets a caller (pq_topk) pass the already-collected
+    codebook instead of re-running the orderBy/limit job."""
     import numpy as np
 
-    rows = (
-        corpus.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col)).limit(k_sub).collect()
-    )
-    C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)  # (k_sub, dim)
+    if centroids is None:
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col)).limit(k_sub).collect()
+        )
+        if not rows:
+            raise ValueError("cannot build a PQ codebook on an empty corpus")
+        centroids = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    C = centroids
+    k_sub = min(k_sub, len(C))  # (k_sub, dim)
     dim = C.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -392,10 +401,14 @@ def pq_topk(
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col)).orderBy(F.col(id_col)).limit(k_sub).collect()
     )
+    if not rows:
+        raise ValueError("cannot build a PQ codebook on an empty corpus")
     C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    k_sub = min(k_sub, len(C))
     dim = C.shape[1]
     sub = dim // m
-    codes = pq_codes(corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col)
+    # codes reuse the collected codebook — no second orderBy/limit job
+    codes = pq_codes(corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col, centroids=C)
 
     # the query's per-(subspace, centroid) distance table: lambda folds
     # over literal centroid arrays (codegen-bounded; see pq_codes)
@@ -451,8 +464,13 @@ def kmeans_assign(
     )
     centroids = (
         vecs.orderBy("vec_id").limit(k)
-        .select(F.col("v").alias("c"))
-        .withColumn("cluster", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+        .select(
+            F.col("v").alias("c"),
+            # cluster index = rank of the init vector's id — a REAL order
+            # key (row_number over a constant would depend on unspecified
+            # plan-order stability and permute the ids on a cluster)
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+        )
         .localCheckpoint(eager=True)
     )
 

@@ -113,14 +113,18 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
-        F.count("*").alias("nz"),
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.coalesce(F.count("*"), F.lit(0)).alias("nz"),
+        # empty input -> sum is NULL; 0.0 keeps the linear-counting branch
+        # live (zeros == m -> estimate 0), not a NULL estimate
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("r"))), F.lit(0.0)).alias("s"),
     )
     s_total = F.col("s") + (F.lit(m) - F.col("nz"))  # 2^0 for empty registers
     raw = F.lit(alpha * m * m) / s_total
     zeros = F.lit(m) - F.col("nz")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    est = F.when(F.col("nz") == 0, F.lit(0.0)).otherwise(
+        F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    )
     return agg.select(
         F.col("nz").cast("int").alias("n_registers"),
         est.alias("estimate"),

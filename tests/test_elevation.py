@@ -289,7 +289,9 @@ def test_constraint_validator_flags_contradiction(spark):
     assert {warns[0].c1, warns[0].c2} == {"a", "b"}
 
     # wrapper passes the enforcement through unchanged
-    enforced, warns2 = validated_enforce(conns, vertical=vertical)
+    enforced, warns2 = validated_enforce(conns, vertical=vertical, with_warnings=True)
+    # uniform registry contract: the default call returns ONE DataFrame
+    assert hasattr(validated_enforce(conns), "columns")
     eles = {r.conn_id: r.ele for r in enforced.collect()}
     assert eles["a"] == eles["b"] == 11.0  # stiff-set average
     assert eles["c"] == 5.0
