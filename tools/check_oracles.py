@@ -46,8 +46,11 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    write_json = "--json" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -70,9 +73,11 @@ def main() -> int:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 print(f"[rows-only] {name}: {n} rows, cols={df.columns}")
+                results[name] = {"mode": "rows_only", "ok": True, "rows": n}
             except Exception as e:
                 print(f"[rows-only] {name}: FAILED — {e}")
                 failures.append(name)
+                results[name] = {"mode": "rows_only", "ok": False, "err": str(e)[:200]}
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -104,6 +109,12 @@ def main() -> int:
                         kind_warn.append(f"{c}: spark={s_pdf[c].dtype} duck={o_pdf[c].dtype}")
             status = "OK" if (ok_schema and ok_count and ok_values and not kind_warn) else "MISMATCH"
             print(f"[oracle] {name}: {status} spark={len(s_rows)} duck={len(o_rows)} cols_ok={ok_schema}")
+            results[name] = {
+                "mode": "oracle", "ok": status == "OK",
+                "rows_match": ok_count, "schema_match": ok_schema,
+                "values_match": ok_values, "spark_rows": len(s_rows),
+                "oracle_rows": len(o_rows),
+            }
             if kind_warn:
                 print(f"    dtype-kind mismatch (int vs float): {kind_warn}")
             if status != "OK":
@@ -118,6 +129,23 @@ def main() -> int:
         except Exception as e:
             print(f"[oracle] {name}: ERROR — {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            results[name] = {"mode": "oracle", "ok": False, "err": str(e)[:200]}
+
+    if write_json:
+        import json
+
+        out = {
+            "note": "self-reported LOCAL oracle gate over ALL registered queries "
+                    "(the driver's CORRECTNESS gate covers the first 50); "
+                    "same compare semantics, run by tools/check_oracles.py",
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["ok"]),
+            "results": results,
+        }
+        with open("/root/repo/ORACLE_LOCAL.json", "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print("wrote ORACLE_LOCAL.json")
 
     print()
     if failures:
