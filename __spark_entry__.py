@@ -1605,6 +1605,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cag_pieces"] = cag_pieces
 
+    # J13 buffer: mitre-join polygon buffer (JTSBufferUtil.bufferPolygon)
+    # over irregular convex hexagons sampled from an ellipse — the convex
+    # positive-distance result is a single ring whose vertex multiset is
+    # {offset-edge start, offset-edge end, mitre point} per input vertex,
+    # each a closed form the oracle recomputes with the identical op tree
+    def poly_buffer(spark, sf_dir):
+        from osm2world_spark.operators.buffer import buffer_polygons
+
+        c = (
+            _t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("k"))
+            .where(F.col("k") % 3 == 0)
+        )
+        theta = "(2 * pi() * CAST({j} AS DOUBLE) / CAST(6 AS DOUBLE) + CAST(k % 97 AS DOUBLE) / CAST(97 AS DOUBLE) * 2 * pi())"
+        vx = f"({X_M.format(k='k')} + CAST(20 + k % 17 AS DOUBLE) * cos({theta}))"
+        vz = f"({Z_M.format(k='k')} + CAST(22 + (k * 3) % 12 AS DOUBLE) * sin({theta}))"
+        ring = F.expr(
+            "flatten(transform(sequence(0, 6), jj -> array("
+            + vx.format(j="jj % 6")
+            + ", "
+            + vz.format(j="jj % 6")
+            + ")))"
+        )
+        polys = c.select(
+            F.col("k").cast("string").alias("poly_id"),
+            F.array(ring).alias("geom"),
+            (F.lit(3).cast("double") + (F.col("k") % 5).cast("double")).alias("distance"),
+        )
+        out = buffer_polygons(polys)
+        vtx = F.transform(
+            F.sequence(F.lit(0), (F.size("outer") / 2 - 1).cast("int")),
+            lambda i: F.struct(
+                F.floor(F.col("outer")[i * 2] * 1e6 + 0.5).cast("bigint").alias("x_u6"),
+                F.floor(F.col("outer")[i * 2 + 1] * 1e6 + 0.5).cast("bigint").alias("z_u6"),
+            ),
+        )
+        return out.select(
+            F.col("poly_id").cast("bigint").alias("k"),
+            F.col("piece_idx").cast("int").alias("piece_idx"),
+            F.col("n_holes").cast("int").alias("n_holes"),
+            F.explode(vtx).alias("v"),
+        ).select("k", "piece_idx", "n_holes", "v.x_u6", "v.z_u6")
+
+    q["poly_buffer"] = poly_buffer
+
     # corpus bigram LM familiarity (perplexity proxy): integer evidence
     # columns only — the float mean_logp is pytest-covered (log summation
     # order is not cross-engine deterministic)
@@ -1860,7 +1905,7 @@ _WINDOW_FIRST = [
     "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
-    "srtm_decode", "cag_pieces", "ngram_lm", "osm_json_parse",
+    "srtm_decode", "cag_pieces", "poly_buffer", "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
     "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
     "kmeans_1iter",
@@ -1869,7 +1914,7 @@ _WINDOW_FIRST = [
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
     "sweep_intersections", "knn9",
-    "idw300", "raster_zonal", "huge_clip", "pip_membership",
+    "idw300", "raster_zonal", "huge_clip",
 ]
 
 
@@ -3651,6 +3696,59 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 0 THEN bz1 WHEN 1 THEN bz1 WHEN 2 THEN az0
                     WHEN 3 THEN az0 WHEN 4 THEN az1 ELSE az1 END) + 0.5) as bigint) AS z_mm
         FROM r CROSS JOIN v
+    """
+
+    # poly_buffer: convex mitre buffer closed form — per input vertex the
+    # result ring contributes the two offset-edge endpoints and the mitre
+    # point (intersection of the adjacent offset lines), same op tree as
+    # operators/buffer._ring_pieces
+    _pb_theta = "(2 * pi() * CAST({j} AS DOUBLE) / CAST(6 AS DOUBLE) + CAST(k % 97 AS DOUBLE) / CAST(97 AS DOUBLE) * 2 * pi())"
+    sql["poly_buffer"] = f"""
+        WITH p AS (
+          SELECT c_custkey AS k,
+                 {X_M.format(k="c_custkey")} AS cx, {Z_M.format(k="c_custkey")} AS cz,
+                 CAST(20 + c_custkey % 17 AS DOUBLE) AS rx,
+                 CAST(22 + (c_custkey * 3) % 12 AS DOUBLE) AS rz,
+                 CAST(3 AS DOUBLE) + CAST(c_custkey % 5 AS DOUBLE) AS d
+          FROM customer WHERE c_custkey % 3 = 0
+        ), jj AS (SELECT unnest(generate_series(0, 5)) AS j),
+        v AS (
+          SELECT k, j, d,
+                 cx + rx * cos({_pb_theta.format(j="j")}) AS vx,
+                 cz + rz * sin({_pb_theta.format(j="j")}) AS vz
+          FROM p CROSS JOIN jj
+        ), e AS (
+          SELECT a.k, a.j, a.d, a.vx, a.vz,
+                 b.vx AS wx, b.vz AS wz, pv.vx AS px, pv.vz AS pz
+          FROM v a
+          JOIN v b  ON b.k = a.k AND b.j = (a.j + 1) % 6
+          JOIN v pv ON pv.k = a.k AND pv.j = (a.j + 5) % 6
+        ), t AS (
+          SELECT *, wx - vx AS tjx, wz - vz AS tjz,
+                    vx - px AS tpx, vz - pz AS tpz
+          FROM e
+        ), o AS (
+          SELECT *, tjz / sqrt(tjx * tjx + tjz * tjz) AS njx,
+                    -(tjx) / sqrt(tjx * tjx + tjz * tjz) AS njz,
+                    tpz / sqrt(tpx * tpx + tpz * tpz) AS npx,
+                    -(tpx) / sqrt(tpx * tpx + tpz * tpz) AS npz
+          FROM t
+        ), m AS (
+          SELECT *, (((vx + d * njx) - (px + d * npx)) * tjz
+                   - ((vz + d * njz) - (pz + d * npz)) * tjx)
+                   / (tpx * tjz - tpz * tjx) AS s
+          FROM o
+        ), pts AS (
+          SELECT k, vx + d * njx AS x, vz + d * njz AS z FROM o
+          UNION ALL
+          SELECT k, vx + d * npx, vz + d * npz FROM o
+          UNION ALL
+          SELECT k, (px + d * npx) + s * tpx, (pz + d * npz) + s * tpz FROM m
+        )
+        SELECT k, 0 AS piece_idx, 0 AS n_holes,
+               cast(floor(x * 1000000.0 + 0.5) as bigint) AS x_u6,
+               cast(floor(z * 1000000.0 + 0.5) as bigint) AS z_u6
+        FROM pts
     """
 
     # srtm_decode: the decoded pixel table must equal the grid formula the

@@ -91,7 +91,12 @@ def _all_intersections(segs: np.ndarray):
     rx, rz = p2x - p1x, p2z - p1z
     sx, sz = q2x - q1x, q2z - q1z
     den = rx * sz - rz * sx
-    ok = den != 0
+    # relative threshold, not `den != 0`: collinear segment pairs whose
+    # cross product is floating-point noise (e.g. a mitre-join edge lying
+    # on the same line as the adjacent offset edge) would otherwise
+    # produce a garbage intersection point anywhere on the shared line
+    # (den ~ 1e-12 divides a finite numerator) and corrupt the noding
+    ok = np.abs(den) > 1e-9 * np.sqrt((rx * rx + rz * rz) * (sx * sx + sz * sz))
     den_safe = np.where(ok, den, 1.0)
     t = ((q1x - p1x) * sz - (q1z - p1z) * sx) / den_safe
     u = ((q1x - p1x) * rz - (q1z - p1z) * rx) / den_safe
