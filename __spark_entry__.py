@@ -1650,6 +1650,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_buffer"] = poly_buffer
 
+    # GeometryUtil.equallyDistributePointsAlong: equally spaced points on
+    # a 4-vertex polyline, both placement modes, pure Column plan
+    def distribute_points(spark, sf_dir):
+        from osm2world_spark.functions.polyline import distribute_points_along
+
+        o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+        vx = X_M.format(k="k * 4 + jj")
+        vz = Z_M.format(k="k * 4 + jj")
+        geom = F.expr(
+            f"flatten(transform(sequence(0, 3), jj -> array({vx}, {vz})))"
+        )
+        pts = distribute_points_along(
+            geom,
+            F.expr("CAST(1000 + (k % 10) * 300 AS DOUBLE)"),
+            F.col("k") % 2 == 0,
+        )
+        return o.select("k", F.explode(pts).alias("p")).select(
+            "k",
+            F.col("p.i").alias("i"),
+            F.floor(F.col("p.px") * 1e6 + 0.5).cast("bigint").alias("px_u6"),
+            F.floor(F.col("p.pz") * 1e6 + 0.5).cast("bigint").alias("pz_u6"),
+        )
+
+    q["distribute_points"] = distribute_points
+
     # corpus bigram LM familiarity (perplexity proxy): integer evidence
     # columns only — the float mean_logp is pytest-covered (log summation
     # order is not cross-engine deterministic)
@@ -1905,7 +1930,8 @@ _WINDOW_FIRST = [
     "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
-    "srtm_decode", "cag_pieces", "poly_buffer", "ngram_lm", "osm_json_parse",
+    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points",
+    "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
     "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
     "kmeans_1iter",
@@ -1914,7 +1940,7 @@ _WINDOW_FIRST = [
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
     "sweep_intersections", "knn9",
-    "idw300", "raster_zonal", "huge_clip",
+    "raster_zonal", "huge_clip",
 ]
 
 
@@ -3749,6 +3775,75 @@ def oracle_sql() -> dict[str, str]:
                cast(floor(x * 1000000.0 + 0.5) as bigint) AS x_u6,
                cast(floor(z * 1000000.0 + 0.5) as bigint) AS z_u6
         FROM pts
+    """
+
+    # distribute_points: the reference's equally-spaced placement loop in
+    # closed form — numSegments = round(len/pref), spacing = len/numSeg,
+    # target t = start + i*spacing located by strict cumulative-length
+    # comparison, linear interpolation within the segment
+    _dp_xz = {
+        f"{a}{j}": (X_M if a == "x" else Z_M).format(k=f"k * 4 + {j}")
+        for a in ("x", "z")
+        for j in range(4)
+    }
+    sql["distribute_points"] = f"""
+        WITH p AS (
+          SELECT o_orderkey AS k,
+                 CAST(1000 + (o_orderkey % 10) * 300 AS DOUBLE) AS pd,
+                 (o_orderkey % 2 = 0) AS at_ends
+          FROM orders
+        ), v AS (
+          SELECT k, pd, at_ends,
+                 {_dp_xz['x0']} AS x0, {_dp_xz['z0']} AS z0,
+                 {_dp_xz['x1']} AS x1, {_dp_xz['z1']} AS z1,
+                 {_dp_xz['x2']} AS x2, {_dp_xz['z2']} AS z2,
+                 {_dp_xz['x3']} AS x3, {_dp_xz['z3']} AS z3
+          FROM p
+        ), lenq AS (
+          SELECT *, sqrt((x1-x0)*(x1-x0)+(z1-z0)*(z1-z0)) AS l0,
+                    sqrt((x2-x1)*(x2-x1)+(z2-z1)*(z2-z1)) AS l1,
+                    sqrt((x3-x2)*(x3-x2)+(z3-z2)*(z3-z2)) AS l2
+          FROM v
+        ), st AS (
+          SELECT *, CAST(0.0 AS DOUBLE) + l0 + l1 + l2 AS total,
+                    CAST(0.0 AS DOUBLE) + l0 AS c1,
+                    CAST(0.0 AS DOUBLE) + l0 + l1 AS c2
+          FROM lenq
+        ), nsg AS (
+          SELECT *, CAST(floor(total / pd + 0.5) AS INT) AS nseg FROM st
+        ), pp AS (
+          SELECT *, total / CAST(nseg AS DOUBLE) AS sp,
+                 nseg + (CASE WHEN at_ends THEN 1 ELSE 0 END) AS np,
+                 CASE WHEN at_ends THEN CAST(0.0 AS DOUBLE)
+                      ELSE (total / CAST(nseg AS DOUBLE)) / 2.0 END AS st0
+          FROM nsg WHERE nseg > 0
+        ), ks AS (SELECT unnest(generate_series(0, 63)) AS i),
+        pts AS (
+          SELECT *, st0 + CAST(i AS DOUBLE) * sp AS t
+          FROM pp CROSS JOIN ks WHERE i < np
+        ), seg AS (
+          SELECT *, LEAST((CASE WHEN c1 < t THEN 1 ELSE 0 END)
+                        + (CASE WHEN c2 < t THEN 1 ELSE 0 END)
+                        + (CASE WHEN total < t THEN 1 ELSE 0 END), 2) AS j
+          FROM pts
+        ), r AS (
+          SELECT *, CASE j WHEN 0 THEN (t - CAST(0.0 AS DOUBLE)) / (c1 - CAST(0.0 AS DOUBLE))
+                           WHEN 1 THEN (t - c1) / (c2 - c1)
+                           ELSE (t - c2) / (total - c2) END AS ratio
+          FROM seg
+        )
+        SELECT k, CAST(i AS INT) AS i,
+               cast(floor((CASE WHEN at_ends AND i = np - 1 THEN x3
+                    ELSE CASE j WHEN 0 THEN x0 + (x1 - x0) * ratio
+                                WHEN 1 THEN x1 + (x2 - x1) * ratio
+                                ELSE x2 + (x3 - x2) * ratio END
+                    END) * 1000000.0 + 0.5) as bigint) AS px_u6,
+               cast(floor((CASE WHEN at_ends AND i = np - 1 THEN z3
+                    ELSE CASE j WHEN 0 THEN z0 + (z1 - z0) * ratio
+                                WHEN 1 THEN z1 + (z2 - z1) * ratio
+                                ELSE z2 + (z3 - z2) * ratio END
+                    END) * 1000000.0 + 0.5) as bigint) AS pz_u6
+        FROM r
     """
 
     # srtm_decode: the decoded pixel table must equal the grid formula the
