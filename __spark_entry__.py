@@ -1675,6 +1675,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distribute_points"] = distribute_points
 
+    # exact substring dedup (Lee et al. 2022): maximal duplicated token
+    # spans per document; exact gram keys so DuckDB rebuilds the index
+    def dup_spans(spark, sf_dir):
+        from osm2world_spark.operators.dedup import duplicated_spans
+
+        d = _t(spark, sf_dir, "documents")
+        return duplicated_spans(d, k=4, min_count=2, gram_key="exact")
+
+    q["dup_spans"] = dup_spans
+
     # corpus bigram LM familiarity (perplexity proxy): integer evidence
     # columns only — the float mean_logp is pytest-covered (log summation
     # order is not cross-engine deterministic)
@@ -1930,7 +1940,7 @@ _WINDOW_FIRST = [
     "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
-    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points",
+    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points", "dup_spans",
     "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
     "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
@@ -1940,7 +1950,7 @@ _WINDOW_FIRST = [
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
     "sweep_intersections", "knn9",
-    "raster_zonal", "huge_clip",
+    "huge_clip",
 ]
 
 
@@ -3722,6 +3732,44 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 0 THEN bz1 WHEN 1 THEN bz1 WHEN 2 THEN az0
                     WHEN 3 THEN az0 WHEN 4 THEN az1 ELSE az1 END) + 0.5) as bigint) AS z_mm
         FROM r CROSS JOIN v
+    """
+
+    # dup_spans: corpus k-gram frequencies -> duplicated positions ->
+    # lag/island merge, the same relational plan re-run in DuckDB
+    sql["dup_spans"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(range(len(t) - 3)) AS pos, t
+          FROM toks WHERE len(t) - 3 >= 1
+        ), g2 AS (
+          SELECT doc_id, pos,
+                 array_to_string(list_slice(t, pos + 1, pos + 4), ' ') AS gk
+          FROM g
+        ), d AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gk) AS cnt FROM g2
+          ) WHERE cnt >= 2
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev IS NULL OR pos > prev + 4 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d
+          )
+        ), sp AS (
+          SELECT doc_id, island, min(pos) AS tok_start,
+                 max(pos) + 4 AS tok_end, count(*) AS n_grams
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tok_start) - 1 AS INT) AS span_idx,
+               CAST(tok_start AS INT) AS tok_start,
+               CAST(tok_end AS INT) AS tok_end,
+               CAST(n_grams AS BIGINT) AS n_grams
+        FROM sp
     """
 
     # poly_buffer: convex mitre buffer closed form — per input vertex the

@@ -460,3 +460,78 @@ def winnow_near_dups(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_key: str = "hash",
+) -> DataFrame:
+    """Exact substring-duplication spans (the suffix-array dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): every maximal token range of a document
+    covered by k-token grams that occur >= `min_count` times in the whole
+    corpus. Returns (doc_id, span_idx, tok_start, tok_end, n_grams) with
+    token positions 0-based and tok_end exclusive; span_idx orders spans
+    within the document.
+
+    Plan shape (linear, two exchanges, no pair join):
+      1. explode k-gram positions; corpus frequency as ONE window count
+         over the gram key (the hot-key failure mode of pair joins does
+         not exist here — a million-fold boilerplate gram is just a
+         million-row count group),
+      2. keep positions of grams with count >= min_count, merge them into
+         maximal spans per document with a lag/running-island window
+         (overlapping or touching gram ranges merge: new island iff
+         pos > prev_pos + k), then aggregate per island — the island
+         groupBy reuses the document hash partitioning of step 2's
+         window, so it is exchange-free.
+
+    `gram_key='hash'` shuffles 8-byte xxhash64 keys (the 100-TB path:
+    gram strings are ~10x wider than their hashes); 'exact' groups by the
+    gram string itself — collision-free and reproducible in any SQL
+    engine, used by the driver oracle."""
+    if gram_key not in ("hash", "exact"):
+        raise ValueError(gram_key)
+    toks = F.split(F.col(text_col), " ")
+    npos = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), npos - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    g = docs.where(npos >= 1).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    key = F.xxhash64("gram") if gram_key == "hash" else F.col("gram")
+    g = g.select("doc_id", "pos", key.alias("gk"))
+    cnt = F.count("*").over(Window.partitionBy("gk"))
+    dup = g.withColumn("cnt", cnt).where(F.col("cnt") >= min_count)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    new_island = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    island = F.sum(new_island).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        dup.select("doc_id", "pos", island.alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("tok_start"),
+            (F.max("pos") + k).alias("tok_end"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    span_idx = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("tok_start")
+    )
+    return spans.select(
+        "doc_id",
+        (span_idx - 1).alias("span_idx"),
+        "tok_start",
+        "tok_end",
+        "n_grams",
+    )
