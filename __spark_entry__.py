@@ -1685,6 +1685,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_spans"] = dup_spans
 
+    # Z-order clustering key: the bit interleave the stage writer sorts by
+    # (locality for tile-range scans), verified bit-for-bit in SQL
+    def morton_order(spark, sf_dir):
+        from osm2world_spark.functions import tiles as T
+
+        pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey")
+        tx = T.tile_x_at(F.col("lon"), 14)
+        ty = T.tile_y_at(F.col("lat"), 14)
+        return pts.select(
+            F.col("key").alias("o_orderkey"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+            T.morton_key(tx, ty).alias("morton"),
+        )
+
+    q["morton_order"] = morton_order
+
     # corpus bigram LM familiarity (perplexity proxy): integer evidence
     # columns only — the float mean_logp is pytest-covered (log summation
     # order is not cross-engine deterministic)
@@ -1940,7 +1957,7 @@ _WINDOW_FIRST = [
     "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
-    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points", "dup_spans",
+    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points", "dup_spans", "morton_order",
     "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
     "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
@@ -1949,7 +1966,7 @@ _WINDOW_FIRST = [
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
-    "sweep_intersections", "knn9",
+    "knn9",
     "huge_clip",
 ]
 
@@ -3770,6 +3787,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(tok_end AS INT) AS tok_end,
                CAST(n_grams AS BIGINT) AS n_grams
         FROM sp
+    """
+
+    # morton_order: the Z-order interleave recomputed with DuckDB bit ops
+    _morton_terms = " + ".join(
+        f"(((tb >> {b}) & 1) << {2 * b}) + (((yb >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16)
+    )
+    sql["morton_order"] = f"""
+        WITH t AS (
+          SELECT o_orderkey,
+                 {TX14.format(lon=lon_o)} AS tile_x,
+                 {TY14.format(lat=lat_o)} AS tile_y
+          FROM orders
+        ), b AS (
+          SELECT o_orderkey, tile_x, tile_y,
+                 CAST(tile_x AS BIGINT) AS tb, CAST(tile_y AS BIGINT) AS yb
+          FROM t
+        )
+        SELECT o_orderkey, CAST(tile_x AS INT) AS tile_x,
+               CAST(tile_y AS INT) AS tile_y,
+               CAST({_morton_terms} AS BIGINT) AS morton
+        FROM b
     """
 
     # poly_buffer: convex mitre buffer closed form — per input vertex the

@@ -158,6 +158,25 @@ def pack_tile(zoom, x, y) -> Column:
     )  # constant shift amounts: plain F.shiftleft is fine here
 
 
+def morton_key(x, y, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two tile coordinates into one
+    bigint: bit b of x lands at 2b, bit b of y at 2b+1. Spatially close
+    tiles get numerically close keys, so sorting stage rows by this key
+    before writing clusters each parquet file into a space-filling-curve
+    run — tile-range scans then touch few row groups (min/max skipping)
+    instead of rows scattered across the whole file. 16 bits per axis
+    covers zoom <= 16 coordinates. Constant shift amounts, so the
+    expression stays in whole-stage codegen (32 unrolled terms)."""
+    x, y = _lit(x).cast("bigint"), _lit(y).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    out = None
+    for b in range(bits):
+        tx = F.shiftleft(F.shiftright(x, b).bitwiseAND(one), 2 * b)
+        ty = F.shiftleft(F.shiftright(y, b).bitwiseAND(one), 2 * b + 1)
+        out = tx + ty if out is None else out + tx + ty
+    return out
+
+
 def unpack_tile(packed) -> Column:
     packed = _lit(packed)
     mask = F.lit((1 << 29) - 1).cast("bigint")

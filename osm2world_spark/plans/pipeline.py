@@ -356,6 +356,17 @@ class TilePipeline:
         t0 = time.monotonic()
         committed = self.committed_tiles(stage, run_ts)
         todo = df.join(committed, "tile_z12", "left_anti")
+        if "tile_x" in todo.columns and "tile_y" in todo.columns:
+            # Z-order locality: cluster each output file along the Morton
+            # curve of the fine tile coordinates, so a tile-range read
+            # skips row groups via parquet min/max stats instead of
+            # scattering matches across the file. sortWithinPartitions =
+            # no exchange, just a per-task sort before the write.
+            from ..functions.tiles import morton_key
+
+            todo = todo.sortWithinPartitions(
+                "tile_z12", morton_key(F.col("tile_x"), F.col("tile_y"))
+            )
         # Stage data is recomputed per uncommitted tile; dynamic partition
         # overwrite makes a retried tile idempotent.
         path = os.path.join(self.out_dir, stage)

@@ -201,3 +201,57 @@ def test_round4_text_ops_stay_jvm_side_and_shuffle_bounded(spark):
     )
     assert "EvalPython" not in cm_plan
     assert cm_plan.count("Exchange hashpartitioning") == 1  # the cell agg
+
+
+def test_morton_key_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.functions.tiles import morton_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535)], "x int, y int"
+    )
+    rows = {(r.x, r.y): r.m for r in df.select("x", "y", morton_key(F.col("x"), F.col("y")).alias("m")).collect()}
+
+    def ref(x, y):
+        m = 0
+        for b in range(16):
+            m |= ((x >> b) & 1) << (2 * b)
+            m |= ((y >> b) & 1) << (2 * b + 1)
+        return m
+
+    for (x, y), m in rows.items():
+        assert m == ref(x, y), (x, y)
+    # locality: a 2x2 tile block occupies 4 CONSECUTIVE keys
+    block = sorted(ref(x, y) for x in (10, 11) for y in (4, 5))
+    assert block == list(range(block[0], block[0] + 4))
+
+
+def test_stage_files_are_morton_clustered(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.functions.tiles import morton_key
+    from osm2world_spark.plans.pipeline import TilePipeline
+
+    from osm2world_spark.sources.documents import synthetic_documents
+
+    docs = synthetic_documents(spark, 200, seed=7)
+    pipe = TilePipeline(spark, str(tmp_path / "out"))
+    pipe.run(docs, run_ts="r1")
+    ta = spark.read.parquet(str(tmp_path / "out" / "tile_assignments"))
+    per_file = (
+        ta.select(
+            F.input_file_name().alias("f"),
+            morton_key(F.col("tile_x"), F.col("tile_y")).alias("m"),
+            F.monotonically_increasing_id().alias("rid"),
+        )
+    ).collect()
+    by_file = {}
+    for r in per_file:
+        by_file.setdefault(r.f, []).append((r.rid, r.m))
+    assert by_file
+    for f, rows in by_file.items():
+        ms = [m for _, m in sorted(rows)]
+        assert ms == sorted(ms), f"file {f} not morton-clustered"
