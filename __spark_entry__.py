@@ -1702,6 +1702,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["morton_order"] = morton_order
 
+    # distributePointsOn (TreeModule forest placement): seeded scatter
+    # over rect-with-hole polygons; hash rand mode so DuckDB rebuilds the
+    # exact candidate stream (the java.util.Random production mode is
+    # pinned bit-exact against a JDK-generated golden in pytest)
+    def scatter_points(spark, sf_dir):
+        from osm2world_spark.operators.scatter import scatter_points_on
+
+        c = (
+            _t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("k"))
+            .where(F.col("k") % 10 == 0)
+        )
+        x0 = F.expr(X_M.format(k="k"))
+        z0 = F.expr(Z_M.format(k="k"))
+        w = F.expr("CAST(110 + k % 60 AS DOUBLE)")
+        h = F.expr("CAST(95 + (k * 3) % 70 AS DOUBLE)")
+        hx0 = x0 + F.expr("CAST(23.7 AS DOUBLE) + CAST(k % 10 AS DOUBLE)")
+        hz0 = z0 + F.expr("CAST(19.3 AS DOUBLE) + CAST((k * 7) % 12 AS DOUBLE)")
+        hx1 = hx0 + F.lit(31.9).cast("double")
+        hz1 = hz0 + F.lit(27.4).cast("double")
+        x1, z1 = x0 + w, z0 + h
+        outer = F.array(x0, z0, x1, z0, x1, z1, x0, z1, x0, z0)
+        hole = F.array(hx0, hz0, hx1, hz0, hx1, hz1, hx0, hz1, hx0, hz0)
+        polys = c.select(
+            F.col("k").cast("string").alias("poly_id"),
+            F.array(outer, hole).alias("geom"),
+            F.col("k").alias("seed"),
+        )
+        out = scatter_points_on(polys, density=0.04, seed_col="seed", rand_mode="hash")
+        return out.select(
+            F.col("poly_id").cast("bigint").alias("k"),
+            "box_x",
+            "box_z",
+            "cand",
+            F.floor(F.col("px") * 1e6 + 0.5).cast("bigint").alias("px_u6"),
+            F.floor(F.col("pz") * 1e6 + 0.5).cast("bigint").alias("pz_u6"),
+        )
+
+    q["scatter_points"] = scatter_points
+
     # corpus bigram LM familiarity (perplexity proxy): integer evidence
     # columns only — the float mean_logp is pytest-covered (log summation
     # order is not cross-engine deterministic)
@@ -1957,7 +1997,7 @@ _WINDOW_FIRST = [
     "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
     "events_quantiles", "events_histogram", "pack_sequences",
     # round-4 additions
-    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points", "dup_spans", "morton_order",
+    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points", "dup_spans", "morton_order", "scatter_points",
     "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
     "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
@@ -1966,7 +2006,6 @@ _WINDOW_FIRST = [
     "tileset_index",
     # high-value queries kept in-window (recent or load-bearing)
     "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
-    "knn9",
     "huge_clip",
 ]
 
@@ -3787,6 +3826,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(tok_end AS INT) AS tok_end,
                CAST(n_grams AS BIGINT) AS n_grams
         FROM sp
+    """
+
+    # scatter_points: the md5-candidate scatter recomputed in SQL. The
+    # bbox extent and box bounds use the ENGINE's op tree ((x0+w)-x0, not
+    # w) so floor() at box-count boundaries can't diverge by an ulp.
+    _sc_frac = (
+        "(('0x' || substr(md5(k || ':' || box_x || ':' || box_z || ':' || cand || ':{ax}'), 1, 13))::BIGINT"
+        " / CAST(4503599627370496 AS DOUBLE))"
+    )
+    sql["scatter_points"] = f"""
+        WITH p AS (
+          SELECT c_custkey AS k,
+                 {X_M.format(k="c_custkey")} AS x0, {Z_M.format(k="c_custkey")} AS z0,
+                 CAST(110 + c_custkey % 60 AS DOUBLE) AS w,
+                 CAST(95 + (c_custkey * 3) % 70 AS DOUBLE) AS h
+          FROM customer WHERE c_custkey % 10 = 0
+        ), r AS (
+          SELECT k, x0, z0, x0 + w AS x1, z0 + h AS z1,
+                 x0 + CAST(23.7 AS DOUBLE) + CAST(k % 10 AS DOUBLE) AS hx0,
+                 z0 + CAST(19.3 AS DOUBLE) + CAST((k * 7) % 12 AS DOUBLE) AS hz0,
+                 sqrt(100 / CAST(0.04 AS DOUBLE)) AS bs
+          FROM p
+        ), r2 AS (
+          SELECT *, hx0 + CAST(31.9 AS DOUBLE) AS hx1,
+                    hz0 + CAST(27.4 AS DOUBLE) AS hz1
+          FROM r
+        ), bxs AS (SELECT unnest(generate_series(0, 3)) AS box_x),
+        bzs AS (SELECT unnest(generate_series(0, 3)) AS box_z),
+        cs AS (SELECT unnest(generate_series(0, 99)) AS cand),
+        boxes AS (
+          SELECT r2.*, box_x, box_z,
+                 x0 + bs * box_x AS bx0, z0 + bs * box_z AS bz0,
+                 x0 + bs * (box_x + 1) AS bx1, z0 + bs * (box_z + 1) AS bz1
+          FROM r2 CROSS JOIN bxs CROSS JOIN bzs
+          WHERE box_x <= CAST(floor((x1 - x0) / bs) AS INT)
+            AND box_z <= CAST(floor((z1 - z0) / bs) AS INT)
+        ), kept AS (
+          SELECT * FROM boxes
+          WHERE NOT (bx0 > hx0 AND bx1 < hx1 AND bz0 > hz0 AND bz1 < hz1)
+        ), pts AS (
+          SELECT k, box_x, box_z, cand,
+                 bx0 + bs * {_sc_frac.format(ax="x")} AS px,
+                 bz0 + bs * {_sc_frac.format(ax="z")} AS pz,
+                 x0, z0, x1, z1, hx0, hx1, hz0, hz1
+          FROM kept CROSS JOIN cs
+        )
+        SELECT k, CAST(box_x AS INT) AS box_x, CAST(box_z AS INT) AS box_z,
+               CAST(cand AS INT) AS cand,
+               cast(floor(px * 1000000.0 + 0.5) as bigint) AS px_u6,
+               cast(floor(pz * 1000000.0 + 0.5) as bigint) AS pz_u6
+        FROM pts
+        WHERE px > x0 AND px < x1 AND pz > z0 AND pz < z1
+          AND NOT (px > hx0 AND px < hx1 AND pz > hz0 AND pz < hz1)
     """
 
     # morton_order: the Z-order interleave recomputed with DuckDB bit ops
