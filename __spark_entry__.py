@@ -49,6 +49,62 @@ RLON = "(CAST(13.37 AS DOUBLE) + (px + CAST(0.5 AS DOUBLE)) / CAST(3000 AS DOUBL
 TX14 = "cast(floor(({lon} + 180.0) / 360.0 * 16384) as int)"
 TY14 = "cast(floor((1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))) / pi()) / 2.0 * 16384) as int)"
 
+# simplify_ring geometry: a rectangle (w x h) with four perturbed edge
+# midpoints, vertex order A Mb B Mr C Mt D Ml (counterclockwise). The
+# perpendicular midpoint offsets db/dr/dl sweep across the 0.05-tolerance
+# deletion threshold (|dot-1| < tol <=> offset < ~0.16 * half-edge) with k,
+# Mt is exactly collinear (deleted at every tolerance), and the deleted
+# bulge area crosses the 10% retry threshold for large-offset keys. The
+# same coordinate strings build the ring in Spark and the vertex table in
+# DuckDB, so every branch input is bit-identical.
+_SR_W = "CAST(40 + k % 13 AS DOUBLE)"
+_SR_H = "CAST(30 + (k * 3) % 11 AS DOUBLE)"
+_SR_DB = f"({_SR_W} / 2 * (CAST(0.05 AS DOUBLE) + CAST(0.25 AS DOUBLE) * CAST(k % 7 AS DOUBLE) / CAST(6 AS DOUBLE)))"
+_SR_DR = f"({_SR_H} / 2 * (CAST(0.05 AS DOUBLE) + CAST(0.25 AS DOUBLE) * CAST((k * 3) % 5 AS DOUBLE) / CAST(4 AS DOUBLE)))"
+_SR_DL = f"({_SR_H} / 2 * (CAST(0.02 AS DOUBLE) + CAST(0.2 AS DOUBLE) * CAST((k * 7) % 9 AS DOUBLE) / CAST(8 AS DOUBLE)))"
+_SR_X0 = f"({X_M.format(k='k')})"
+_SR_Z0 = f"({Z_M.format(k='k')})"
+# per-vertex x/z as CASE over j (0..7); identical text on both sides
+_SR_XS = (
+    f"CASE j WHEN 0 THEN {_SR_X0} WHEN 1 THEN {_SR_X0} + {_SR_W} / 2"
+    f" WHEN 2 THEN {_SR_X0} + {_SR_W} WHEN 3 THEN {_SR_X0} + {_SR_W} + {_SR_DR}"
+    f" WHEN 4 THEN {_SR_X0} + {_SR_W} WHEN 5 THEN {_SR_X0} + {_SR_W} / 2"
+    f" WHEN 6 THEN {_SR_X0} ELSE {_SR_X0} - {_SR_DL} END"
+)
+_SR_ZS = (
+    f"CASE j WHEN 0 THEN {_SR_Z0} WHEN 1 THEN {_SR_Z0} - {_SR_DB}"
+    f" WHEN 2 THEN {_SR_Z0} WHEN 3 THEN {_SR_Z0} + {_SR_H} / 2"
+    f" WHEN 4 THEN {_SR_Z0} + {_SR_H} WHEN 5 THEN {_SR_Z0} + {_SR_H}"
+    f" WHEN 6 THEN {_SR_Z0} + {_SR_H} ELSE {_SR_Z0} + {_SR_H} / 2 END"
+)
+
+# convex_hull geometry: radial star polygons (r(theta) single-valued =>
+# weakly externally visible => the reference's Sklansky chain equals the
+# true hull, which the oracle gift-wraps); odd keys reverse the angular
+# direction to exercise the counterclockwise branch
+_CH_M = "(8 + k % 5)"
+_CH_TH = (
+    f"(CAST(2 AS DOUBLE) * pi() * CAST(j AS DOUBLE) / CAST({_CH_M} AS DOUBLE)"
+    " * (CASE WHEN k % 2 = 1 THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)"
+    " + CAST(k % 89 AS DOUBLE) / CAST(89 AS DOUBLE))"
+)
+_CH_R = (
+    "(CAST(15 + k % 11 AS DOUBLE)"
+    " + CAST((k * 37 + j * 101) % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) * CAST(12 AS DOUBLE))"
+)
+# cos/sin are NOT bit-identical between java.lang.Math and libm, so snap
+# the generated coordinates to a 1/1024 grid (floor + exact power-of-two
+# division): after the snap both engines hold bit-identical doubles and
+# every downstream hull branch input matches exactly
+_CH_X = (
+    f"(floor(({X_M.format(k='k')} + {_CH_R} * cos({_CH_TH}))"
+    " * CAST(1024 AS DOUBLE)) / CAST(1024 AS DOUBLE))"
+)
+_CH_Z = (
+    f"(floor(({Z_M.format(k='k')} + {_CH_R} * sin({_CH_TH}))"
+    " * CAST(1024 AS DOUBLE)) / CAST(1024 AS DOUBLE))"
+)
+
 # Shared path-length bound for the weighted shortest-path pair: the engine's
 # Bellman-Ford max_rounds and the oracle's recursive-CTE hop cutoff explore
 # exactly the paths of <= NET_MAX_ROUNDS edges, so both truncate identically
@@ -1742,6 +1798,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scatter_points"] = scatter_points
 
+    # GeometryUtil.interpolateOnTriangle: barycentric read at a probe
+    # point, with the reference's partial outside-guard (weight > 1 ->
+    # no value; negative-weight extrapolation passes through, faithfully)
+    def tri_interpolate(spark, sf_dir):
+        from osm2world_spark.functions.polyline import interpolate_on_triangle
+
+        s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+        t1x, t1z = F.expr(X_M.format(k="k")), F.expr(Z_M.format(k="k"))
+        t2x, t2z = F.expr(X_M.format(k="k * 3 + 1")), F.expr(Z_M.format(k="k * 3 + 1"))
+        t3x, t3z = F.expr(X_M.format(k="k * 7 + 2")), F.expr(Z_M.format(k="k * 7 + 2"))
+        a = F.expr("CAST(k % 10 AS DOUBLE) / CAST(8 AS DOUBLE)")
+        b = F.expr("CAST(k % 7 AS DOUBLE) / CAST(6 AS DOUBLE)")
+        px = t3x + (t1x - t3x) * a + (t2x - t3x) * b
+        pz = t3z + (t1z - t3z) * a + (t2z - t3z) * b
+        val = interpolate_on_triangle(
+            px, pz, t1x, t1z, t2x, t2z, t3x, t3z,
+            F.expr("CAST(k % 100 AS DOUBLE)"),
+            F.expr("CAST((k * 3) % 100 AS DOUBLE)"),
+            F.expr("CAST((k * 7) % 100 AS DOUBLE)"),
+        )
+        return s.select(
+            "k", F.floor(val * 1e6 + 0.5).cast("bigint").alias("val_u6")
+        )
+
+    q["tri_interpolate"] = tri_interpolate
+
+    # GeometryUtil.insertIntoPolygon: closest-segment vertex insertion
+    # with corner snap; emits the resulting closed ring as rows
+    def insert_vertex(spark, sf_dir):
+        from osm2world_spark.functions.polyline import insert_into_polygon
+
+        c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+        x0 = F.expr(X_M.format(k="k"))
+        z0 = F.expr(Z_M.format(k="k"))
+        x1 = x0 + F.expr("CAST(60 + k % 40 AS DOUBLE)")
+        z1 = z0 + F.expr("CAST(50 + (k * 3) % 30 AS DOUBLE)")
+        ring = F.array(x0, z0, x1, z0, x1, z1, x0, z1, x0, z0)
+        px = x0 + F.expr("CAST((k * 13) % 140 AS DOUBLE)") - F.lit(20.0)
+        pz = z0 + F.expr("CAST((k * 29) % 110 AS DOUBLE)") - F.lit(15.0)
+        out = insert_into_polygon(ring, px, pz, F.lit(6.0))
+        pairs = F.transform(
+            F.sequence(F.lit(0), (F.size(out) / 2 - 1).cast("int")),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.floor(F.element_at(out, (i * 2 + 1).cast("int")) * 1e6 + 0.5)
+                .cast("bigint")
+                .alias("x_u6"),
+                F.floor(F.element_at(out, (i * 2 + 2).cast("int")) * 1e6 + 0.5)
+                .cast("bigint")
+                .alias("z_u6"),
+            ),
+        )
+        return c.select("k", F.explode(pairs).alias("p")).select(
+            "k", "p.idx", "p.x_u6", "p.z_u6"
+        )
+
+    q["insert_vertex"] = insert_vertex
+
     # corpus bigram LM familiarity (perplexity proxy): integer evidence
     # columns only — the float mean_logp is pytest-covered (log summation
     # order is not cross-engine deterministic)
@@ -1975,6 +2089,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_1iter"] = kmeans_1iter
 
+    # SimplePolygonXZ.getSimplifiedPolygon: two-tolerance vertex drop with
+    # the 10% area retry, over rectangles with four perturbed edge
+    # midpoints (one exactly collinear) so every branch toggles with k
+    def simplify_ring(spark, sf_dir):
+        from osm2world_spark.functions.polyline import simplified_polygon
+
+        c = (
+            _t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("k"))
+            .where(F.col("k") % 2 == 0)
+        )
+        open_ring = F.expr(
+            "flatten(transform(sequence(0, 7), j -> array("
+            + _SR_XS + ", " + _SR_ZS + ")))"
+        )
+        ring = F.concat(open_ring, F.slice(open_ring, 1, 2))
+        out = simplified_polygon(ring)
+        pairs = F.transform(
+            F.sequence(F.lit(0), (F.size(out) / 2 - 1).cast("int")),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.floor(F.element_at(out, (i * 2 + 1).cast("int")) * 1e6 + 0.5)
+                .cast("bigint")
+                .alias("x_u6"),
+                F.floor(F.element_at(out, (i * 2 + 2).cast("int")) * 1e6 + 0.5)
+                .cast("bigint")
+                .alias("z_u6"),
+            ),
+        )
+        return c.select("k", F.explode(pairs).alias("p")).select(
+            "k", "p.idx", "p.x_u6", "p.z_u6"
+        )
+
+    q["simplify_ring"] = simplify_ring
+
+    # SimplePolygonXZ.convexHull (Sklansky chains in F.aggregate) over
+    # radial star polygons, both rotation senses; the oracle rebuilds the
+    # hull with a gift-wrapping recursive CTE (equal on star-shaped =
+    # weakly-externally-visible input, where Sklansky is exact)
+    def convex_hull(spark, sf_dir):
+        from osm2world_spark.functions.polyline import convex_hull_ring
+
+        s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+        open_ring = F.expr(
+            f"flatten(transform(sequence(0, {_CH_M} - 1), j -> array("
+            + _CH_X + ", " + _CH_Z + ")))"
+        )
+        ring = F.concat(open_ring, F.slice(open_ring, 1, 2))
+        out = convex_hull_ring(ring)
+        pairs = F.transform(
+            F.sequence(F.lit(0), (F.size(out) / 2 - 1).cast("int")),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.floor(F.element_at(out, (i * 2 + 1).cast("int")) * 1e6 + 0.5)
+                .cast("bigint")
+                .alias("x_u6"),
+                F.floor(F.element_at(out, (i * 2 + 2).cast("int")) * 1e6 + 0.5)
+                .cast("bigint")
+                .alias("z_u6"),
+            ),
+        )
+        return s.select("k", F.explode(pairs).alias("p")).select(
+            "k", "p.idx", "p.x_u6", "p.z_u6"
+        )
+
+    q["convex_hull"] = convex_hull
+
     return _driver_window_order(q)
 
 
@@ -2004,9 +2185,11 @@ _WINDOW_FIRST = [
     "kmeans_1iter",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
-    # high-value queries kept in-window (recent or load-bearing)
-    "spatial_overlaps", "minhash_near_dups", "dedup_clusters", "decontaminate",
-    "huge_clip",
+    # round-4 polyline/ring additions, never driver-checked
+    "tri_interpolate", "insert_vertex", "simplify_ring", "convex_hull",
+    # flagship join kept in-window (minhash_near_dups / dedup_clusters /
+    # decontaminate / huge_clip rotate out with r3 green rows on record)
+    "spatial_overlaps",
 ]
 
 
@@ -3826,6 +4009,258 @@ def oracle_sql() -> dict[str, str]:
                CAST(tok_end AS INT) AS tok_end,
                CAST(n_grams AS BIGINT) AS n_grams
         FROM sp
+    """
+
+    # tri_interpolate: barycentric weights with the engine's op tree
+    # (multiply by a reciprocal computed once, NULL on degenerate), the
+    # reference's weight>1 guard only
+    sql["tri_interpolate"] = f"""
+        WITH s AS (
+          SELECT s_suppkey AS k,
+                 {X_M.format(k="s_suppkey")} AS t1x, {Z_M.format(k="s_suppkey")} AS t1z,
+                 {X_M.format(k="s_suppkey * 3 + 1")} AS t2x, {Z_M.format(k="s_suppkey * 3 + 1")} AS t2z,
+                 {X_M.format(k="s_suppkey * 7 + 2")} AS t3x, {Z_M.format(k="s_suppkey * 7 + 2")} AS t3z,
+                 CAST(s_suppkey % 10 AS DOUBLE) / CAST(8 AS DOUBLE) AS a,
+                 CAST(s_suppkey % 7 AS DOUBLE) / CAST(6 AS DOUBLE) AS b,
+                 CAST(s_suppkey % 100 AS DOUBLE) AS v1,
+                 CAST((s_suppkey * 3) % 100 AS DOUBLE) AS v2,
+                 CAST((s_suppkey * 7) % 100 AS DOUBLE) AS v3
+          FROM supplier
+        ), pr AS (
+          SELECT *, t3x + (t1x - t3x) * a + (t2x - t3x) * b AS px,
+                    t3z + (t1z - t3z) * a + (t2z - t3z) * b AS pz
+          FROM s
+        ), den AS (
+          SELECT *, CAST(1.0 AS DOUBLE) / NULLIF((t2z - t3z) * (t1x - t3x)
+                     + (t3x - t2x) * (t1z - t3z), 0) AS dinv
+          FROM pr
+        ), w AS (
+          SELECT *, ((t2z - t3z) * (px - t3x) + (t3x - t2x) * (pz - t3z)) * dinv AS w1,
+                    ((t3z - t1z) * (px - t3x) + (t1x - t3x) * (pz - t3z)) * dinv AS w2
+          FROM den
+        )
+        SELECT k,
+               cast(floor((CASE WHEN w1 <= CAST(1.0 AS DOUBLE) AND w2 <= CAST(1.0 AS DOUBLE)
+                    THEN w1 * v1 + w2 * v2 + (CAST(1.0 AS DOUBLE) - w1 - w2) * v3
+                    END) * 1000000.0 + 0.5) as bigint) AS val_u6
+        FROM w
+    """
+
+    # insert_vertex: the closest-segment (first-minimum) insertion with
+    # corner snap, rebuilt over the 4 rectangle edges
+    def _iv_d(ax, az, bx, bz):
+        t = (
+            f"LEAST(GREATEST(((px - {ax}) * ({bx} - {ax}) + (pz - {az}) * ({bz} - {az}))"
+            f" / (({bx} - {ax}) * ({bx} - {ax}) + ({bz} - {az}) * ({bz} - {az})),"
+            f" CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))"
+        )
+        return (
+            f"sqrt((px - ({ax} + {t} * ({bx} - {ax}))) * (px - ({ax} + {t} * ({bx} - {ax})))"
+            f" + (pz - ({az} + {t} * ({bz} - {az}))) * (pz - ({az} + {t} * ({bz} - {az}))))"
+        )
+
+    sql["insert_vertex"] = f"""
+        WITH p0 AS (
+          SELECT c_custkey AS k,
+                 {X_M.format(k="c_custkey")} AS x0, {Z_M.format(k="c_custkey")} AS z0
+          FROM customer
+        ), r AS (
+          SELECT k, x0, z0,
+                 x0 + CAST(60 + k % 40 AS DOUBLE) AS x1,
+                 z0 + CAST(50 + (k * 3) % 30 AS DOUBLE) AS z1,
+                 x0 + CAST((k * 13) % 140 AS DOUBLE) - CAST(20.0 AS DOUBLE) AS px,
+                 z0 + CAST((k * 29) % 110 AS DOUBLE) - CAST(15.0 AS DOUBLE) AS pz
+          FROM p0
+        ), d AS (
+          SELECT *, {_iv_d("x0", "z0", "x1", "z0")} AS d0,
+                    {_iv_d("x1", "z0", "x1", "z1")} AS d1,
+                    {_iv_d("x1", "z1", "x0", "z1")} AS d2,
+                    {_iv_d("x0", "z1", "x0", "z0")} AS d3
+          FROM r
+        ), jj AS (
+          SELECT *, CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                         WHEN d2 <= d3 THEN 2 ELSE 3 END AS j
+          FROM d
+        ), sn AS (
+          SELECT *, CASE j WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1 ELSE x0 END AS vjx,
+                    CASE j WHEN 0 THEN z0 WHEN 1 THEN z0 WHEN 2 THEN z1 ELSE z1 END AS vjz,
+                    CASE j WHEN 0 THEN x1 WHEN 1 THEN x1 WHEN 2 THEN x0 ELSE x0 END AS wjx,
+                    CASE j WHEN 0 THEN z0 WHEN 1 THEN z1 WHEN 2 THEN z1 ELSE z0 END AS wjz
+          FROM jj
+        ), br AS (
+          SELECT *, (sqrt((px - vjx) * (px - vjx) + (pz - vjz) * (pz - vjz)) <= CAST(6.0 AS DOUBLE)
+                  OR sqrt((px - wjx) * (px - wjx) + (pz - wjz) * (pz - wjz)) <= CAST(6.0 AS DOUBLE)) AS snapped
+          FROM sn
+        ), pos AS (SELECT unnest(generate_series(0, 5)) AS idx),
+        outp AS (
+          SELECT k, idx, snapped, j, px, pz, x0, z0, x1, z1,
+                 CASE WHEN snapped OR idx <= j THEN idx ELSE idx - 1 END AS oi
+          FROM br CROSS JOIN pos
+          WHERE idx < CASE WHEN snapped THEN 5 ELSE 6 END
+        )
+        SELECT k, CAST(idx AS INT) AS idx,
+               cast(floor((CASE WHEN NOT snapped AND idx = j + 1 THEN px
+                    ELSE CASE oi WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                                 WHEN 3 THEN x0 ELSE x0 END END) * 1000000.0 + 0.5) as bigint) AS x_u6,
+               cast(floor((CASE WHEN NOT snapped AND idx = j + 1 THEN pz
+                    ELSE CASE oi WHEN 0 THEN z0 WHEN 1 THEN z0 WHEN 2 THEN z1
+                                 WHEN 3 THEN z1 ELSE z0 END END) * 1000000.0 + 0.5) as bigint) AS z_u6
+        FROM outp
+    """
+
+    # --- simplify_ring / convex_hull shared SQL generators -------------
+    # Shoelace with the ENGINE's accumulation order. functions/polyline.py
+    # _ring_signed_area folds ((acc + x_i*z_{i+1}) - x_{i+1}*z_i) left to
+    # right; IEEE-754 subtraction is exactly addition of the negation, so
+    # a flat list_reduce over [0.0, p_0, -q_0, p_1, -q_1, ...] reproduces
+    # the identical rounding sequence. `p` is a 1-based list of 0-based
+    # vertex indices describing a CLOSED loop (last element == first).
+    def _sa_sql(p):
+        xi, zi = f"xs[{p}[i] + 1]", f"zs[{p}[i] + 1]"
+        xi1, zi1 = f"xs[{p}[i + 1] + 1]", f"zs[{p}[i + 1] + 1]"
+        return (
+            "(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+            f"flatten(list_transform(generate_series(1, len({p}) - 1), "
+            f"i -> [{xi} * {zi1}, -({xi1} * {zi})]))), "
+            "(acc, t) -> acc + t) / CAST(2.0 AS DOUBLE))"
+        )
+
+    # simplified_polygon stage1 vertex dot: normalize-then-dot, the
+    # engine's exact op tree over the n=8 ring (i is a 0-based lambda var)
+    def _dot_sql():
+        ip, ic, nx = "((i - 1 + 8) % 8 + 1)", "(i + 1)", "((i + 1) % 8 + 1)"
+        bx, bz = f"(xs[{ic}] - xs[{ip}])", f"(zs[{ic}] - zs[{ip}])"
+        ax, az = f"(xs[{nx}] - xs[{ic}])", f"(zs[{nx}] - zs[{ic}])"
+        lb = f"sqrt({bx} * {bx} + {bz} * {bz})"
+        la = f"sqrt({ax} * {ax} + {az} * {az})"
+        return f"(({bx} / {lb}) * ({ax} / {la}) + ({bz} / {lb}) * ({az} / {la}))"
+
+    def _kept_sql(tol):
+        return (
+            "list_filter(generate_series(0, 7), i -> NOT "
+            f"(abs(dots[i + 1] - CAST(1.0 AS DOUBLE)) < CAST({tol} AS DOUBLE)))"
+        )
+
+    # simplify_ring: full replication of getSimplifiedPolygon's control
+    # flow. The constructed rectangles-with-outward-bulges make the
+    # validity predicate structurally TRUE for every candidate (vertices
+    # pairwise distinct, bulges on disjoint outward half-planes so no
+    # self-intersection, |area| >> 1e-6), so the oracle replicates the
+    # tolerance passes, the no-op/degenerate guard, and the 10% area
+    # retry — every branch input (dots, areas) is a bit-identical double
+    # because the coordinate expressions are pure +,-,*,/ over exact
+    # integers (correctly rounded identically by both engines).
+    sql["simplify_ring"] = f"""
+        WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
+        jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        v AS (SELECT k, j, ({_SR_XS}) AS x, ({_SR_ZS}) AS z FROM c CROSS JOIN jj),
+        vl AS (SELECT k, list(x ORDER BY j) AS xs, list(z ORDER BY j) AS zs
+               FROM v GROUP BY k),
+        dt AS (SELECT k, xs, zs,
+                 list_transform(generate_series(0, 7), i -> {_dot_sql()}) AS dots
+               FROM vl),
+        kp AS (SELECT k, xs, zs,
+                 {_kept_sql("0.05")} AS k05,
+                 {_kept_sql("0.001")} AS k001
+               FROM dt),
+        rg AS (SELECT k, xs, zs,
+                 CASE WHEN len(k05) = 8 OR len(k05) < 3
+                      THEN list_concat(generate_series(0, 7), [0])
+                      ELSE list_concat(k05, [k05[1]]) END AS p05,
+                 CASE WHEN len(k001) = 8 OR len(k001) < 3
+                      THEN list_concat(generate_series(0, 7), [0])
+                      ELSE list_concat(k001, [k001[1]]) END AS p001,
+                 list_concat(generate_series(0, 7), [0]) AS pg
+               FROM kp),
+        ar AS (SELECT k, xs, zs, p05, p001,
+                 abs({_sa_sql("p05")}) AS a05,
+                 abs({_sa_sql("pg")}) AS ag
+               FROM rg),
+        fin AS (SELECT k, xs, zs,
+                  CASE WHEN abs(a05 - ag) / ag > CAST(0.1 AS DOUBLE)
+                       THEN p001 ELSE p05 END AS pts
+                FROM ar),
+        pos AS (SELECT unnest(generate_series(0, 8)) AS idx)
+        SELECT k, CAST(idx AS INT) AS idx,
+               CAST(floor(xs[pts[idx + 1] + 1] * 1000000.0 + 0.5) AS BIGINT) AS x_u6,
+               CAST(floor(zs[pts[idx + 1] + 1] * 1000000.0 + 0.5) AS BIGINT) AS z_u6
+        FROM fin CROSS JOIN pos WHERE idx < len(pts)
+    """
+
+    # convex_hull: the ENGINE's Sklansky pop-while chains replicated with
+    # list_reduce (left fold, list accumulator), not an independent hull
+    # algorithm — so parity holds branch-for-branch. isRightOf uses the
+    # same cross-product op tree; the post-pop stack length is the same
+    # max-L-satisfying-the-while-condition formulation. Coordinates are
+    # snapped to 1/1024 on BOTH sides (see _CH_X), so cos/sin libm-vs-JVM
+    # ulp skew cannot reach any branch input. acc[0] (L = 1 guard) is
+    # NULL-safe in DuckDB: TRUE OR NULL = TRUE, matching Spark's
+    # short-circuited Or codegen.
+    def _rightof_sql(p, l1, l2):
+        zp, xp = f"zs[{p} + 1]", f"xs[{p} + 1]"
+        z1, x1 = f"zs[{l1} + 1]", f"xs[{l1} + 1]"
+        z2, x2 = f"zs[{l2} + 1]", f"xs[{l2} + 1]"
+        return (
+            f"((({zp} - {z1}) * ({x2} - {x1})"
+            f" - ({xp} - {x1}) * ({z2} - {z1})) < CAST(0.0 AS DOUBLE))"
+        )
+
+    def _chain_sql(vs):
+        keep = (
+            "list_max(list_filter(generate_series(1, len(acc)), "
+            "L -> L = 1 OR NOT "
+            + _rightof_sql("acc[L - 1]", "e[1]", "acc[L]")
+            + "))"
+        )
+        return (
+            f"CASE WHEN len({vs}) < 3 THEN {vs} ELSE "
+            f"list_reduce(list_concat([list_slice({vs}, 1, 2)], "
+            f"list_transform(list_slice({vs}, 3, len({vs})), vv -> [vv])), "
+            f"(acc, e) -> list_concat(list_slice(acc, 1, {keep}), [e[1]])) END"
+        )
+
+    sql["convex_hull"] = f"""
+        WITH s AS (SELECT s_suppkey AS k FROM supplier),
+        jj AS (SELECT unnest(generate_series(0, 12)) AS j),
+        v AS (SELECT k, j, ({_CH_X}) AS x, ({_CH_Z}) AS z
+              FROM s CROSS JOIN jj WHERE j < {_CH_M}),
+        vl AS (SELECT k, {_CH_M} AS n,
+                 list(x ORDER BY j) AS xs, list(z ORDER BY j) AS zs
+               FROM v GROUP BY k),
+        sa AS (SELECT *, list_concat(generate_series(0, n - 1), [0]) AS pg FROM vl),
+        cwi AS (SELECT k, n, xs, zs,
+                  ({_sa_sql("pg")}) < CAST(0.0 AS DOUBLE) AS cw
+                FROM sa),
+        ci AS (SELECT *,
+                 CASE WHEN cw THEN generate_series(0, n - 1)
+                      ELSE list_concat([CAST(0 AS BIGINT)],
+                                       list_reverse(generate_series(1, n - 1))) END AS cidx
+               FROM cwi),
+        mm AS (SELECT *, list_transform(cidx, i -> xs[i + 1]) AS cxs FROM ci),
+        mi AS (SELECT *,
+                 list_position(cxs, list_min(cxs)) - 1 AS min_i,
+                 list_position(cxs, list_max(cxs)) - 1 AS max_i
+               FROM mm),
+        hs AS (SELECT *,
+                 list_transform(generate_series(0, (max_i - min_i + n) % n),
+                                j2 -> cidx[(min_i + j2) % n + 1]) AS upr,
+                 list_transform(generate_series(0, (min_i - max_i + n) % n),
+                                j2 -> cidx[(max_i + j2) % n + 1]) AS lwr
+               FROM mi),
+        ch AS (SELECT k, cw, xs, zs,
+                 ({_chain_sql("upr")}) AS hu,
+                 ({_chain_sql("lwr")}) AS hl
+               FROM hs),
+        lp AS (SELECT k, xs, zs,
+                 CASE WHEN cw THEN list_concat(hu, list_slice(hl, 2, len(hl)))
+                      ELSE list_reverse(list_concat(hu, list_slice(hl, 2, len(hl)))) END AS pts
+               FROM ch),
+        pos AS (SELECT unnest(generate_series(0, 13)) AS idx)
+        SELECT k, CAST(idx AS INT) AS idx,
+               CAST(floor(xs[pts[idx + 1] + 1] * 1000000.0 + 0.5) AS BIGINT) AS x_u6,
+               CAST(floor(zs[pts[idx + 1] + 1] * 1000000.0 + 0.5) AS BIGINT) AS z_u6
+        FROM lp CROSS JOIN pos WHERE idx < len(pts)
     """
 
     # scatter_points: the md5-candidate scatter recomputed in SQL. The
