@@ -2156,6 +2156,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["convex_hull"] = convex_hull
 
+    # CCNet/RefinedWeb paragraph-level dedup: synthesize 3-paragraph docs
+    # where the middle paragraph is shared across every doc_id % 7 class,
+    # dedup with global first-occurrence-wins, hash the surviving text
+    def para_dedup(spark, sf_dir):
+        from osm2world_spark.operators.dedup import paragraph_dedup
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = d.select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 50),
+                F.lit("\n\n"),
+                F.concat(
+                    F.lit("shared para "), (F.col("doc_id") % 7).cast("string")
+                ),
+                F.lit("\n\n"),
+                F.substring("text", 11, 60),
+            ).alias("text"),
+        )
+        out = paragraph_dedup(docs, key="text")
+        return out.select(
+            "doc_id",
+            "n_paragraphs",
+            "n_kept",
+            F.md5("text_dedup").alias("dedup_md5"),
+        )
+
+    q["para_dedup"] = para_dedup
+
+    # RefinedWeb-style per-domain cap over synthesized provenance URLs:
+    # keep the 10 largest docs per registered domain, deterministic
+    # (n_chars DESC, doc_id) tie-break
+    def domain_cap_docs(spark, sf_dir):
+        from osm2world_spark.operators.web import domain_cap
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        url = F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.lit(["www", "cdn", "blog", "api", "m"]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.lit(".site"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        out = domain_cap(
+            d.withColumn("url", url), max_per_domain=10, order_col="n_chars"
+        )
+        return out.select(
+            "doc_id", "host", "domain",
+            F.col("rank_in_domain").cast("int").alias("rank_in_domain"),
+            "kept",
+        )
+
+    q["domain_cap"] = domain_cap_docs
+
+    # Bloom-filter decontamination probe: benchmark = every 37th doc's
+    # distinct tokens -> 4096-bit/k=3 filter -> the corpus side runs the
+    # membership test as a pure map-side expression inside a lambda (zero
+    # shuffles, no join on the 100-TB side); false positives are
+    # deterministic data both engines reproduce
+    def bloom_decon(spark, sf_dir):
+        from osm2world_spark.operators.sketches import (
+            bloom_build,
+            bloom_predicate,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        bench = (
+            d.where(F.col("doc_id") % 37 == 0)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != "")
+            .distinct()
+        )
+        pred = bloom_predicate(
+            bloom_build(bench, "tok", n_bits=1 << 12, k=3),
+            n_bits=1 << 12,
+            k=3,
+        )
+        toks = F.array_distinct(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        )
+        return d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.filter(toks, lambda t: pred(t))).alias("n_hits"),
+        ).withColumn("flagged", F.col("n_hits") > 0)
+
+    q["bloom_decon"] = bloom_decon
+
     return _driver_window_order(q)
 
 
@@ -2181,15 +2273,17 @@ _WINDOW_FIRST = [
     "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points", "dup_spans", "morton_order", "scatter_points",
     "ngram_lm", "osm_json_parse",
     "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
-    "winnow_dups", "count_min", "hll_sketch", "chunk_docs", "pq_ann",
+    "winnow_dups", "count_min", "hll_sketch", "pq_ann",
     "kmeans_1iter",
     # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
     "tileset_index",
     # round-4 polyline/ring additions, never driver-checked
     "tri_interpolate", "insert_vertex", "simplify_ring", "convex_hull",
-    # flagship join kept in-window (minhash_near_dups / dedup_clusters /
+    # round-4 LLM-pipeline additions, never driver-checked (domain_cap
+    # and chunk_docs stay out-of-window: locally oracle-checked + pytest;
+    # spatial_overlaps / minhash_near_dups / dedup_clusters /
     # decontaminate / huge_clip rotate out with r3 green rows on record)
-    "spatial_overlaps",
+    "para_dedup", "bloom_decon",
 ]
 
 
@@ -4261,6 +4355,106 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(xs[pts[idx + 1] + 1] * 1000000.0 + 0.5) AS BIGINT) AS x_u6,
                CAST(floor(zs[pts[idx + 1] + 1] * 1000000.0 + 0.5) AS BIGINT) AS z_u6
         FROM lp CROSS JOIN pos WHERE idx < len(pts)
+    """
+
+    # para_dedup: paragraph split + global first-occurrence-wins rebuilt
+    # relationally — nonempty (trimmed) paragraphs rank by (doc_id, idx)
+    # within their text partition, empties are always kept; surviving
+    # paragraphs reassemble in idx order with the same separator
+    sql["para_dedup"] = """
+        WITH p AS (
+          SELECT doc_id, idx,
+                 CASE idx
+                   WHEN 0 THEN substr(text, 1, 50)
+                   WHEN 1 THEN 'shared para ' || CAST(doc_id % 7 AS VARCHAR)
+                   ELSE substr(text, 11, 60) END AS para
+          FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS idx)
+        ), r AS (
+          SELECT doc_id, idx, para,
+                 CASE WHEN trim(para) != '' THEN
+                   row_number() OVER (PARTITION BY trim(para) ORDER BY doc_id, idx)
+                 ELSE 1 END AS rn
+          FROM p
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paragraphs,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+               md5(COALESCE(string_agg(para, e'\\n\\n' ORDER BY idx)
+                            FILTER (WHERE rn = 1), '')) AS dedup_md5
+        FROM r GROUP BY doc_id
+    """
+
+    # domain_cap: registered-domain extraction is closed-form on the
+    # synthesized URLs; the cap is the same (n_chars DESC, doc_id) rank
+    sql["domain_cap"] = """
+        WITH d AS (
+          SELECT doc_id, n_chars,
+                 CASE doc_id % 5 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                      WHEN 2 THEN 'blog' WHEN 3 THEN 'api' ELSE 'm' END
+                   || '.site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS host,
+                 'site' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain
+          FROM documents
+        ), r AS (
+          SELECT doc_id, host, domain,
+                 CAST(row_number() OVER (PARTITION BY domain
+                      ORDER BY n_chars DESC, doc_id) AS INT) AS rank_in_domain
+          FROM d
+        )
+        SELECT doc_id, host, domain, rank_in_domain,
+               rank_in_domain <= 10 AS kept
+        FROM r
+    """
+
+    # bloom_decon: rebuild the 4096-bit k=3 filter with the portable
+    # md5-prefix hash family, materialize it as one 128-word list, and
+    # probe every (doc, distinct token) with the same word/mask arithmetic
+    def _bf_pos(j):
+        return (
+            f"((('0x' || substr(md5('bf{j}|' || tok), 1, 15))::BIGINT) % 4096)"
+        )
+
+    def _bf_hit(j):
+        p = f"p{j}"
+        return (
+            f"(a[({p} // 32) + 1] & (CAST(1 AS BIGINT)"
+            f" << CAST({p} % 32 AS INT))) != 0"
+        )
+
+    sql["bloom_decon"] = f"""
+        WITH bt AS (
+          SELECT DISTINCT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id % 37 = 0
+          ) WHERE tok != ''
+        ), cells AS (
+          SELECT CASE j WHEN 0 THEN {_bf_pos(0)} WHEN 1 THEN {_bf_pos(1)}
+                        ELSE {_bf_pos(2)} END AS pos
+          FROM bt CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)
+        ), words AS (
+          SELECT pos // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+          FROM cells GROUP BY 1
+        ), arr AS (
+          SELECT list(COALESCE(w.bits, 0) ORDER BY g.i) AS a
+          FROM (SELECT unnest(generate_series(0, 127)) AS i) g
+          LEFT JOIN words w ON w.word = g.i
+        ), dt AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          ) WHERE tok != ''
+        ), hp AS (
+          SELECT doc_id, tok, {_bf_pos(0)} AS p0, {_bf_pos(1)} AS p1,
+                 {_bf_pos(2)} AS p2
+          FROM dt
+        ), hit AS (
+          SELECT doc_id,
+                 ({_bf_hit(0)}) AND ({_bf_hit(1)}) AND ({_bf_hit(2)}) AS might
+          FROM hp CROSS JOIN arr
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+               CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS INT) AS n_hits,
+               sum(CASE WHEN might THEN 1 ELSE 0 END) > 0 AS flagged
+        FROM hit GROUP BY doc_id
     """
 
     # scatter_points: the md5-candidate scatter recomputed in SQL. The

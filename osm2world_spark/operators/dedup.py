@@ -535,3 +535,69 @@ def duplicated_spans(
         "tok_end",
         "n_grams",
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    key: str = "hash",
+) -> DataFrame:
+    """Paragraph-level exact dedup with global first-occurrence-wins
+    (the CCNet / RefinedWeb pre-training hygiene pass: Wenzek et al.
+    2020 §3.1 dedup paragraphs across shards; Penedo et al. 2023): split
+    every document on `sep`, keep each distinct nonempty paragraph only
+    in the document where it first occurs (ordered by (doc_id, idx) —
+    deterministic under any partitioning), and reassemble the surviving
+    paragraphs in original order.
+
+    Only nonempty (after trim) paragraphs participate in dedup; empty
+    paragraphs are always kept, under a per-row unique key so they never
+    form a hot window partition. Returns one row per input document:
+    (doc_id, text_dedup, n_paragraphs, n_kept).
+
+    key="hash" shuffles xxhash64(trim(paragraph)) (narrow rows,
+    production); key="text" uses the trimmed paragraph string itself
+    (engine-portable, the oracle mode — and collision-free).
+
+    Scale shape: two exchanges, both linear in corpus size — the
+    first-occurrence window partitioned by paragraph key, then the
+    per-document reassembly groupBy. No UDFs, no driver collect.
+    """
+    # split() takes a Java regex: quote the separator so metacharacters
+    # in a custom sep split literally
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "idx", "para"
+        ),
+    )
+    trimmed = F.trim(F.col("para"))
+    content_key = (
+        F.xxhash64(trimmed).cast("string") if key == "hash" else trimmed
+    )
+    pk = F.when(trimmed != "", F.concat(F.lit("p:"), content_key)).otherwise(
+        F.concat_ws(":", F.lit("e"), F.col("doc_id"), F.col("idx"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("pk").orderBy("doc_id", "idx")
+    )
+    flagged = paras.select("doc_id", "idx", "para", pk.alias("pk")).withColumn(
+        "rn", rn
+    )
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("idx"), F.col("para"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_paragraphs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )

@@ -129,3 +129,103 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         F.col("nz").cast("int").alias("n_registers"),
         est.alias("estimate"),
     )
+
+
+# ------------------------------------------------------------------ bloom
+
+# single-bit masks as a literal lookup table: Column-valued shift amounts
+# are awkward (F.shiftleft takes only Python ints) and float pow loses
+# nothing here but a table lookup is exact by construction
+_BIT32 = [1 << b for b in range(32)]
+
+
+def _bloom_cell(col, j: int, n_bits: int):
+    """(word, mask) for hash function j of `col`: bit position is the
+    salted 60-bit md5 hash mod n_bits, packed 32 bits per word."""
+    pos = F.pmod(_h60(col, f"bf{j}"), F.lit(n_bits))
+    word = F.floor(pos / F.lit(32)).cast("int")  # pos < 2^30: exact in double
+    mask = F.element_at(
+        F.lit(_BIT32), (F.pmod(pos, F.lit(32)) + 1).cast("int")
+    ).cast("bigint")
+    return word, mask
+
+
+def bloom_build(
+    items: DataFrame, value_col: str, n_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """Item rows -> a Bloom filter as (word, bits) rows, 32 bits packed
+    per word (Bloom 1970; the construction behind Spark's own runtime
+    row-group filters). ONE aggregation pass: k cells per item, bit_or
+    per word with map-side combine — shuffle volume is bounded by the
+    FILTER size (n_bits/32 rows), not the item count."""
+    cells = []
+    for j in range(k):
+        w, m = _bloom_cell(F.col(value_col), j, n_bits)
+        cells.append(F.struct(w.alias("word"), m.alias("mask")))
+    return (
+        items.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.word").alias("word"))
+        .agg(F.bit_or("c.mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    words: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Relational membership probe: every probe row gains a
+    might_contain column (true may be a false positive, false is exact).
+    The words table is broadcast (it is at most n_bits/32 rows); the
+    probe side is never shuffled — k cell checks land as k scalar
+    subquery-free broadcast lookups via explode + bool_and."""
+    pid = F.monotonically_increasing_id()
+    cells = []
+    for j in range(k):
+        w, m = _bloom_cell(F.col(value_col), j, n_bits)
+        cells.append(F.struct(w.alias("word"), m.alias("mask")))
+    tagged = probes.withColumn("_pid", pid).withColumn(
+        "_cell", F.explode(F.array(*cells))
+    )
+    joined = tagged.join(
+        F.broadcast(words), tagged["_cell.word"] == words["word"], "left"
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_cell.mask"))
+        != 0
+    )
+    keep = [c for c in probes.columns]
+    return (
+        joined.groupBy("_pid")
+        .agg(
+            *[F.first(c).alias(c) for c in keep],
+            F.bool_and(hit).alias("might_contain"),
+        )
+        .drop("_pid")
+    )
+
+
+def bloom_predicate(words: DataFrame, n_bits: int = 1 << 16, k: int = 5):
+    """Collect the filter ONCE into a literal array and return a Column
+    predicate factory: pred(col) is a pure map-side expression (array
+    lookups + bitwise AND), usable inside higher-order-function lambdas
+    — the corpus side of a decontamination pass runs with ZERO shuffles
+    and no join, exactly how Spark injects its runtime bloom filters.
+    The collect is bounded by construction: n_bits/32 rows (n_bits=2^20
+    -> 32768 bigints, ~256 KiB broadcast as one literal)."""
+    arr = [0] * ((n_bits + 31) // 32)
+    for r in words.collect():
+        arr[r["word"]] = int(r["bits"])
+    lit_words = F.lit(arr)
+
+    def pred(col) -> "F.Column":
+        checks = None
+        for j in range(k):
+            w, m = _bloom_cell(col, j, n_bits)
+            hit = F.element_at(lit_words, (w + 1).cast("int")).bitwiseAND(m) != 0
+            checks = hit if checks is None else (checks & hit)
+        return checks
+
+    return pred
