@@ -2248,6 +2248,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_decon"] = bloom_decon
 
+    # multimodal near-dup pairs: 18x16 synthetic grayscale images (25
+    # base patterns, single-pixel bumps varying per doc) -> exact-integer
+    # dHash -> banded Hamming LSH; with max_hamming=3 the 4-band
+    # pigeonhole makes the output the EXACT hamming<=3 pair set, which
+    # the oracle rebuilds by brute force over all pairs
+    def dhash_dups(spark, sf_dir):
+        from osm2world_spark.operators.phash import (
+            dhash_from_pixels,
+            dhash_near_dups,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        W, H = 18, 16
+        did = F.col("doc_id")
+        px = F.transform(
+            F.sequence(F.lit(0), F.lit(W * H - 1)),
+            lambda i: (
+                ((i * 37 + (did % 25) * 101) % 251)
+                + F.when(
+                    i == (did * 7) % (W * H),
+                    (F.floor(did / 25).cast("bigint") % 5) * 15,
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).cast("int"),
+        )
+        hdf = d.select(
+            "doc_id", dhash_from_pixels(px, W, H).alias("dh")
+        ).select("doc_id", "dh.hi", "dh.lo")
+        return dhash_near_dups(hdf, max_hamming=3)
+
+    q["dhash_dups"] = dhash_dups
+
     return _driver_window_order(q)
 
 
@@ -4455,6 +4486,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS INT) AS n_hits,
                sum(CASE WHEN might THEN 1 ELSE 0 END) > 0 AS flagged
         FROM hit GROUP BY doc_id
+    """
+
+    # dhash_dups: the dHash is pure integer arithmetic (block sums of
+    # closed-form pixels, cross-multiplied mean compares, power-of-two
+    # packing), so DuckDB rebuilds it bit-for-bit; blocks are exactly 2x2
+    # at 18x16 so equal counts reduce the compare to sum > sum. Pairs by
+    # brute force — equal to the engine's banded-LSH output because
+    # hamming<=3 guarantees a shared 16-bit band (pigeonhole)
+    def _dh_half(lo_i, hi_i, sh):
+        return (
+            "list_reduce(list_concat([CAST(0 AS BIGINT)], "
+            f"list_transform(generate_series({lo_i}, {hi_i}), i -> "
+            "CASE WHEN cells[i // 8 + 1][i % 8 + 1] > cells[i // 8 + 1][i % 8 + 2] "
+            f"THEN CAST(1 AS BIGINT) << CAST(i - {sh} AS INT) "
+            "ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)"
+        )
+
+    sql["dhash_dups"] = f"""
+        WITH px AS (
+          SELECT doc_id, list_transform(generate_series(0, 287), i ->
+                   (i * 37 + (doc_id % 25) * 101) % 251
+                   + CASE WHEN i = (doc_id * 7) % 288
+                          THEN ((doc_id // 25) % 5) * 15 ELSE 0 END) AS p
+          FROM documents
+        ), cl AS (
+          SELECT doc_id, list_transform(generate_series(0, 7), r ->
+                   list_transform(generate_series(0, 8), c ->
+                     p[(2 * r) * 18 + 2 * c + 1] + p[(2 * r) * 18 + 2 * c + 2]
+                     + p[(2 * r + 1) * 18 + 2 * c + 1]
+                     + p[(2 * r + 1) * 18 + 2 * c + 2])) AS cells
+          FROM px
+        ), hs AS (
+          SELECT doc_id, {_dh_half(32, 63, 32)} AS hi, {_dh_half(0, 31, 0)} AS lo
+          FROM cl
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
     """
 
     # scatter_points: the md5-candidate scatter recomputed in SQL. The
