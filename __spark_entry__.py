@@ -2279,6 +2279,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dhash_dups"] = dhash_dups
 
+    # content-defined chunking over the corpus: md5-portable boundary
+    # rule so the oracle replays every boundary decision exactly
+    def cdc_chunk_docs(spark, sf_dir):
+        from osm2world_spark.operators.packing import cdc_chunks
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        out = cdc_chunks(d, k=3, mask_bits=4, key="md5")
+        return out.select(
+            "doc_id", "chunk_idx", "tok_start", "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+
+    q["cdc_chunks"] = cdc_chunk_docs
+
     return _driver_window_order(q)
 
 
@@ -4486,6 +4500,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS INT) AS n_hits,
                sum(CASE WHEN might THEN 1 ELSE 0 END) > 0 AS flagged
         FROM hit GROUP BY doc_id
+    """
+
+    # cdc_chunks: gram hashes, boundary rule, running boundary count, and
+    # ordered reassembly replayed with the portable md5-prefix family;
+    # list_slice clamps at the token-list tail exactly like F.slice
+    sql["cdc_chunks"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        t AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM d),
+        g AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+                     array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+              FROM t),
+        b AS (SELECT doc_id, pos, tok,
+                     CASE WHEN pos = 0
+                          OR (('0x' || substr(md5(gram), 1, 15))::BIGINT) % 16 = 0
+                          THEN 1 ELSE 0 END AS bnd
+              FROM g),
+        c AS (SELECT doc_id, pos, tok,
+                     CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS chunk_idx
+              FROM b)
+        SELECT doc_id, chunk_idx,
+               CAST(min(pos) AS INT) AS tok_start,
+               CAST(count(*) AS INT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        FROM c GROUP BY doc_id, chunk_idx
     """
 
     # dhash_dups: the dHash is pure integer arithmetic (block sums of

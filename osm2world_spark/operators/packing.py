@@ -152,3 +152,76 @@ def chunk_documents(
             F.col("c.chunk").alias("chunk"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    mask_bits: int = 4,
+    key: str = "hash",
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary opens at token 0 and
+    at every position whose k-token gram hashes to 0 mod 2^mask_bits
+    (expected chunk length 2^mask_bits tokens). Because a boundary
+    depends only on the k tokens at the position, an insertion or
+    deletion reshifts at most the chunks it touches — downstream
+    chunk-level dedup stays stable under local edits, the property
+    fixed-stride chunk_documents lacks (the rolling-window boundary
+    rule is the public content-defined-chunking construction, e.g.
+    Muthitacharoen et al. 2001 LBFS).
+
+    Returns (doc_id, chunk_idx, tok_start, n_tokens, chunk_text).
+
+    key="hash" uses xxhash64 grams (production); key="md5" uses the
+    portable md5-prefix family (the oracle mode).
+
+    Scale shape: ONE exchange — the boundary-counting window partitions
+    by document, and the per-(doc, chunk) groupBy reuses that
+    partitioning (doc_id subsumes the grouping keys' clustering).
+    """
+    toks = F.split(F.col(text_col), " ")
+    arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, (i + 1).cast("int")).alias("tok"),
+            F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("gram"),
+        ),
+    )
+    t = docs.where(F.size(toks) >= 1).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(arr).alias("pos", "s")
+    )
+    if key == "md5":
+        h = F.conv(F.substring(F.md5(F.col("s.gram")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        h = F.xxhash64(F.col("s.gram"))
+    boundary = (F.col("pos") == 0) | (F.pmod(h, F.lit(1 << mask_bits)) == 0)
+    chunk_idx = (
+        F.sum(boundary.cast("int")).over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    )
+    return (
+        t.select(
+            "doc_id", "pos", F.col("s.tok").alias("tok"),
+            chunk_idx.cast("int").alias("chunk_idx"),
+        )
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.min("pos").alias("tok_start"),
+            F.count("*").cast("int").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
