@@ -2293,6 +2293,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_chunks"] = cdc_chunk_docs
 
+    # GeometryUtil.roughlyContains over rect pairs sweeping the 1%
+    # tolerance: k%4 classes = contained / <1% sliver out / half out /
+    # disjoint; micro-rounded fraction bridges the triangulation-vs-
+    # closed-form fp trees (error ~1e-12, boundary margin >= 1e-7)
+    def roughly_contains_rects(spark, sf_dir):
+        from osm2world_spark.operators.boolean import roughly_contains
+
+        c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+        x0, z0 = F.expr(X_M.format(k="k")), F.expr(Z_M.format(k="k"))
+        W = F.expr("CAST(100 + k % 20 AS DOUBLE)")
+        H = F.expr("CAST(80 + (k * 3) % 20 AS DOUBLE)")
+        w2 = F.expr("CAST(30 + k % 10 AS DOUBLE)")
+        h2 = F.expr("CAST(25 + k % 7 AS DOUBLE)")
+        s = F.expr("CAST(0.2 AS DOUBLE) + CAST(0.25 AS DOUBLE) * CAST(k % 3 AS DOUBLE)")
+        cls = F.expr("k % 4")
+        bx0 = (
+            F.when(cls == 0, x0 + 5.0)
+            .when(cls == 1, x0 + W - w2 + s)
+            .when(cls == 2, x0 + W - w2 / 2.0)
+            .otherwise(x0 + W + 50.0)
+        )
+        bz0 = z0 + F.lit(5.0)
+        a_geom = F.array(
+            F.array(x0, z0, x0 + W, z0, x0 + W, z0 + H, x0, z0 + H, x0, z0)
+        )
+        b_geom = F.array(
+            F.array(
+                bx0, bz0, bx0 + w2, bz0, bx0 + w2, bz0 + h2,
+                bx0, bz0 + h2, bx0, bz0,
+            )
+        )
+        pairs = c.select(
+            F.col("k").cast("string").alias("pair_id"),
+            a_geom.alias("a_geom"),
+            b_geom.alias("b_geom"),
+        )
+        out = roughly_contains(pairs)
+        return out.select(
+            F.col("pair_id").cast("bigint").alias("k"),
+            "contains",
+            "roughly_contains",
+            F.floor(F.col("outside_frac") * 1e6 + 0.5)
+            .cast("bigint")
+            .alias("out_u6"),
+        )
+
+    q["roughly_contains"] = roughly_contains_rects
+
     return _driver_window_order(q)
 
 
@@ -4500,6 +4548,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS INT) AS n_hits,
                sum(CASE WHEN might THEN 1 ELSE 0 END) > 0 AS flagged
         FROM hit GROUP BY doc_id
+    """
+
+    # roughly_contains: the rect-pair classes have closed-form outside
+    # fractions; contains is true exactly for the contained class
+    sql["roughly_contains"] = f"""
+        WITH c AS (
+          SELECT c_custkey AS k,
+                 CAST(30 + c_custkey % 10 AS DOUBLE) AS w2,
+                 CAST(25 + c_custkey % 7 AS DOUBLE) AS h2,
+                 CAST(0.2 AS DOUBLE) + CAST(0.25 AS DOUBLE)
+                   * CAST(c_custkey % 3 AS DOUBLE) AS s
+          FROM customer
+        ), f AS (
+          SELECT k, k % 4 = 0 AS contains,
+                 CASE k % 4
+                   WHEN 0 THEN CAST(0.0 AS DOUBLE)
+                   WHEN 1 THEN (s * h2) / (w2 * h2)
+                   WHEN 2 THEN ((w2 / 2) * h2) / (w2 * h2)
+                   ELSE CAST(1.0 AS DOUBLE) END AS frac
+          FROM c
+        )
+        SELECT k, contains,
+               contains OR frac < CAST(0.01 AS DOUBLE) AS roughly_contains,
+               CAST(floor(frac * 1000000.0 + 0.5) AS BIGINT) AS out_u6
+        FROM f
     """
 
     # cdc_chunks: gram hashes, boundary rule, running boundary count, and

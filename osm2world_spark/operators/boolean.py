@@ -22,7 +22,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .triangulate import _bridge_hole, _ear_clip, _signed_area2
 
@@ -284,3 +291,96 @@ def polygon_boolean(pairs: DataFrame) -> DataFrame:
                 yield _batch_boolean(pdf)
 
     return pairs.mapInPandas(kernel, schema=BOOLEAN_SCHEMA)
+
+
+# ------------------------------------------------------ roughly contains
+
+ROUGHLY_SCHEMA = StructType(
+    [
+        StructField("pair_id", StringType()),
+        StructField("contains", BooleanType()),
+        StructField("roughly_contains", BooleanType()),
+        StructField("outside_frac", DoubleType()),
+    ]
+)
+
+
+def _outer_vertices(flat):
+    """(qx, qz, qrow) of every OUTER-ring vertex in a FlatRings batch,
+    dropping the closing duplicate of closed rings. Fully vectorized."""
+    from ..functions.geometry import _ranges
+
+    m = flat.ring_idx == 0
+    starts, npts, rows = flat.ring_start[m], flat.ring_npts[m], flat.ring_row[m]
+    closed = (
+        (npts > 1)
+        & (flat.px[starts] == flat.px[starts + npts - 1])
+        & (flat.pz[starts] == flat.pz[starts + npts - 1])
+    )
+    eff = npts - closed.astype(np.int64)
+    idx = np.repeat(starts, eff) + _ranges(eff)
+    return flat.px[idx], flat.pz[idx], np.repeat(rows, eff)
+
+
+def _batch_roughly(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.geometry import contains_points_multi, flatten
+
+    areas = _batch_boolean(pdf)
+    n = len(pdf)
+    a_flat = flatten(pdf["a_geom"])
+    b_flat = flatten(pdf["b_geom"])
+    qx, qz, qrow = _outer_vertices(b_flat)
+    ax, az, arow = _outer_vertices(a_flat)
+    inside = contains_points_multi(qx, qz, qrow, a_flat)
+    # exact vertex-loop membership (VectorXZ.equals is exact doubles):
+    # unique-row inverse over (row, x, z) triples — no per-pair loop
+    a_keys = np.column_stack([arow.astype(np.float64), ax, az])
+    b_keys = np.column_stack([qrow.astype(np.float64), qx, qz])
+    uniq, inv = np.unique(
+        np.concatenate([a_keys, b_keys]), axis=0, return_inverse=True
+    )
+    in_a = np.zeros(len(uniq), dtype=bool)
+    in_a[inv[: len(a_keys)]] = True
+    exact = in_a[inv[len(a_keys):]]
+    ok = np.ones(n, dtype=bool)
+    np.logical_and.at(ok, qrow, exact | inside)
+    area_b = areas["area_b"].to_numpy()
+    rem = areas["area_b_minus_a"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(ok | (area_b == 0.0), 0.0, rem / area_b)
+    return pd.DataFrame(
+        {
+            "pair_id": areas["pair_id"],
+            "contains": ok,
+            "roughly_contains": ok | (frac < 0.01),
+            "outside_frac": frac,
+        }
+    )
+
+
+def roughly_contains(pairs: DataFrame) -> DataFrame:
+    """pairs (pair_id, a_geom, b_geom) -> (pair_id, contains,
+    roughly_contains, outside_frac).
+
+    GeometryUtil.roughlyContains (GeometryUtil.java:313-323): true when
+    p1 contains p2 outright, or when area(p2 \\ p1) / area(p2) < 0.01 —
+    the tolerance that keeps small mapping inaccuracies (building parts
+    nudged past their building outline) from breaking containment joins.
+
+    `contains` reproduces PolygonShapeXZ.contains(PolygonShapeXZ)
+    (PolygonShapeXZ.java:85-94) FAITHFULLY, including its documented
+    FIXME: every vertex of p2's outer ring must be an exact vertex of
+    p1's loop or inside p1 (even-odd, holes respected) — a polygon whose
+    vertices are all inside but whose edges exit p1 still reports
+    contains=true (buggy-but-golden, like the P12 vertex rule).
+
+    Scale shape: one mapInPandas batch kernel (vectorized: unique-row
+    inverse for exact vertex matches, flat-layout PIP, triangle-clip
+    areas); pairs parallelize across the cluster."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _batch_roughly(pdf)
+
+    return pairs.mapInPandas(kernel, schema=ROUGHLY_SCHEMA)
