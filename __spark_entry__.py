@@ -2341,6 +2341,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roughly_contains"] = roughly_contains_rects
 
+    # token-budgeted mixture: per-source budgets derived from the source
+    # id; kept = greedy prefix in md5-hash order within the budget
+    def token_mix(spark, sf_dir):
+        from osm2world_spark.operators.packing import token_budget_mix
+
+        d = _t(spark, sf_dir, "documents")
+        budget = (
+            F.lit(2000)
+            + (F.substring("source", 4, 10).cast("int") % 5) * F.lit(1500)
+        )
+        out = token_budget_mix(d, budget=budget)
+        return out.select(
+            "doc_id", "source", "n_tokens",
+            F.col("mix_rank").cast("int").alias("mix_rank"),
+            "cum_tokens", "kept",
+        )
+
+    q["token_mix"] = token_mix
+
+    # distributed Gram matrix over the embeddings table, quantized mode:
+    # integer partial sums are order-independent, so the d^2 cells are
+    # exactly reproducible under any partitioning and the oracle
+    # recomputes them bit-for-bit
+    def gram_embed(spark, sf_dir):
+        from osm2world_spark.operators.similarity import gram_matrix
+
+        e = _t(spark, sf_dir, "embeddings")
+        return gram_matrix(e, "embedding", quantize_bits=10).select(
+            "i", "j", F.col("val").alias("gval")
+        )
+
+    q["gram_embed"] = gram_embed
+
     return _driver_window_order(q)
 
 
@@ -4548,6 +4581,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS INT) AS n_hits,
                sum(CASE WHEN might THEN 1 ELSE 0 END) > 0 AS flagged
         FROM hit GROUP BY doc_id
+    """
+
+    # token_mix: same token-count arithmetic, same md5-order window (the
+    # engine orders by h / 2^32, an exact power-of-two division, so
+    # integer-h order is identical), same greedy prefix rule
+    sql["token_mix"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+                   AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                      AS INT) AS mix_rank,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM d
+        )
+        SELECT doc_id, source, n_tokens, mix_rank, cum_tokens,
+               cum_tokens <= 2000 + (CAST(substr(source, 4) AS INT) % 5) * 1500
+                 AS kept
+        FROM r
+    """
+
+    # gram_embed: exact integer Gram cells — floor(float-as-double * 2^10)
+    # quantization is bit-identical in both engines, integer sums are
+    # order-independent
+    sql["gram_embed"] = """
+        WITH q AS (
+          SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+          FROM embeddings
+        ), dims AS (SELECT unnest(generate_series(0, 63)) AS d)
+        SELECT CAST(a.d AS INT) AS i, CAST(b.d AS INT) AS j,
+               CAST(SUM(qv[a.d + 1] * qv[b.d + 1]) AS BIGINT) AS gval
+        FROM q CROSS JOIN dims a CROSS JOIN dims b
+        GROUP BY 1, 2
     """
 
     # roughly_contains: the rect-pair classes have closed-form outside

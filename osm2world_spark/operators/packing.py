@@ -225,3 +225,40 @@ def cdc_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budgeted mixture sampling: within every source, walk the
+    documents in deterministic md5-hash order and keep the greedy prefix
+    whose running token total stays within that source's budget — the
+    data-mixing step that turns per-source weights into an actual
+    pretraining subset (the Pile / Dolma mixture construction). `budget`
+    is an int (same token budget for every source) or a Column computed
+    from the row (per-source budgets).
+
+    Returns every input row plus (n_tokens, mix_rank, cum_tokens, kept);
+    kept rows of one source always form a prefix of its hash order, so
+    re-runs with a LARGER budget only ever add documents (monotone —
+    the property random re-sampling lacks).
+
+    Scale shape: ONE exchange (the running-sum window partitioned by
+    source). Hash order, not doc_id order, so the kept subset is an
+    unbiased sample of the source regardless of ingest ordering."""
+    b = F.lit(budget) if isinstance(budget, int) else budget
+    nt = token_count(F.col(text_col))
+    w = Window.partitionBy(source_col).orderBy(
+        _unit_hash(F.col(id_col)), F.col(id_col)
+    )
+    cum = F.sum(nt).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        docs.withColumn("n_tokens", nt.cast("int"))
+        .withColumn("mix_rank", F.row_number().over(w))
+        .withColumn("cum_tokens", cum.cast("bigint"))
+        .withColumn("kept", F.col("cum_tokens") <= b)
+    )

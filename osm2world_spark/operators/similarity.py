@@ -515,3 +515,105 @@ def kmeans_assign(
         .where(F.col("_r") == 1)
         .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
     )
+
+
+# ------------------------------------------------------ gram matrix / PCA
+
+def gram_matrix(
+    embs: DataFrame, vec_col: str = "embedding", quantize_bits: int | None = None
+) -> DataFrame:
+    """Distributed Gram matrix X^T X as (i, j, val) rows — the one-pass
+    building block for covariance/PCA at corpus scale. Each Arrow batch
+    contributes ONE d x d numpy matmul partial; only the d^2-row partials
+    cross the wire (shuffle bounded by n_partitions * d^2, never by row
+    count) and a groupBy sums them — the textbook distributed second-
+    moment shape.
+
+    quantize_bits=b first snaps every component to floor(x * 2^b) as
+    int64, making the sums ORDER-INDEPENDENT exact integers (float
+    partial sums depend on partition boundaries): the mode the driver
+    oracle verifies bit-for-bit, and the honest-answer mode for any
+    cross-run-reproducible pipeline. int64 bound: |x|<=1 at b=10 gives
+    per-product <= 2^20, safe to ~8e18 summed rows. Float mode is the
+    production default (one ulp-level nondeterminism, no overflow)."""
+    import numpy as np
+    import pandas as pd
+
+    q = quantize_bits
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy())
+            if q is not None:
+                Xq = np.floor(X.astype(np.float64) * (1 << q)).astype(np.int64)
+                G = Xq.T @ Xq
+            else:
+                G = X.astype(np.float64).T @ X.astype(np.float64)
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "val": G.ravel().astype(np.float64)
+                    if q is None
+                    else G.ravel(),
+                }
+            )
+
+    schema = "i int, j int, val " + ("double" if q is None else "bigint")
+    partials = embs.select(vec_col).mapInPandas(kernel, schema=schema)
+    return partials.groupBy("i", "j").agg(F.sum("val").alias("val"))
+
+
+def pca_project(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal axes (eigenvectors
+    of the UNcentered Gram matrix — classic truncated-SVD-style
+    dimensionality reduction before clustering/ANN). The d x d Gram is
+    computed distributed (gram_matrix) and eigendecomposed on the driver
+    — a BOUNDED d^2 collect, the same justified pattern as the IVF
+    codebook — then the projection is a pure Column dot product per
+    component. Component sign is fixed deterministically (first nonzero
+    coordinate positive)."""
+    import numpy as np
+
+    rows = gram_matrix(embs, vec_col).collect()
+    d = max(r["i"] for r in rows) + 1
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"], r["j"]] = r["val"]
+    w, V = np.linalg.eigh(G)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for c in range(k):
+        v = V[:, order[c]]
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        comps.append(v)
+
+    def proj(vec, comp):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.lit([float(x) for x in comp]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return embs.select(
+        F.col(id_col),
+        *[
+            proj(F.col(vec_col), comps[c]).alias(f"pc{c}")
+            for c in range(k)
+        ],
+    )
