@@ -2374,6 +2374,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gram_embed"] = gram_embed
 
+    # GeometryUtil.interpolateOn + PolylineShapeXZ.pointAtOffset over
+    # 4-point polylines; ratio sweeps 0..1 (incl. the fp-fallback at 1),
+    # offset overshoots for k%7 large (fallback branch)
+    def polyline_walk(spark, sf_dir):
+        from osm2world_spark.functions.polyline import (
+            interpolate_on,
+            point_at_offset,
+        )
+
+        o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+        pts = []
+        for m in ("k", "k * 3 + 1", "k * 7 + 2", "k * 5 + 3"):
+            pts += [F.expr(X_M.format(k=m)), F.expr(Z_M.format(k=m))]
+        g = F.array(*pts)
+        ratio = (F.col("k") % 10).cast("double") / F.lit(9.0)
+        off = (F.col("k") % 7).cast("double") * F.lit(25.0)
+        ip = interpolate_on(g, ratio)
+        op = point_at_offset(g, off)
+        return o.select(
+            "k",
+            F.floor(ip["px"] * 1e6 + 0.5).cast("bigint").alias("ix_u6"),
+            F.floor(ip["pz"] * 1e6 + 0.5).cast("bigint").alias("iz_u6"),
+            F.floor(op["px"] * 1e6 + 0.5).cast("bigint").alias("ox_u6"),
+            F.floor(op["pz"] * 1e6 + 0.5).cast("bigint").alias("oz_u6"),
+        )
+
+    q["polyline_walk"] = polyline_walk
+
+    # interpolateEleOfPolyline over 5-point polylines whose 4th vertex
+    # revisits the 2nd — exercising offsetOf's indexOf-first-occurrence
+    # path (verified collision-free for all key multipliers to 20k)
+    def polyline_ele(spark, sf_dir):
+        from osm2world_spark.functions.polyline import (
+            interpolate_ele_of_polyline,
+        )
+
+        s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+        pts = []
+        for m in ("k", "k * 3 + 1", "k * 7 + 2", "k * 3 + 1", "k * 5 + 3"):
+            pts += [F.expr(X_M.format(k=m)), F.expr(Z_M.format(k=m))]
+        g = F.array(*pts)
+        ele = interpolate_ele_of_polyline(
+            g,
+            (F.col("k") % 50).cast("double"),
+            ((F.col("k") * 3) % 70).cast("double"),
+        )
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.floor(F.element_at(ele, (i + 1).cast("int")) * 1e6 + 0.5)
+                .cast("bigint")
+                .alias("ele_u6"),
+            ),
+        )
+        return s.select("k", F.explode(pairs).alias("p")).select(
+            "k", "p.idx", "p.ele_u6"
+        )
+
+    q["polyline_ele"] = polyline_ele
+
     return _driver_window_order(q)
 
 
@@ -4620,6 +4681,94 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(qv[a.d + 1] * qv[b.d + 1]) AS BIGINT) AS gval
         FROM q CROSS JOIN dims a CROSS JOIN dims b
         GROUP BY 1, 2
+    """
+
+    # polyline_walk: the remaining-distance walk unrolled for 4 points;
+    # rem_k is the literal sequential subtraction ((r0 - d0) - d1), the
+    # same fp sequence as the engine's re-reduction aggregate
+    def _pw_point(r0, clamp, cs):
+        rems = [r0, f"({r0} - d0)", f"(({r0} - d0) - d1)"]
+        dss = ["d0", "d1", "d2"]
+
+        def pt(k):
+            t = f"({rems[k]} / {dss[k]})"
+            if clamp:
+                t = f"greatest(CAST(0.0 AS DOUBLE), {t})"
+            return (
+                f"({cs[k]} * (CAST(1.0 AS DOUBLE) - {t}) + {cs[k + 1]} * {t})"
+            )
+
+        return (
+            f"CASE WHEN {rems[0]} <= d0 THEN {pt(0)}"
+            f" WHEN {rems[1]} <= d1 THEN {pt(1)}"
+            f" WHEN {rems[2]} <= d2 THEN {pt(2)}"
+            f" ELSE {cs[3]} END"
+        )
+
+    _pw_xs = ["x0", "x1", "x2", "x3"]
+    _pw_zs = ["z0", "z1", "z2", "z3"]
+    sql["polyline_walk"] = f"""
+        WITH p AS (
+          SELECT o_orderkey AS k,
+                 {X_M.format(k="o_orderkey")} AS x0, {Z_M.format(k="o_orderkey")} AS z0,
+                 {X_M.format(k="o_orderkey * 3 + 1")} AS x1, {Z_M.format(k="o_orderkey * 3 + 1")} AS z1,
+                 {X_M.format(k="o_orderkey * 7 + 2")} AS x2, {Z_M.format(k="o_orderkey * 7 + 2")} AS z2,
+                 {X_M.format(k="o_orderkey * 5 + 3")} AS x3, {Z_M.format(k="o_orderkey * 5 + 3")} AS z3,
+                 CAST(o_orderkey % 10 AS DOUBLE) / CAST(9.0 AS DOUBLE) AS rt,
+                 CAST(o_orderkey % 7 AS DOUBLE) * CAST(25.0 AS DOUBLE) AS off
+          FROM orders
+        ), d AS (
+          SELECT *, sqrt((x1 - x0) * (x1 - x0) + (z1 - z0) * (z1 - z0)) AS d0,
+                    sqrt((x2 - x1) * (x2 - x1) + (z2 - z1) * (z2 - z1)) AS d1,
+                    sqrt((x3 - x2) * (x3 - x2) + (z3 - z2) * (z3 - z2)) AS d2
+          FROM p
+        ), w AS (
+          SELECT *, rt * (((CAST(0.0 AS DOUBLE) + d0) + d1) + d2) AS r0 FROM d
+        )
+        SELECT k,
+               CAST(floor(({_pw_point("r0", False, _pw_xs)}) * 1000000.0 + 0.5) AS BIGINT) AS ix_u6,
+               CAST(floor(({_pw_point("r0", False, _pw_zs)}) * 1000000.0 + 0.5) AS BIGINT) AS iz_u6,
+               CAST(floor(({_pw_point("off", True, _pw_xs)}) * 1000000.0 + 0.5) AS BIGINT) AS ox_u6,
+               CAST(floor(({_pw_point("off", True, _pw_zs)}) * 1000000.0 + 0.5) AS BIGINT) AS oz_u6
+        FROM w
+    """
+
+    # polyline_ele: prefix lengths per the indexOf-first-occurrence rule
+    # (vertex 3 revisits vertex 1 -> prefix d0), ratios over the
+    # sequential total, lerp with the engine's op tree
+    sql["polyline_ele"] = f"""
+        WITH p AS (
+          SELECT s_suppkey AS k,
+                 {X_M.format(k="s_suppkey")} AS x0, {Z_M.format(k="s_suppkey")} AS z0,
+                 {X_M.format(k="s_suppkey * 3 + 1")} AS x1, {Z_M.format(k="s_suppkey * 3 + 1")} AS z1,
+                 {X_M.format(k="s_suppkey * 7 + 2")} AS x2, {Z_M.format(k="s_suppkey * 7 + 2")} AS z2,
+                 {X_M.format(k="s_suppkey * 3 + 1")} AS x3, {Z_M.format(k="s_suppkey * 3 + 1")} AS z3,
+                 {X_M.format(k="s_suppkey * 5 + 3")} AS x4, {Z_M.format(k="s_suppkey * 5 + 3")} AS z4,
+                 CAST(s_suppkey % 50 AS DOUBLE) AS e1,
+                 CAST((s_suppkey * 3) % 70 AS DOUBLE) AS e2
+          FROM supplier
+        ), d AS (
+          SELECT *, sqrt((x1 - x0) * (x1 - x0) + (z1 - z0) * (z1 - z0)) AS d0,
+                    sqrt((x2 - x1) * (x2 - x1) + (z2 - z1) * (z2 - z1)) AS d1,
+                    sqrt((x3 - x2) * (x3 - x2) + (z3 - z2) * (z3 - z2)) AS d2,
+                    sqrt((x4 - x3) * (x4 - x3) + (z4 - z3) * (z4 - z3)) AS d3
+          FROM p
+        ), t AS (
+          SELECT *, (((CAST(0.0 AS DOUBLE) + d0) + d1) + d2) + d3 AS total FROM d
+        ), r AS (
+          SELECT k, e1, e2, CAST(idx AS INT) AS idx,
+                 CASE idx WHEN 0 THEN CAST(0.0 AS DOUBLE)
+                          WHEN 1 THEN CAST(0.0 AS DOUBLE) + d0
+                          WHEN 2 THEN (CAST(0.0 AS DOUBLE) + d0) + d1
+                          WHEN 3 THEN CAST(0.0 AS DOUBLE) + d0
+                          ELSE (((CAST(0.0 AS DOUBLE) + d0) + d1) + d2) + d3
+                 END / total AS rr
+          FROM t CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS idx)
+        )
+        SELECT k, idx,
+               CAST(floor((e1 * (CAST(1.0 AS DOUBLE) - rr) + e2 * rr)
+                    * 1000000.0 + 0.5) AS BIGINT) AS ele_u6
+        FROM r
     """
 
     # roughly_contains: the rect-pair classes have closed-form outside

@@ -492,3 +492,137 @@ def convex_hull_ring(geom: Column) -> Column:
     return F.element_at(
         F.transform(F.transform(F.transform(s0, stage1), stage2), stage3), 1
     )
+
+
+def _seg_dists(g: Column, n) -> Column:
+    """Per-segment lengths of a packed polyline (VectorXZ.distance
+    op tree: sqrt(dx*dx + dz*dz), VectorXZ.java:254-257). `n` = point
+    count; returns n-1 lengths."""
+    def d(i):
+        dx = _x(g, i + 1) - _x(g, i)
+        dz = _z(g, i + 1) - _z(g, i)
+        return F.sqrt(dx * dx + dz * dz)
+
+    return F.transform(F.sequence(F.lit(0), n - 2), d)
+
+
+def _polyline_length(ds: Column) -> Column:
+    """PolylineXZ.getLength (PolylineXZ.java:47-57): sequential
+    `length += distance` left fold, replicated exactly."""
+    return F.aggregate(ds, F.lit(0.0), lambda a, d: a + d)
+
+
+def _walk(g: Column, ds: Column, n, rem0: Column, clamp_t: bool) -> Column:
+    """Shared remaining-distance walk: the reference loops
+    `if (rem <= d_i) return lerp else rem -= d_i`. rem at step k equals
+    the re-reduction aggregate(slice(ds, 1, k), rem0, a - d) — the SAME
+    left-to-right fp subtraction sequence, so branch decisions match the
+    loop bit-for-bit. Returns struct(px, pz); falls back to the last
+    vertex when accumulated fp error exhausts every segment
+    (GeometryUtil.java:465-466, PolylineShapeXZ.java:112-115)."""
+    def rem(k):
+        return F.aggregate(F.slice(ds, 1, k), rem0, lambda a, d: a - d)
+
+    k = F.aggregate(
+        F.sequence(F.lit(0), n - 2),
+        F.lit(-1),
+        lambda best, i: F.when(
+            (best == -1) & (rem(i) <= F.element_at(ds, (i + 1).cast("int"))),
+            i.cast("int"),
+        ).otherwise(best),
+    )
+
+    def out(kk):
+        t = rem(kk) / F.element_at(ds, (kk + 1).cast("int"))
+        if clamp_t:
+            t = F.greatest(F.lit(0.0), t)  # pointAtOffset's max(0, ...)
+        # interpolateBetween (GeometryUtil.java:389-393):
+        # pos1 * (1 - t) + pos2 * t
+        px = _x(g, kk) * (1 - t) + _x(g, kk + 1) * t
+        pz = _z(g, kk) * (1 - t) + _z(g, kk + 1) * t
+        return F.struct(px.alias("px"), pz.alias("pz"))
+
+    last = F.struct(_x(g, n - 1).alias("px"), _z(g, n - 1).alias("pz"))
+    return F.when(k == -1, last).otherwise(out(k))
+
+
+def interpolate_on(geom: Column, ratio) -> Column:
+    """GeometryUtil.interpolateOn (GeometryUtil.java:440-467), XZ form:
+    the point at `ratio` (0..1) of the way along a packed polyline —
+    total length, remaining = ratio * total, remaining-distance walk,
+    last-vertex fallback for accumulated fp error. Returns
+    struct(px, pz)."""
+    def stage(s):
+        g = s["g"]
+        n = (F.size(g) / 2).cast("int")
+        ds = _seg_dists(g, n)
+        rem0 = s["r"] * _polyline_length(ds)
+        return _let(
+            F.struct(g.alias("g"), ds.alias("ds"), rem0.alias("r0")),
+            lambda c: _walk(c["g"], c["ds"], (F.size(c["g"]) / 2).cast("int"), c["r0"], clamp_t=False),
+        )
+
+    r = ratio if isinstance(ratio, Column) else F.lit(float(ratio))
+    return _let(F.struct(geom.alias("g"), r.alias("r")), stage)
+
+
+def point_at_offset(geom: Column, offset) -> Column:
+    """PolylineShapeXZ.pointAtOffset (PolylineShapeXZ.java:87-116): the
+    point at an absolute distance from the start — same walk as
+    interpolate_on but with the reference's max(0, offset/length) clamp
+    and the last-vertex fallback. Returns struct(px, pz)."""
+    def stage(s):
+        g = s["g"]
+        n = (F.size(g) / 2).cast("int")
+        ds = _seg_dists(g, n)
+        return _let(
+            F.struct(g.alias("g"), ds.alias("ds"), s["o"].alias("r0")),
+            lambda c: _walk(c["g"], c["ds"], (F.size(c["g"]) / 2).cast("int"), c["r0"], clamp_t=True),
+        )
+
+    o = offset if isinstance(offset, Column) else F.lit(float(offset))
+    return _let(F.struct(geom.alias("g"), o.alias("o")), stage)
+
+
+def interpolate_ele_of_polyline(geom: Column, ele1, ele2) -> Column:
+    """GeometryUtil.interpolateEleOfPolyline (GeometryUtil.java:494-497
+    over interpolateEleOfSegment :471-491) for the polyline's own
+    vertices: each vertex's elevation ratio is offsetOf(closestPoint(v))
+    / getLength(); for a vertex of the line, closestPoint(v) == v and
+    offsetOf takes the indexOf exact-vertex path
+    (PolylineShapeXZ.java:48-54) — the prefix length at the FIRST
+    occurrence of the coordinates (a revisited point maps to its first
+    visit, reproduced faithfully). ele = interpolateBetween((0, ele1),
+    (1, ele2), ratio).z = ele1 * (1 - r) + ele2 * r. Returns
+    array<double> of per-vertex elevations."""
+    e1 = ele1 if isinstance(ele1, Column) else F.lit(float(ele1))
+    e2 = ele2 if isinstance(ele2, Column) else F.lit(float(ele2))
+
+    def stage(s):
+        g, a, b = s["g"], s["e1"], s["e2"]
+        n = (F.size(g) / 2).cast("int")
+        ds = _seg_dists(g, n)
+        total = _polyline_length(ds)
+
+        def ele(i):
+            first = F.aggregate(
+                F.sequence(F.lit(0), n - 1),
+                F.lit(-1),
+                lambda best, j: F.when(
+                    (best == -1)
+                    & (_x(g, j) == _x(g, i))
+                    & (_z(g, j) == _z(g, i)),
+                    j.cast("int"),
+                ).otherwise(best),
+            )
+            prefix = F.aggregate(
+                F.slice(ds, 1, first), F.lit(0.0), lambda acc, d: acc + d
+            )
+            r = prefix / total
+            return a * (1 - r) + b * r
+
+        return F.transform(F.sequence(F.lit(0), n - 1), ele)
+
+    return _let(
+        F.struct(geom.alias("g"), e1.alias("e1"), e2.alias("e2")), stage
+    )
