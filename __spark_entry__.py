@@ -2435,6 +2435,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["polyline_ele"] = polyline_ele
 
+    # batch twin of the streaming windowed HLL (stream==batch agreement
+    # is pytest-pinned; the registers themselves hash-verify here):
+    # per-hour distinct-user sketch registers over the events table
+    def hll_hourly(spark, sf_dir):
+        from osm2world_spark.streaming.ingest import stream_hll_windowed
+
+        e = _t(spark, sf_dir, "events")
+        return stream_hll_windowed(e, value_col="user_id", p=10)
+
+    q["hll_hourly"] = hll_hourly
+
     return _driver_window_order(q)
 
 
@@ -3207,6 +3218,24 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT idx, max(rank) AS r FROM rr GROUP BY idx
+    """
+
+    # hll_hourly: the hour window of F.window("3600 seconds") is
+    # epoch-aligned, i.e. date_trunc('hour'); same register arithmetic
+    # as hll_sketch at p=10 (rest_bits 50)
+    sql["hll_hourly"] = """
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS window_start,
+                 ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM events
+        ), rr AS (
+          SELECT window_start, CAST(hv % 1024 AS INT) AS idx,
+                 CAST(CASE WHEN hv // 1024 > 0
+                      THEN 51 - length(bin(hv // 1024))
+                      ELSE 51 END AS INT) AS rank
+          FROM h
+        )
+        SELECT window_start, idx, max(rank) AS r FROM rr GROUP BY 1, 2
     """
 
     # winnow_dups: rebuild the winnowing fingerprints in SQL — md5-prefix

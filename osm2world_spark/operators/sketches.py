@@ -79,12 +79,12 @@ def count_min_estimate(
     )
 
 
-def hll_registers(items: DataFrame, value_col: str, p: int = 12) -> DataFrame:
-    """Item rows -> HyperLogLog registers (idx, rank): idx = low p bits of
-    the 60-bit value hash, rank = 1 + leading-zero count of the remaining
-    (60 - p) bits, register value = max(rank). Mergeable by max under any
-    partitioning."""
-    h = _h60(F.col(value_col), "hll")
+def hll_cols(col, p: int = 12):
+    """(idx, rank) Columns of the HLL construction for one value column:
+    idx = low p bits of the 60-bit value hash, rank = 1 + leading-zero
+    count of the remaining (60 - p) bits. Shared by the batch register
+    builder and the streaming windowed variant."""
+    h = _h60(col, "hll")
     rest_bits = 60 - p
     # high bits via shiftright — float division would lose exactness
     # above 2^53 on the 60-bit hash
@@ -97,10 +97,17 @@ def hll_registers(items: DataFrame, value_col: str, p: int = 12) -> DataFrame:
         F.lit(rest_bits + 1)
     )
     return (
-        items.select(
-            F.pmod(h, F.lit(1 << p)).cast("int").alias("idx"),
-            rank.cast("int").alias("rank"),
-        )
+        F.pmod(h, F.lit(1 << p)).cast("int"),
+        rank.cast("int"),
+    )
+
+
+def hll_registers(items: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+    """Item rows -> HyperLogLog registers (idx, rank): register value =
+    max(rank). Mergeable by max under any partitioning."""
+    idx, rank = hll_cols(F.col(value_col), p)
+    return (
+        items.select(idx.alias("idx"), rank.alias("rank"))
         .groupBy("idx")
         .agg(F.max("rank").alias("r"))
     )

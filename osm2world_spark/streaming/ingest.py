@@ -152,3 +152,40 @@ def stream_dedup_documents(
     return docs_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["doc_id"]
     )
+
+
+def stream_hll_windowed(
+    events_stream: DataFrame,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    window_minutes: float = 60.0,
+    watermark_minutes: float = 120.0,
+    p: int = 12,
+) -> DataFrame:
+    """Per-event-time-window HyperLogLog registers over a stream —
+    rolling distinct-count estimation, the canonical streaming-sketch
+    shape: the aggregation state is BOUNDED BY CONSTRUCTION (at most
+    2^p registers per open window; max(rank) is mergeable, so partial
+    aggregation and late-arrival merges are exact), and the watermark
+    evicts finalized windows, so a continuous ingest holds at most
+    (watermark / window) * 2^p rows of state. The identical expression
+    runs on a batch DataFrame (no watermark applied), which is how the
+    stream==batch test pins agreement; `hll_estimate` turns any one
+    window's register set into the distinct-count estimate."""
+    from ..operators.sketches import hll_cols
+
+    idx, rank = hll_cols(F.col(value_col), p)
+    src = events_stream
+    if events_stream.isStreaming:
+        src = events_stream.withWatermark(
+            ts_col, f"{watermark_minutes * 60:.0f} seconds"
+        )
+    win = F.window(F.col(ts_col), f"{window_minutes * 60:.0f} seconds")
+    # group by the window struct itself (not an extracted field) so the
+    # streaming planner keeps the event-time linkage for state eviction
+    return (
+        src.select(win.alias("w"), idx.alias("idx"), rank.alias("rank"))
+        .groupBy("w", "idx")
+        .agg(F.max("rank").alias("r"))
+        .select(F.col("w.start").alias("window_start"), "idx", "r")
+    )

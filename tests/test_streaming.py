@@ -175,3 +175,48 @@ def test_stream_dedup_documents(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 200
     assert got.select("doc_id").distinct().count() == 200
+
+
+def test_stream_hll_windowed_matches_batch(spark, tmp_path):
+    from osm2world_spark.operators.sketches import hll_estimate
+    from osm2world_spark.streaming.ingest import stream_events, stream_hll_windowed
+
+    src = str(tmp_path / "hll_events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out = stream_hll_windowed(stream_events(spark, src), p=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hllw")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT window_start, idx, r FROM hllw").collect()
+    )
+    batch = stream_hll_windowed(spark.read.parquet(src), p=10)
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
+
+    # per-window estimates are within HLL error of the exact distincts
+    hours = spark.sql(
+        "SELECT window_start, count(*) AS nreg FROM hllw GROUP BY 1 ORDER BY 2 DESC LIMIT 1"
+    ).collect()
+    top = hours[0]["window_start"]
+    regs = spark.sql(
+        f"SELECT idx, r FROM hllw WHERE window_start = '{top}'"
+    )
+    est = hll_estimate(regs, p=10).first()["estimate"]
+    exact = (
+        spark.read.parquet(src)
+        .where(F.date_trunc("hour", F.col("ts")) == F.lit(top))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert exact > 0 and abs(est - exact) / exact < 0.15
