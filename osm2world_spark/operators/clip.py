@@ -616,6 +616,11 @@ def _clip_polyline(xs, zs, minx, minz, maxx, maxz):
 
 def _clip_segment(x1, z1, x2, z2, minx, minz, maxx, maxz):
     t0, t1 = 0.0, 1.0
+    # Python floats: qv/p may overflow to inf on near-degenerate segments
+    # (tiny p, huge qv) — the t0/t1 comparisons below handle inf correctly,
+    # and plain floats don't emit numpy RuntimeWarnings on the way there.
+    x1, z1, x2, z2 = float(x1), float(z1), float(x2), float(z2)
+    minx, minz, maxx, maxz = float(minx), float(minz), float(maxx), float(maxz)
     dx, dz = x2 - x1, z2 - z1
     for p, qv in ((-dx, x1 - minx), (dx, maxx - x1), (-dz, z1 - minz), (dz, maxz - z1)):
         if p == 0:
