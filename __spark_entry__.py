@@ -2214,6 +2214,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_cap"] = domain_cap_docs
 
+    # Gopher / MassiveWeb document-quality rules (Rae et al. 2021 table
+    # A1) over line-structured synthesis: %5 docs get a bullet opener,
+    # %7 docs get '#' symbols, %3 docs end on an ellipsis line — every
+    # rule fires on a deterministic slice, all ratios exact micro-units
+    def gopher_rules(spark, sf_dir):
+        from osm2world_spark.operators.quality import gopher_quality
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        g = F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("- bulleted opener for doc.\n")).otherwise(F.lit("")),
+            F.substring("text", 1, 160),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ## #")).otherwise(F.lit("")),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("the closing line trails off..."))
+            .otherwise(F.lit("the final line of this document stands here.")),
+        )
+        return gopher_quality(d.select("doc_id", g.alias("text")), min_words=20)
+
+    q["gopher_rules"] = gopher_rules
+
+    # C4 cleaning pass (Raffel et al. 2020 §2.2): terminal-punctuation /
+    # min-words / javascript line rules + '{' / lorem-ipsum / thin-doc
+    # document rules, over 4-line synthesized docs
+    def c4_clean(spark, sf_dir):
+        from osm2world_spark.operators.quality import c4_line_filter
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        l3 = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit("this line asks a question?"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("enable javascript to proceed."))
+            .when(F.col("doc_id") % 4 == 2, F.lit("short one."))
+            .otherwise(F.lit("a solid third sentence ends well."))
+        )
+        l4 = F.when(F.col("doc_id") % 11 == 0, F.lit("bad brace { appears here.")).otherwise(
+            F.lit("the last line finishes cleanly.")
+        )
+        c = F.concat(
+            F.lit("the opening line has a period.\n"),
+            F.substring("text", 1, 100 + (F.col("doc_id") % 40).cast("int")),
+            F.lit("\n"), l3, F.lit("\n"), l4,
+        )
+        out = c4_line_filter(d.select("doc_id", c.alias("text")))
+        return out.select(
+            "doc_id", "n_lines", "n_kept_lines", "keep_doc",
+            F.md5("text_clean").alias("clean_md5"),
+        )
+
+    q["c4_clean"] = c4_clean
+
+    # corpus-level boilerplate line removal (CCNet/RefinedWeb line
+    # dedup): lines in > 2 distinct docs are stripped from every doc;
+    # %4 boiler lines (~125 docs each) vanish, %300 'rare' lines (1-2
+    # docs) survive — one count-distinct agg + broadcast anti join
+    def line_dedup(spark, sf_dir):
+        from osm2world_spark.operators.quality import boilerplate_line_dedup
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        t = F.concat(
+            F.substring("text", 1, 30), F.lit(" unique head.\n"),
+            F.lit("shared boiler line "), (F.col("doc_id") % 4).cast("string"), F.lit(".\n"),
+            F.lit("rare shared "), (F.col("doc_id") % 300).cast("string"), F.lit(".\n"),
+            F.substring("text", 5, 35), F.lit(" unique tail."),
+        )
+        out = boilerplate_line_dedup(d.select("doc_id", t.alias("text")), max_docs=2)
+        return out.select(
+            "doc_id", "n_lines", "n_kept_lines", F.md5("text_dedup").alias("dedup_md5")
+        )
+
+    q["line_dedup"] = line_dedup
+
     # Bloom-filter decontamination probe: benchmark = every 37th doc's
     # distinct tokens -> 4096-bit/k=3 filter -> the corpus side runs the
     # membership test as a pure map-side expression inside a lambda (zero
@@ -4620,6 +4690,131 @@ def oracle_sql() -> dict[str, str]:
                rank_in_domain <= 10 AS kept
         FROM r
     """
+
+    # gopher_rules: the same synthesis + replace/length arithmetic; list
+    # lambdas mirror the Spark higher-order functions one for one
+    _gstops = " + ".join(
+        f"CAST((length(pad) - length(replace(pad, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    sql["gopher_rules"] = f"""
+        WITH built AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 5 = 0 THEN '- bulleted opener for doc.' || chr(10) ELSE '' END)
+                 || substr(text, 1, 160)
+                 || (CASE WHEN doc_id % 7 = 0 THEN ' ## #' ELSE '' END)
+                 || chr(10)
+                 || (CASE WHEN doc_id % 3 = 0 THEN 'the closing line trails off...'
+                          ELSE 'the final line of this document stands here.' END) AS g
+          FROM documents
+        ), m AS (
+          SELECT doc_id, g,
+                 replace(g, chr(10), ' ') AS flat,
+                 ' ' || replace(g, chr(10), ' ') || ' ' AS pad,
+                 string_split(replace(g, chr(10), ' '), ' ') AS words,
+                 string_split(g, chr(10)) AS lines
+          FROM built
+        ), v AS (
+          SELECT doc_id,
+                 len(words) AS n_words,
+                 CAST(length(g) - (len(words) - 1) AS DOUBLE) / len(words) AS mean_len,
+                 CAST((length(g) - length(replace(g, '#', '')))
+                      + CAST((length(g) - length(replace(g, '...', ''))) / 3 AS BIGINT) AS DOUBLE)
+                   / len(words) AS sym_ratio,
+                 CAST(len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS DOUBLE)
+                   / len(lines) AS bul_ratio,
+                 CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE)
+                   / len(lines) AS ell_ratio,
+                 CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(words) AS alpha_ratio,
+                 {_gstops} AS n_stop
+          FROM m
+        )
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               CAST(floor(mean_len * 1000000.0 + 0.5) AS BIGINT) AS mean_word_len_u6,
+               CAST(floor(sym_ratio * 1000000.0 + 0.5) AS BIGINT) AS symbol_ratio_u6,
+               CAST(floor(bul_ratio * 1000000.0 + 0.5) AS BIGINT) AS bullet_ratio_u6,
+               CAST(floor(ell_ratio * 1000000.0 + 0.5) AS BIGINT) AS ellipsis_ratio_u6,
+               CAST(floor(alpha_ratio * 1000000.0 + 0.5) AS BIGINT) AS alpha_ratio_u6,
+               n_stop AS n_stop_words,
+               (n_words >= 20 AND n_words <= 100000) AS ok_words,
+               (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_len,
+               (sym_ratio <= 0.1) AS ok_symbols,
+               (bul_ratio <= 0.9) AS ok_bullets,
+               (ell_ratio <= 0.3) AS ok_ellipsis,
+               (alpha_ratio >= 0.8) AS ok_alpha,
+               (n_stop >= 2) AS ok_stops,
+               ((n_words >= 20 AND n_words <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                AND sym_ratio <= 0.1 AND bul_ratio <= 0.9 AND ell_ratio <= 0.3
+                AND alpha_ratio >= 0.8 AND n_stop >= 2) AS keep
+        FROM v
+    """
+
+    # c4_clean: same synthesis; the line predicate is one list_filter
+    sql["c4_clean"] = """
+        WITH built AS (
+          SELECT doc_id,
+                 'the opening line has a period.' || chr(10)
+                 || substr(text, 1, 100 + CAST(doc_id % 40 AS INT)) || chr(10)
+                 || (CASE WHEN doc_id % 4 = 0 THEN 'this line asks a question?'
+                          WHEN doc_id % 4 = 1 THEN 'enable javascript to proceed.'
+                          WHEN doc_id % 4 = 2 THEN 'short one.'
+                          ELSE 'a solid third sentence ends well.' END) || chr(10)
+                 || (CASE WHEN doc_id % 11 = 0 THEN 'bad brace { appears here.'
+                          ELSE 'the last line finishes cleanly.' END) AS c
+          FROM documents
+        ), m AS (
+          SELECT doc_id, c, string_split(c, chr(10)) AS lines,
+                 list_filter(string_split(c, chr(10)), l ->
+                   (length(l) - length(replace(l, ' ', '')) + 1 >= 3)
+                   AND length(l) > 0
+                   AND (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM built
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               (NOT contains(lower(c), '{') AND NOT contains(lower(c), 'lorem ipsum')
+                AND len(kept) >= 3) AS keep_doc,
+               md5(CASE WHEN NOT contains(lower(c), '{') AND NOT contains(lower(c), 'lorem ipsum')
+                             AND len(kept) >= 3
+                        THEN array_to_string(kept, chr(10)) ELSE '' END) AS clean_md5
+        FROM m
+    """
+
+    # line_dedup: group the exploded lines by the line TEXT (the engine
+    # groups by xxhash64 of it — identical up to 2^-64 collisions),
+    # count distinct docs, strip lines over the threshold everywhere
+    sql["line_dedup"] = """
+        WITH built AS (
+          SELECT doc_id,
+                 substr(text, 1, 30) || ' unique head.' || chr(10)
+                 || 'shared boiler line ' || CAST(doc_id % 4 AS VARCHAR) || '.' || chr(10)
+                 || 'rare shared ' || CAST(doc_id % 300 AS VARCHAR) || '.' || chr(10)
+                 || substr(text, 5, 35) || ' unique tail.' AS t
+          FROM built_src
+        ), lines AS (
+          SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                 generate_subscripts(string_split(t, chr(10)), 1) AS pos
+          FROM built
+        ), counts AS (
+          SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+        ), kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l JOIN counts c USING (line) WHERE c.nd <= 2
+        )
+        SELECT b.doc_id,
+               CAST(4 AS INT) AS n_lines,
+               CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept_lines,
+               md5(COALESCE(k.txt, '')) AS dedup_md5
+        FROM built b LEFT JOIN (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY pos) AS txt
+          FROM kept GROUP BY doc_id
+        ) k USING (doc_id)
+    """.replace("built_src", "documents")
 
     # bloom_decon: rebuild the 4096-bit k=3 filter with the portable
     # md5-prefix hash family, materialize it as one 128-word list, and
