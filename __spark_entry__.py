@@ -1355,6 +1355,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["natural_elevation"] = natural_elevation
 
+    def natural_linear(spark, sf_dir):
+        # J9 hash evidence via the Sibson LINEAR-PRECISION property
+        # (natural-neighbor interpolation reproduces any affine field
+        # exactly — Sibson 1981): sites on a 21x21 grid carry
+        # y = 3 + x/127 + z/255; every interior query must interpolate to
+        # the same affine value, which IS the closed-form SQL oracle.
+        # Runs the DISTRIBUTED path (cell_size=250, halo=1 — Sibson
+        # radius ~2 grid spacings = 100 < 250, so partitioning is exact);
+        # queries stay in [200, 800)^2, ≥200 from every group bbox edge,
+        # so the y=0 frame corners are never natural neighbors.
+        from osm2world_spark.operators.natural import natural_neighbor_interpolate
+
+        g = spark.range(21 * 21)
+        sites = g.select(
+            F.col("id").alias("s_id"),
+            ((F.col("id") % 21) * 50.0).alias("x"),
+            ((F.col("id") / 21).cast("bigint") * 50.0).alias("z"),
+        ).withColumn("y", F.lit(3.0) + F.col("x") / 127.0 + F.col("z") / 255.0)
+        queries_df = (
+            _t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 7 == 0)
+            .select(
+                F.col("c_custkey").cast("string").alias("q_id"),
+                (200.0 + (F.col("c_custkey") * 37 % 6000) / 10.0).alias("x"),
+                (200.0 + (F.col("c_custkey") * 53 % 6000) / 10.0).alias("z"),
+            )
+        )
+        out = natural_neighbor_interpolate(queries_df, sites, cell_size=250.0, halo=1)
+        return out.select(
+            "q_id", F.floor(F.col("ele") * 1000000.0 + 0.5).cast("bigint").alias("ele_u6")
+        )
+
+    q["natural_linear"] = natural_linear
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -2527,12 +2561,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # round-4 addition, and the round-3 hash-fail fix inside the window;
 # queries that have hashed green for 3 consecutive rounds rotate to the
 # back (their oracles remain registered, and tools/check_oracles.py still
-# verifies ALL queries locally).
+# verifies ALL queries locally). natural_linear (hash evidence for J9 via
+# Sibson linear precision) takes the slot of rows-only ivf_ann — the IVF
+# component keeps in-window hash evidence through ivf_ann_fixed.
 _WINDOW_FIRST = [
     # round-2/3 queries that have never had a driver correctness row
     "lsh_cosine_topk", "media_features", "knn_elevation", "triangulate_areas",
     "assemble_rings", "lsq_elevation", "natural_elevation", "coastline_water",
-    "ivf_ann", "near_dups_lsh", "ele_constraints", "ele_calculator",
+    "natural_linear", "near_dups_lsh", "ele_constraints", "ele_calculator",
     "media_decode", "network_degrees", "network_components",
     "network_connector_cuts", "network_hops", "network_distances",
     "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
@@ -5345,6 +5381,20 @@ def oracle_sql() -> dict[str, str]:
                round(node_x + trx, 6) + 0.0 AS right_x, round(node_z + trz, 6) + 0.0 AS right_z,
                round(cx, 6) + 0.0 AS cut_x, round(cz, 6) + 0.0 AS cut_z
         FROM rows_
+    """
+
+    # natural_linear: Sibson natural-neighbor interpolation has LINEAR
+    # PRECISION (Sibson 1981) — over sites carrying the affine field
+    # y = 3 + x/127 + z/255 every interior query interpolates to the
+    # affine value itself, so the oracle is the closed form (the engine
+    # earns agreement by actually computing stolen-area Sibson weights
+    # over a distributed Bowyer-Watson triangulation)
+    sql["natural_linear"] = """
+        SELECT CAST(c_custkey AS VARCHAR) AS q_id,
+               CAST(floor((3.0 + (200.0 + (c_custkey * 37 % 6000) / 10.0) / 127.0
+                               + (200.0 + (c_custkey * 53 % 6000) / 10.0) / 255.0)
+                          * 1000000.0 + 0.5) AS BIGINT) AS ele_u6
+        FROM customer WHERE c_custkey % 7 = 0
     """
 
     return sql
