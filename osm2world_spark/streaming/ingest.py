@@ -189,3 +189,92 @@ def stream_hll_windowed(
         .agg(F.max("rank").alias("r"))
         .select(F.col("w.start").alias("window_start"), "idx", "r")
     )
+
+
+def tile_sig_rows(docs: DataFrame, hash_mode: str = "xxhash") -> DataFrame:
+    """documents (batch OR stream) -> (zoom, tile_x, tile_y, sig): one
+    row per (element, overlapped tile) with an order-independent 60-bit
+    element signature. hash_mode='xxhash' is the production path (one
+    JVM hash, no string building); 'md5' is the portable family every
+    ANSI engine reproduces (the oracle path, same idiom as
+    operators/sketches.bloom_build)."""
+    from ..operators.tiling import assign_tiles
+    from ..sources.documents import extract_elements
+
+    tiles = assign_tiles(extract_elements(docs), with_cells=False)
+    if hash_mode == "xxhash":
+        sig = F.xxhash64("doc_id", "span_idx", "zoom", "tile_x", "tile_y")
+    else:
+        key = F.concat_ws(
+            "|", F.col("doc_id"), F.col("span_idx"), F.col("zoom"),
+            F.col("tile_x"), F.col("tile_y"),
+        )
+        sig = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return tiles.select("zoom", "tile_x", "tile_y", sig.alias("sig"))
+
+
+TILE_STATE_SCHEMA = (
+    "zoom int, tile_x int, tile_y int, n_elements bigint, sig bigint"
+)
+
+
+def stream_tile_state(sig_rows: DataFrame) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState —
+    the shape Spark's built-in streaming aggregations cannot express:
+    per-key state with an arbitrary transition function and
+    emit-on-change output).
+
+    Incremental tile invalidation over a continuous ingest: state per
+    tile is (n_elements, xor-signature); each micro-batch folds its
+    rows into the state with one vectorized numpy pass and emits ONE
+    row per TOUCHED tile — downstream consumers (tileset refresh, cache
+    invalidation) see exactly the tiles whose content changed, not the
+    whole world. XOR is commutative/associative/self-inverse, so the
+    running signature is independent of arrival order and micro-batch
+    boundaries: after any prefix of the stream the state equals the
+    batch groupBy/bit_xor over the same rows (the stream==batch test),
+    and feeding a retraction (the same sig again) cancels it.
+
+    State size: O(1) per tile, bounded by the tile universe (4^zoom
+    ceiling; in practice the touched set) — no watermark needed for
+    boundedness, which is why NoTimeout is sound here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, sig = state.get
+        else:
+            n, sig = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                sig ^= int(np.bitwise_xor.reduce(pdf["sig"].to_numpy(np.int64)))
+        state.update((n, sig))
+        yield pd.DataFrame(
+            {
+                "zoom": [key[0]],
+                "tile_x": [key[1]],
+                "tile_y": [key[2]],
+                "n_elements": [n],
+                "sig": [sig],
+            }
+        )
+
+    return sig_rows.groupBy("zoom", "tile_x", "tile_y").applyInPandasWithState(
+        update,
+        outputStructType=TILE_STATE_SCHEMA,
+        stateStructType="n bigint, sig bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def tile_state_batch(sig_rows: DataFrame) -> DataFrame:
+    """Batch twin of stream_tile_state's final state: one bit_xor/count
+    aggregation (map-side partial combine, one exchange)."""
+    return sig_rows.groupBy("zoom", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_elements"),
+        F.expr("bit_xor(sig)").alias("sig"),
+    )

@@ -220,3 +220,110 @@ def test_stream_hll_windowed_matches_batch(spark, tmp_path):
         .count()
     )
     assert exact > 0 and abs(est - exact) / exact < 0.15
+
+
+def test_stream_tile_state_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): after all
+    micro-batches, the LAST emission per tile equals the batch
+    groupBy/bit_xor over the same rows — arrival order and micro-batch
+    boundaries cannot change the state (xor is order-independent)."""
+    from osm2world_spark.streaming.ingest import (
+        stream_documents,
+        stream_tile_state,
+        tile_sig_rows,
+        tile_state_batch,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, 150, seed=11)
+
+    collected = []
+
+    def run():
+        q = (
+            stream_tile_state(tile_sig_rows(stream_documents(spark, src, max_files=1)))
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # second chunk arrives; the checkpoint resumes and folds it in
+    _write_docs(spark, src, 150, seed=12)
+    run()
+
+    # final state per tile = the last emission, which is also the one
+    # with the highest n_elements (n strictly grows per touched tile)
+    merged = {}
+    for r in collected:
+        k = (r["zoom"], r["tile_x"], r["tile_y"])
+        if k not in merged or r["n_elements"] > merged[k][0]:
+            merged[k] = (r["n_elements"], r["sig"])
+
+    want = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): (r["n_elements"], r["sig"])
+        for r in tile_state_batch(tile_sig_rows(spark.read.parquet(src))).collect()
+    }
+    assert merged == want
+
+
+def test_stream_tile_state_emits_only_touched_tiles(spark, tmp_path):
+    from osm2world_spark.streaming.ingest import (
+        stream_documents,
+        stream_tile_state,
+        tile_sig_rows,
+        tile_state_batch,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, 120, seed=21)
+    first = []
+    q = (
+        stream_tile_state(tile_sig_rows(stream_documents(spark, src)))
+        .writeStream.foreachBatch(lambda df, bid: first.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(first) > 0
+
+    # ONE new doc -> the follow-up batch emits only that doc's tiles
+    _write_docs(spark, src, 1, seed=22)
+    second = []
+    q2 = (
+        stream_tile_state(tile_sig_rows(stream_documents(spark, src)))
+        .writeStream.foreachBatch(lambda df, bid: second.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    emitted = len(second)
+    total = tile_state_batch(tile_sig_rows(spark.read.parquet(src))).count()
+    assert 0 < emitted < total / 2, (emitted, total)
+
+
+def test_tile_sig_rows_md5_mode_matches_conv(spark, tmp_path):
+    """The portable md5 signature path: values fit in 60 bits and xor
+    to the same batch rollup the production xxhash path structures."""
+    from osm2world_spark.streaming.ingest import tile_sig_rows, tile_state_batch
+
+    src = str(tmp_path / "docs")
+    _write_docs(spark, src, 60, seed=31)
+    docs = spark.read.parquet(src)
+    a = tile_state_batch(tile_sig_rows(docs, hash_mode="md5"))
+    b = tile_state_batch(tile_sig_rows(docs, hash_mode="xxhash"))
+    ka = {(r["zoom"], r["tile_x"], r["tile_y"]): r["n_elements"] for r in a.collect()}
+    kb = {(r["zoom"], r["tile_x"], r["tile_y"]): r["n_elements"] for r in b.collect()}
+    assert ka == kb
+    assert all(0 <= r["sig"] < (1 << 60) for r in a.collect())
