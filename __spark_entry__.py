@@ -1389,6 +1389,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["natural_linear"] = natural_linear
 
+    def tri_strip_fan(spark, sf_dir):
+        # GeometryUtil strip/fan assembly (GeometryUtil.java:98-186):
+        # generic-V semantics exercised over vertex-id arrays of varying
+        # length (3..8), incl. the odd-triangle flip and flat-shading
+        # normals; pure Catalyst projections
+        from osm2world_spark.functions.meshes import (
+            triangle_normal_list_from_strip_or_fan,
+            triangle_vertex_list_from_fan,
+            triangle_vertex_list_from_strip,
+            triangles_from_vertex_list,
+        )
+
+        o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+        vs = F.transform(
+            F.sequence(F.lit(0), (F.col("k") % 6 + 2).cast("int")),
+            lambda i: F.col("k") * 100 + i,
+        )
+        d = o.select("k", vs.alias("vs"))
+        strip = triangle_vertex_list_from_strip(F.col("vs"))
+        return d.select(
+            F.col("k").alias("o_orderkey"),
+            strip.alias("strip"),
+            triangle_vertex_list_from_fan(F.col("vs")).alias("fan"),
+            triangle_normal_list_from_strip_or_fan(F.col("vs")).alias("normals"),
+            triangles_from_vertex_list(strip).alias("tris"),
+        )
+
+    q["tri_strip_fan"] = tri_strip_fan
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -5381,6 +5410,33 @@ def oracle_sql() -> dict[str, str]:
                round(node_x + trx, 6) + 0.0 AS right_x, round(node_z + trz, 6) + 0.0 AS right_z,
                round(cx, 6) + 0.0 AS cut_x, round(cz, 6) + 0.0 AS cut_z
         FROM rows_
+    """
+
+    # tri_strip_fan: the same index arithmetic as DuckDB list lambdas;
+    # range(a, b) is empty for b <= a, matching the guarded Spark form
+    sql["tri_strip_fan"] = """
+        WITH d AS (
+          SELECT o_orderkey AS k,
+                 list_transform(range(0, CAST(o_orderkey % 6 + 3 AS BIGINT)),
+                                i -> o_orderkey * 100 + i) AS vs
+          FROM orders
+        ), m AS (
+          SELECT k, vs, len(vs) AS n,
+                 flatten(list_transform(range(0, len(vs) - 2), t ->
+                   CASE WHEN t % 2 = 0
+                        THEN [vs[t + 1], vs[t + 2], vs[t + 3]]
+                        ELSE [vs[t + 1], vs[t + 3], vs[t + 2]] END)) AS strip
+          FROM d
+        )
+        SELECT k AS o_orderkey,
+               strip,
+               flatten(list_transform(range(0, n - 2), t ->
+                 [vs[1], vs[t + 2], vs[t + 3]])) AS fan,
+               flatten(list_transform(range(0, n - 2), t ->
+                 [vs[t + 3], vs[t + 3], vs[t + 3]])) AS normals,
+               list_transform(range(0, len(strip) // 3), t ->
+                 [strip[t * 3 + 1], strip[t * 3 + 2], strip[t * 3 + 3]]) AS tris
+        FROM m
     """
 
     # natural_linear: Sibson natural-neighbor interpolation has LINEAR
