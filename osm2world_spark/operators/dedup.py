@@ -62,10 +62,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     group_col: str | None = None,
     max_df: int | float | None = 0.2,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Pairs with word-n-gram Jaccard >= threshold:
     (a_id, b_id, n_common, n_a, n_b, jaccard_u6 in micro-units).
     `group_col` restricts pairs to the same group (blocking).
+
+    hash_shingles=True (production) replaces each shingle STRING with
+    xxhash64 of it before the dedup + self-join: the shuffled key drops
+    from ~n·word bytes to 8, and the join compares longs instead of
+    strings. Set equality is preserved up to 64-bit collisions (a
+    collision can only merge two shingles WITHIN the same doc pair —
+    ~2^-64 per co-occurring pair). False keeps raw strings (the
+    ANSI-oracle-exact path).
 
     `max_df` is the skew guard: the self-join is keyed by shingle, so ONE
     ubiquitous shingle (boilerplate, a stop-phrase) creates a quadratic hot
@@ -75,11 +84,15 @@ def ngram_jaccard_pairs(
     sets, sizes, and Jaccard are all over the capped vocabulary — dropping
     near-universal shingles barely moves Jaccard (they contribute equally
     to numerator and denominator of any pair) and removes the hot keys."""
+    shingle = F.explode(_shingles(text_col, n)).alias("shingle")
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         *( [F.col(group_col).alias("grp")] if group_col else [F.lit(0).alias("grp")] ),
-        F.explode(_shingles(text_col, n)).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+        shingle,
+    )
+    if hash_shingles:
+        sh = sh.select("doc_id", "grp", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.dropDuplicates(["doc_id", "shingle"])
     if max_df:
         # df as a window count over the shingle partitioning: ONE exchange
         # (vs groupBy + semi-join = two more) and the filter runs in the
