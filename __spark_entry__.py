@@ -1418,6 +1418,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tri_strip_fan"] = tri_strip_fan
 
+    def bpe_merge_round(spark, sf_dir):
+        # one BPE training round (Sennrich 2016, operators/bpe.py) fully
+        # in-plan: word-frequency table -> adjacent-pair weights -> the
+        # deterministic argmax pair (weight DESC, pair ASC) broadcast to
+        # every word -> greedy left-to-right merge fold. Hash-checks the
+        # complete round against a DuckDB list_reduce rebuild; the
+        # multi-round trainer iterates exactly this with one 1-row
+        # collect per round (pytest-pinned against a replica).
+        from osm2world_spark.operators.bpe import (
+            adjacent_pair_weights,
+            apply_merge,
+            best_pair,
+            initial_symbols,
+            word_counts,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        words = word_counts(d).select(
+            "word", "count", initial_symbols(F.col("word")).alias("symbols")
+        )
+        top = best_pair(adjacent_pair_weights(words)).select(
+            F.col("a").alias("m_a"), F.col("b").alias("m_b")
+        )
+        applied = words.crossJoin(F.broadcast(top)).select(
+            "word",
+            "count",
+            "m_a",
+            "m_b",
+            apply_merge(F.col("symbols"), F.col("m_a"), F.col("m_b")).alias("s2"),
+        )
+        return applied.select(
+            "word",
+            "count",
+            "m_a",
+            "m_b",
+            F.array_join("s2", "|").alias("symbols_str"),
+            F.size("s2").alias("n_symbols"),
+        )
+
+    q["bpe_merge_round"] = bpe_merge_round
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -5437,6 +5478,50 @@ def oracle_sql() -> dict[str, str]:
                list_transform(range(0, len(strip) // 3), t ->
                  [strip[t * 3 + 1], strip[t * 3 + 2], strip[t * 3 + 3]]) AS tris
         FROM m
+    """
+
+    # bpe_merge_round: the same round rebuilt relationally — the merge
+    # fold is list_reduce over single-element-wrapped symbols (the same
+    # left fold as F.aggregate), the argmax the same ORDER BY LIMIT 1
+    sql["bpe_merge_round"] = """
+        WITH w AS (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(replace(text, chr(10), ' '), ' ')) AS word
+            FROM documents
+          ) WHERE word != '' GROUP BY word
+        ), s AS (
+          SELECT word, cnt,
+                 list_transform(range(1, length(word) + 1), i ->
+                   CASE WHEN i = length(word)
+                        THEN substr(word, CAST(i AS INT), 1) || '</w>'
+                        ELSE substr(word, CAST(i AS INT), 1) END) AS syms
+          FROM w
+        ), p AS (
+          SELECT a, b, sum(cnt) AS weight FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
+                   unnest(list_transform(range(1, len(syms)), i -> syms[i + 1])) AS b
+            FROM s
+          ) GROUP BY a, b
+        ), best AS (
+          SELECT a AS m_a, b AS m_b FROM p ORDER BY weight DESC, a, b LIMIT 1
+        ), applied AS (
+          SELECT word, cnt, m_a, m_b,
+                 CASE WHEN len(syms) <= 1 THEN syms ELSE
+                   list_reduce(
+                     list_concat([[syms[1]]],
+                                 list_transform(list_slice(syms, 2, len(syms)), v -> [v])),
+                     (acc, e) -> CASE WHEN acc[len(acc)] = m_a AND e[1] = m_b
+                                      THEN list_concat(list_slice(acc, 1, len(acc) - 1),
+                                                       [m_a || m_b])
+                                      ELSE list_concat(acc, [e[1]]) END)
+                 END AS s2
+          FROM s CROSS JOIN best
+        )
+        SELECT word, cnt AS count, m_a, m_b,
+               array_to_string(s2, '|') AS symbols_str,
+               CAST(len(s2) AS INT) AS n_symbols
+        FROM applied
     """
 
     # natural_linear: Sibson natural-neighbor interpolation has LINEAR
