@@ -1459,6 +1459,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_merge_round"] = bpe_merge_round
 
+    def weighted_sample(spark, sf_dir):
+        # Efraimidis-Spirakis weighted sampling without replacement
+        # (A-ES 2006): top-5 per source by ln(u)/w, u = md5 unit hash —
+        # deterministic, engine-independent membership
+        from osm2world_spark.operators.packing import weighted_sample_topk
+
+        d = _t(spark, sf_dir, "documents")
+        return weighted_sample_topk(d, 5, "n_chars", group_col="source")
+
+    q["weighted_sample"] = weighted_sample
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -5478,6 +5489,24 @@ def oracle_sql() -> dict[str, str]:
                list_transform(range(0, len(strip) // 3), t ->
                  [strip[t * 3 + 1], strip[t * 3 + 2], strip[t * 3 + 3]]) AS tris
         FROM m
+    """
+
+    # weighted_sample: same A-ES key arithmetic; ln() differs from the
+    # JVM by at most 1 ulp, far below the random spacing between keys
+    sql["weighted_sample"] = """
+        WITH keyed AS (
+          SELECT source, doc_id, n_chars,
+                 ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0) / n_chars AS k,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               + 0.5) / 4294967296.0) / n_chars DESC, doc_id
+                 ) AS samp_rank
+          FROM documents
+        )
+        SELECT source, doc_id, n_chars, CAST(samp_rank AS INT) AS samp_rank
+        FROM keyed WHERE samp_rank <= 5
     """
 
     # bpe_merge_round: the same round rebuilt relationally — the merge

@@ -262,3 +262,43 @@ def token_budget_mix(
         .withColumn("cum_tokens", cum.cast("bigint"))
         .withColumn("kept", F.col("cum_tokens") <= b)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES (2006): each row draws u in (0,1) and scores key = u^(1/w);
+    the k largest keys (per group when group_col is set) are EXACTLY a
+    weighted sample without replacement. Ranking by ln(u)/w descending
+    is the same order without the overflow-prone pow.
+
+    Determinism: u comes from the md5 unit hash of the id (offset by
+    half a step so u is never 0), so membership is a pure function of
+    (id, weight) — the leakage-safe property of sample_split — and any
+    ANSI engine reproduces the same sample. One window over the group
+    partitioning; no RNG state, no sampler node.
+
+    Weights must be > 0. Returns (group?, id, weight, samp_rank) for
+    samp_rank <= k.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col(weight_col)
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy(F.lit(0))
+    w = part.orderBy(F.col("_es_key").desc(), F.col(id_col))
+    cols = ([group_col] if group_col else []) + [id_col, weight_col]
+    return (
+        df.select(*cols, key.alias("_es_key"))
+        .withColumn("samp_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("samp_rank") <= k)
+        .select(*cols, "samp_rank")
+    )

@@ -93,3 +93,46 @@ def test_chunk_documents(spark):
     assert covered == set(range(100))
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
+def test_weighted_sample_topk_matches_replica(spark):
+    """A-ES with the md5 unit hash: the Spark ranking equals a python
+    replica of key = ln(u)/w with the identical u."""
+    import hashlib
+    import math
+
+    from osm2world_spark.operators.packing import weighted_sample_topk
+
+    rows = [(f"d{i}", "g" + str(i % 3), float(1 + (i * 7) % 50)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, w double")
+    got = {
+        (r["grp"], r["samp_rank"]): r["doc_id"]
+        for r in weighted_sample_topk(df, 4, "w", group_col="grp").collect()
+    }
+
+    def key(doc_id, w):
+        u = (int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16) + 0.5) / (1 << 32)
+        return math.log(u) / w
+
+    want = {}
+    for grp in ("g0", "g1", "g2"):
+        ranked = sorted(
+            [(doc_id, w) for doc_id, g, w in rows if g == grp],
+            key=lambda t: (-key(t[0], t[1]), t[0]),
+        )
+        for rank, (doc_id, _) in enumerate(ranked[:4], start=1):
+            want[(grp, rank)] = doc_id
+    assert got == want
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A 1000x weight must dominate the sample: among 200 rows where 10
+    carry weight 1000 and the rest weight 1, the top-10 should be mostly
+    heavy rows (A-ES inclusion probability ~ w_i / sum)."""
+    from osm2world_spark.operators.packing import weighted_sample_topk
+
+    rows = [(f"d{i:03d}", 1000.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    top = weighted_sample_topk(df, 10, "w").collect()
+    heavy = sum(1 for r in top if r["w"] == 1000.0)
+    assert heavy >= 8, heavy
