@@ -1470,6 +1470,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_sample"] = weighted_sample
 
+    def mesh_flat_normals(spark, sf_dir):
+        # NormalCalculationUtil flat strip/fan normals
+        # (NormalCalculationUtil.java:117-147) over deterministic 3D
+        # strips; both engines execute the identical IEEE sequence
+        # (sub, mul, sqrt, div are all correctly rounded), micro-snapped
+        from osm2world_spark.functions.normals import (
+            fan_flat_normals,
+            strip_flat_normals,
+        )
+
+        o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 == 0)
+        n_v = (F.col("o_orderkey") % 5 + 3).cast("int")
+        vs = F.transform(
+            F.sequence(F.lit(0), n_v - 1),
+            lambda i: F.struct(
+                (i * 1.0).alias("x"),
+                (((F.col("o_orderkey") * 7 + i * 11) % 17) / 3.0).alias("y"),
+                ((i % 2) * 1.0).alias("z"),
+            ),
+        )
+        d = o.select(F.col("o_orderkey").alias("k"), vs.alias("vs"))
+
+        def u6(c):
+            return F.floor(c * 1000000.0 + 0.5).cast("bigint")
+
+        def pack(col):
+            return F.flatten(
+                F.transform(col, lambda s: F.array(u6(s["x"]), u6(s["y"]), u6(s["z"])))
+            )
+
+        return d.select(
+            F.col("k").alias("o_orderkey"),
+            pack(strip_flat_normals(F.col("vs"))).alias("strip_n_u6"),
+            pack(fan_flat_normals(F.col("vs"))).alias("fan_n_u6"),
+        )
+
+    q["mesh_flat_normals"] = mesh_flat_normals
+
+    def smooth_normals(spark, sf_dir):
+        # smooth vertex normals (NormalCalculationUtil.java:40-49) as a
+        # relational plan over a shared-vertex quad grid: adjacent quads
+        # share corners, so ridge vertices average the distinct face
+        # normals (the HashMultimap SET semantics), coplanar duplicates
+        # collapse, sums fold in sorted order (order-independent)
+        from osm2world_spark.operators.normals import smooth_vertex_normals
+
+        o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 29 == 0)
+        xi = (F.col("o_orderkey") % 50).cast("bigint")
+        zi = ((F.col("o_orderkey") / 50).cast("bigint") % 50).cast("bigint")
+
+        def h(ix, iz):
+            return (((ix * 7 + iz * 13) % 19) / 3.0).cast("double")
+
+        def pt(ix, iz):
+            return F.struct(
+                ix.cast("double").alias("x"), h(ix, iz).alias("y"),
+                iz.cast("double").alias("z"),
+            )
+
+        p00, p10 = pt(xi, zi), pt(xi + 1, zi)
+        p01, p11 = pt(xi, zi + 1), pt(xi + 1, zi + 1)
+        tris = o.select(
+            F.lit("m").alias("mesh_id"),
+            F.posexplode(
+                F.array(F.array(p00, p10, p01), F.array(p10, p11, p01))
+            ).alias("half", "verts"),
+            (F.col("o_orderkey") * 2).alias("k2"),
+        ).select(
+            "mesh_id", (F.col("k2") + F.col("half")).cast("int").alias("tri_idx"), "verts"
+        )
+        out = smooth_vertex_normals(tris)
+
+        def u6(c):
+            return F.floor(c * 1000000.0 + 0.5).cast("bigint")
+
+        return out.select(
+            u6(F.col("vertex")["x"]).alias("vx_u6"),
+            u6(F.col("vertex")["y"]).alias("vy_u6"),
+            u6(F.col("vertex")["z"]).alias("vz_u6"),
+            u6(F.col("normal")["x"]).alias("nx_u6"),
+            u6(F.col("normal")["y"]).alias("ny_u6"),
+            u6(F.col("normal")["z"]).alias("nz_u6"),
+        )
+
+    q["smooth_normals"] = smooth_normals
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -5489,6 +5575,124 @@ def oracle_sql() -> dict[str, str]:
                list_transform(range(0, len(strip) // 3), t ->
                  [strip[t * 3 + 1], strip[t * 3 + 2], strip[t * 3 + 3]]) AS tris
         FROM m
+    """
+
+    # mesh_flat_normals: the per-triangle-normal loop row-wise; every
+    # op (sub, mul, sqrt, div) is correctly rounded IEEE, so both
+    # engines produce identical doubles before the micro snap
+    def _v(i):  # vertex component strings for index expression i
+        return (
+            f"CAST(({i}) AS DOUBLE)",
+            f"(((k * 7 + ({i}) * 11) % 17) / 3.0)",
+            f"CAST((({i}) % 2) AS DOUBLE)",
+        )
+
+    def _cn_sql(ax, ay, az, bx, by, bz):
+        cx = f"(({ay}) * ({bz}) - ({az}) * ({by}))"
+        cy = f"(({az}) * ({bx}) - ({ax}) * ({bz}))"
+        cz = f"(({ax}) * ({by}) - ({ay}) * ({bx}))"
+        ln = f"sqrt({cx} * {cx} + {cy} * {cy} + {cz} * {cz})"
+        return (f"({cx} / {ln})", f"({cy} / {ln})", f"({cz} / {ln})")
+
+    def _normal_sql(before):
+        bx, by, bz = _v(before)
+        ax, ay, az = _v("t + 1")
+        fx, fy, fz = _v("t + 2")
+        tb = (f"({bx} - {ax})", f"({by} - {ay})", f"({bz} - {az})")
+        ta = (f"({fx} - {ax})", f"({fy} - {ay})", f"({fz} - {az})")
+        fwd = _cn_sql(*tb, *ta)
+        rev = _cn_sql(*ta, *tb)
+        return fwd, rev
+
+    (_sfx, _sfy, _sfz), (_srx, _sry, _srz) = _normal_sql("t")
+    (_ffx, _ffy, _ffz), _ = _normal_sql("0")
+    _u6 = "CAST(floor(({e}) * 1000000.0 + 0.5) AS BIGINT)"
+    sql["mesh_flat_normals"] = f"""
+        WITH o AS (
+          SELECT o_orderkey AS k, CAST(o_orderkey % 5 + 3 AS INT) AS nv
+          FROM orders WHERE o_orderkey % 13 = 0
+        ), rows_ AS (
+          SELECT k, nv, j.j, greatest(j.j, 2) - 2 AS t
+          FROM o CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+          WHERE j.j < nv
+        ), n AS (
+          SELECT k, j,
+                 [{_u6.format(e=f"CASE WHEN t % 2 = 0 THEN {_sfx} ELSE {_srx} END")},
+                  {_u6.format(e=f"CASE WHEN t % 2 = 0 THEN {_sfy} ELSE {_sry} END")},
+                  {_u6.format(e=f"CASE WHEN t % 2 = 0 THEN {_sfz} ELSE {_srz} END")}] AS sn,
+                 [{_u6.format(e=_ffx)}, {_u6.format(e=_ffy)}, {_u6.format(e=_ffz)}] AS fn
+          FROM rows_
+        )
+        SELECT k AS o_orderkey,
+               flatten(list(sn ORDER BY j)) AS strip_n_u6,
+               flatten(list(fn ORDER BY j)) AS fan_n_u6
+        FROM n GROUP BY k
+    """
+
+    # smooth_normals: multimap-as-join — distinct (vertex, normal) with
+    # the lowest adjacent tri, sorted-order component folds (seeded 0.0
+    # like F.aggregate), arg_min fallback
+    def _h(ix, iz):
+        return f"((({ix}) * 7 + ({iz}) * 13) % 19) / 3.0"
+
+    def _corner(ix, iz):
+        return (f"CAST({ix} AS DOUBLE)", f"({_h(ix, iz)})", f"CAST({iz} AS DOUBLE)")
+
+    _p00, _p10 = _corner("xi", "zi"), _corner("xi + 1", "zi")
+    _p01, _p11 = _corner("xi", "zi + 1"), _corner("xi + 1", "zi + 1")
+
+    def _tri_cols(v1, v2, v3):
+        return ", ".join(
+            f"{c} AS {n}"
+            for vec, pre in ((v1, "v1"), (v2, "v2"), (v3, "v3"))
+            for c, n in zip(vec, (f"{pre}x", f"{pre}y", f"{pre}z"))
+        )
+
+    _nx, _ny, _nz = _cn_sql(
+        "(v2x - v1x)", "(v2y - v1y)", "(v2z - v1z)",
+        "(v2x - v3x)", "(v2y - v3y)", "(v2z - v3z)",
+    )
+    _fold = "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], {l}), (a, b) -> a + b)"
+    sql["smooth_normals"] = f"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(o_orderkey % 50 AS BIGINT) AS xi,
+                 CAST((o_orderkey // 50) % 50 AS BIGINT) AS zi
+          FROM orders WHERE o_orderkey % 29 = 0
+        ), t0 AS (
+          SELECT k * 2 AS tri_idx, {_tri_cols(_p00, _p10, _p01)} FROM o
+          UNION ALL
+          SELECT k * 2 + 1 AS tri_idx, {_tri_cols(_p10, _p11, _p01)} FROM o
+        ), tn AS (
+          SELECT tri_idx, v1x, v1y, v1z, v2x, v2y, v2z, v3x, v3y, v3z,
+                 {_nx} AS nx, {_ny} AS ny, {_nz} AS nz
+          FROM t0
+        ), corners AS (
+          SELECT tri_idx, nx, ny, nz,
+                 unnest([v1x, v2x, v3x]) AS cx,
+                 unnest([v1y, v2y, v3y]) AS cy,
+                 unnest([v1z, v2z, v3z]) AS cz
+          FROM tn
+        ), adj AS (
+          SELECT cx, cy, cz, nx, ny, nz, min(tri_idx) AS first_tri
+          FROM corners GROUP BY cx, cy, cz, nx, ny, nz
+        ), pv AS (
+          SELECT cx, cy, cz,
+                 {_fold.format(l="list(nx ORDER BY nx, ny, nz)")} AS sx,
+                 {_fold.format(l="list(ny ORDER BY nx, ny, nz)")} AS sy,
+                 {_fold.format(l="list(nz ORDER BY nx, ny, nz)")} AS sz,
+                 arg_min(nx, first_tri) AS fx,
+                 arg_min(ny, first_tri) AS fy,
+                 arg_min(nz, first_tri) AS fz
+          FROM adj GROUP BY cx, cy, cz
+        )
+        SELECT {_u6.format(e="cx")} AS vx_u6,
+               {_u6.format(e="cy")} AS vy_u6,
+               {_u6.format(e="cz")} AS vz_u6,
+               {_u6.format(e="CASE WHEN sx*sx + sy*sy + sz*sz > 0.0 THEN sx / sqrt(sx*sx + sy*sy + sz*sz) ELSE fx END")} AS nx_u6,
+               {_u6.format(e="CASE WHEN sx*sx + sy*sy + sz*sz > 0.0 THEN sy / sqrt(sx*sx + sy*sy + sz*sz) ELSE fy END")} AS ny_u6,
+               {_u6.format(e="CASE WHEN sx*sx + sy*sy + sz*sz > 0.0 THEN sz / sqrt(sx*sx + sy*sy + sz*sz) ELSE fz END")} AS nz_u6
+        FROM pv
     """
 
     # weighted_sample: same A-ES key arithmetic; ln() differs from the
