@@ -1556,6 +1556,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["smooth_normals"] = smooth_normals
 
+    def line_ops(spark, sf_dir):
+        # line/segment scalar primitives (GeometryUtil.java:189-359):
+        # orientation, betweenness, point-line and point-segment
+        # distance, perpendicular foot, and the epsilon-guarded segment
+        # intersection — one projection, every formula the reference's
+        from osm2world_spark.functions import lines as L
+
+        o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+        k = F.col("o_orderkey")
+        px, pz = (k % 17).cast("double"), (k % 13).cast("double")
+        a1x, a1z = (k % 5).cast("double"), (k % 9).cast("double")
+        a2x, a2z = (k % 11 + 1).cast("double"), (k % 3 + 10).cast("double")
+        b1x, b1z = (k % 6 + 8).cast("double"), (k % 4).cast("double")
+        b2x, b2z = (k % 8).cast("double"), (k % 10 + 3).cast("double")
+
+        def u6(c):
+            return F.floor(c * 1000000.0 + 0.5).cast("bigint")
+
+        inter = L.true_segment_intersection(a1x, a1z, a2x, a2z, b1x, b1z, b2x, b2z)
+        return o.select(
+            k.alias("o_orderkey"),
+            L.is_right_of(px, pz, a1x, a1z, a2x, a2z).alias("right_of"),
+            L.is_between(px, pz, a1x, a1z, a2x, a2z).alias("between"),
+            u6(L.distance_from_line(px, pz, a1x, a1z, a2x, a2z)).alias("d_line_u6"),
+            u6(L.distance_from_line_segment(px, pz, a1x, a1z, a2x, a2z)).alias("d_seg_u6"),
+            u6(L.project_perpendicular(px, pz, a1x, a1z, a2x, a2z)["x"]).alias("proj_x_u6"),
+            u6(inter["x"]).alias("ix_u6"),
+            u6(inter["z"]).alias("iz_u6"),
+        )
+
+    q["line_ops"] = line_ops
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -5575,6 +5607,62 @@ def oracle_sql() -> dict[str, str]:
                list_transform(range(0, len(strip) // 3), t ->
                  [strip[t * 3 + 1], strip[t * 3 + 2], strip[t * 3 + 3]]) AS tris
         FROM m
+    """
+
+    # line_ops: the same coordinate synthesis and formulas; EPSILON is
+    # the Java float literal 0.0001f widened (9.999999747378752e-05)
+    _leps = "9.999999747378752e-05"
+    sql["line_ops"] = f"""
+        WITH c AS (
+          SELECT o_orderkey AS k,
+                 CAST(o_orderkey % 17 AS DOUBLE) AS px, CAST(o_orderkey % 13 AS DOUBLE) AS pz,
+                 CAST(o_orderkey % 5 AS DOUBLE) AS a1x, CAST(o_orderkey % 9 AS DOUBLE) AS a1z,
+                 CAST(o_orderkey % 11 + 1 AS DOUBLE) AS a2x, CAST(o_orderkey % 3 + 10 AS DOUBLE) AS a2z,
+                 CAST(o_orderkey % 6 + 8 AS DOUBLE) AS b1x, CAST(o_orderkey % 4 AS DOUBLE) AS b1z,
+                 CAST(o_orderkey % 8 AS DOUBLE) AS b2x, CAST(o_orderkey % 10 + 3 AS DOUBLE) AS b2z
+          FROM orders WHERE o_orderkey % 7 = 0
+        ), m AS (
+          SELECT *,
+                 (a2x - a1x) AS vx, (a2z - a1z) AS vz,
+                 (b2x - b1x) AS qx, (b2z - b1z) AS qz,
+                 (b1x - a1x) AS amcx, (b1z - a1z) AS amcz,
+                 (px - a1x) AS tpx, (pz - a1z) AS tpz
+          FROM c
+        ), m2 AS (
+          SELECT *,
+                 (vz * qx - vx * qz) AS den0,
+                 (tpx * vx + tpz * vz) AS dotv,
+                 (vx * vx + vz * vz) AS len2,
+                 ((a1z - pz) * vx - (a1x - px) * vz) AS scross,
+                 ((px - a1x) * vx + (pz - a1z) * vz) AS rr
+          FROM m
+        ), m3 AS (
+          SELECT *,
+                 (amcz * qx - amcx * qz) * (1.0 / den0) AS t,
+                 (amcz * vx - amcx * vz) * (1.0 / den0) AS s,
+                 (a1x = b1x AND a1z = b1z) OR (a1x = b2x AND a1z = b2z)
+                 OR (a2x = b1x AND a2z = b1z) OR (a2x = b2x AND a2z = b2z) AS shared
+          FROM m2
+        )
+        SELECT k AS o_orderkey,
+               0 > (pz - a1z) * (a2x - a1x) - (px - a1x) * (a2z - a1z) AS right_of,
+               (len2 > tpx * tpx + tpz * tpz)
+               AND (len2 > (a2x - px) * (a2x - px) + (a2z - pz) * (a2z - pz)) AS between,
+               CAST(floor(sqrt(greatest((tpx * tpx + tpz * tpz) - dotv * dotv / len2, 0.0))
+                          * 1000000.0 + 0.5) AS BIGINT) AS d_line_u6,
+               CAST(floor(CASE
+                 WHEN len2 = 0.0 THEN sqrt(tpx * tpx + tpz * tpz)
+                 WHEN rr / len2 <= 0.0 THEN sqrt(tpx * tpx + tpz * tpz)
+                 WHEN rr / len2 >= 1.0 THEN sqrt((px - a2x) * (px - a2x) + (pz - a2z) * (pz - a2z))
+                 ELSE abs(scross / len2) * sqrt(len2) END * 1000000.0 + 0.5) AS BIGINT) AS d_seg_u6,
+               CAST(floor((a1x + (rr / len2) * vx) * 1000000.0 + 0.5) AS BIGINT) AS proj_x_u6,
+               CASE WHEN NOT shared AND NOT (den0 <= {_leps} AND den0 >= -{_leps})
+                         AND t >= 0 AND t <= 1 AND s >= 0 AND s <= 1
+                    THEN CAST(floor((a1x + t * vx) * 1000000.0 + 0.5) AS BIGINT) END AS ix_u6,
+               CASE WHEN NOT shared AND NOT (den0 <= {_leps} AND den0 >= -{_leps})
+                         AND t >= 0 AND t <= 1 AND s >= 0 AND s <= 1
+                    THEN CAST(floor((a1z + t * vz) * 1000000.0 + 0.5) AS BIGINT) END AS iz_u6
+        FROM m3
     """
 
     # mesh_flat_normals: the per-triangle-normal loop row-wise; every
