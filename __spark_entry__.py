@@ -1588,6 +1588,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_ops"] = line_ops
 
+    def semdedup_q(spark, sf_dir):
+        # SemDeDup (Abbas et al. 2023): 1-round deterministic k-means
+        # clustering + within-cluster cosine keep-first pruning; the
+        # pair work is cluster-bounded, never corpus-quadratic
+        from osm2world_spark.operators.similarity import semdedup
+
+        e = _t(spark, sf_dir, "embeddings")
+        return semdedup(e, k=8, iters=1, threshold=0.4)
+
+    q["semdedup"] = semdedup_q
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -3393,8 +3404,8 @@ def oracle_sql() -> dict[str, str]:
         "list_sum(list_transform(range(64), i -> "
         "(({a}.v[i+1]) - ({b}.c[i+1])) * (({a}.v[i+1]) - ({b}.c[i+1]))))"
     )
-    sql["kmeans_1iter"] = f"""
-        WITH v AS (
+    _km_cte = f"""
+        v AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         ), cent0 AS (
           SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cluster, v AS c
@@ -3418,15 +3429,35 @@ def oracle_sql() -> dict[str, str]:
         ), centf AS (
           SELECT c0.cluster, coalesce(c1.c, c0.c) AS c
           FROM cent0 c0 LEFT JOIN cent1 c1 USING (cluster)
+        ), asg AS (
+          SELECT vec_id, cluster FROM (
+            SELECT a.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {_l2.format(a="a", b="c")} ASC, c.cluster ASC
+                   ) AS rnk
+            FROM v a CROSS JOIN centf c
+          ) WHERE rnk = 1
+        )"""
+    sql["kmeans_1iter"] = f"WITH {_km_cte} SELECT vec_id, cluster FROM asg"
+
+    # semdedup: the same 1-round assignment, then within-cluster pairs
+    # with cosine >= threshold remove every non-minimal id (keep-first)
+    _cosab = (
+        f"round({dot.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}"
+        f" / ({nrm.format(v='a')} * {nrm.format(v='b')}), 6)"
+    )
+    sql["semdedup"] = f"""
+        WITH {_km_cte}, cl AS (
+          SELECT e.vec_id, asg.cluster, e.embedding
+          FROM embeddings e JOIN asg USING (vec_id)
+        ), dups AS (
+          SELECT DISTINCT b.vec_id
+          FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {_cosab} >= CAST(0.4 AS DOUBLE)
         )
-        SELECT vec_id, cluster FROM (
-          SELECT a.vec_id, c.cluster,
-                 row_number() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_l2.format(a="a", b="c")} ASC, c.cluster ASC
-                 ) AS rnk
-          FROM v a CROSS JOIN centf c
-        ) WHERE rnk = 1
+        SELECT cl.vec_id, cl.cluster, d.vec_id IS NULL AS keep
+        FROM cl LEFT JOIN dups d ON cl.vec_id = d.vec_id
     """
 
     # pq_ann: rebuild the PQ index in SQL — per-subspace argmin codes over

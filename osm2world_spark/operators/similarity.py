@@ -617,3 +617,45 @@ def pca_project(
             for c in range(k)
         ],
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means cluster the
+    embeddings, then inside each cluster drop every item whose cosine
+    to a LOWER-ID cluster member reaches the threshold (keep-first —
+    the deterministic stand-in for the paper's keep-one-per-group).
+
+    Scale shape: the quadratic pair work is CLUSTER-bounded — the
+    cluster key partitions the self-join, so tasks see one cluster's
+    vectors, never the corpus; clustering itself is the distributed
+    Lloyd iteration of kmeans_assign (k*dim-bounded shuffles). Raising
+    k shrinks the per-task quadratic term — the paper's own lever.
+
+    Returns (vec_id, cluster, keep)."""
+    assign = kmeans_assign(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cl = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(assign, "vec_id")
+    )
+    a = cl.select("cluster", F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"))
+    b = cl.select("cluster", F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"))
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(_cosine(F.col("a_vec"), F.col("b_vec")) >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return cl.join(
+        dups.withColumn("_dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+    )

@@ -117,3 +117,44 @@ def test_kmeans_converges_and_separates(spark):
     assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
     out2 = {r.vec_id: r.cluster for r in kmeans_assign(e, k=2, iters=5).collect()}
     assert out == out2
+
+
+def test_semdedup_keep_first_within_cluster(spark):
+    """Two tight groups of near-identical vectors plus a singleton: each
+    group keeps exactly its lowest id; the singleton survives."""
+    from osm2world_spark.operators.similarity import semdedup
+
+    import math
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    rows = (
+        [(i, unit(0.001 * i)) for i in range(3)]          # group at angle ~0
+        + [(10 + i, unit(1.5 + 0.001 * i)) for i in range(3)]  # group at ~1.5 rad
+        + [(99, unit(3.0))]                                # singleton
+    )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(df, k=2, iters=2, threshold=0.999).collect()}
+    kept = sorted(v for v, r in out.items() if r["keep"])
+    assert 0 in kept and 10 in kept and 99 in kept
+    for v in (1, 2, 11, 12):
+        assert not out[v]["keep"], v
+    # members of one tight group share a cluster
+    assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark):
+    """The near-dup self-join must partition on the cluster key (no
+    corpus cross join)."""
+    from osm2world_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id bigint, embedding array<float>"
+    )
+    plan = semdedup(df, k=2, iters=1)._jdf.queryExecution().executedPlan().toString()
+    # the pair join is an equi-join keyed on cluster (SortMergeJoin
+    # [cluster...], [cluster...]); the only nested-loop joins are the
+    # k-row centroid-assignment broadcasts inside kmeans_assign
+    assert "SortMergeJoin [cluster" in plan
+    assert "CartesianProduct" not in plan
