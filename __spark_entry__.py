@@ -1599,6 +1599,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup"] = semdedup_q
 
+    def shape_outlines(spark, sf_dir):
+        # CircleXZ / CircularSectorXZ outline generation (CircleXZ.java:
+        # 45-65, CircularSectorXZ.java:28-56) with the Angle re-
+        # normalization chain replicated exactly; micro-snapped coords
+        from osm2world_spark.functions.shapes import (
+            circle_vertices,
+            sector_area,
+            sector_vertices,
+        )
+
+        o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+        k = F.col("o_orderkey")
+        cx, cz = (k % 20).cast("double"), (k % 15).cast("double")
+        r = (k % 7 + 1).cast("double")
+        s, e = (k % 10).cast("double") * 0.7, (k % 9).cast("double") * 0.9
+        n = (k % 5 + 4).cast("int")
+
+        def pack(col):
+            return F.flatten(
+                F.transform(
+                    col,
+                    lambda p: F.array(
+                        F.floor(p["x"] * 1000000.0 + 0.5).cast("bigint"),
+                        F.floor(p["z"] * 1000000.0 + 0.5).cast("bigint"),
+                    ),
+                )
+            )
+
+        return o.select(
+            k.alias("o_orderkey"),
+            pack(circle_vertices(cx, cz, r, n)).alias("circle_u6"),
+            pack(sector_vertices(cx, cz, r, s, e, n)).alias("sector_u6"),
+            F.floor(sector_area(r, s, e) * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("area_u6"),
+        )
+
+    q["shape_outlines"] = shape_outlines
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -5638,6 +5677,51 @@ def oracle_sql() -> dict[str, str]:
                list_transform(range(0, len(strip) // 3), t ->
                  [strip[t * 3 + 1], strip[t * 3 + 2], strip[t * 3 + 3]]) AS tris
         FROM m
+    """
+
+    # shape_outlines: same angle chain; fmod in DuckDB follows the
+    # dividend sign like Java %, so fit_to_range is literal
+    _fit = "fmod(fmod({a}, 2 * pi()) + 2 * pi(), 2 * pi())"
+    _su6 = "CAST(floor(({v}) * 1000000.0 + 0.5) AS BIGINT)"
+    _circ_pt = (
+        f"[{_su6.format(v='cx + r * sin(-i * (2 * pi() / n))')}, "
+        f"{_su6.format(v='cz + r * cos(-i * (2 * pi() / n))')}]"
+    )
+    _sec_angle = _fit.format(
+        a="sa + "
+        + _fit.format(
+            a=_fit.format(a="(" + _fit.format(a="e") + " - sa)") + " / (n - 1.0) * i"
+        )
+    )
+    _sec_pt = (
+        f"[{_su6.format(v=f'cx + sin({_sec_angle}) * r')}, "
+        f"{_su6.format(v=f'cz + cos({_sec_angle}) * r')}]"
+    )
+    sql["shape_outlines"] = f"""
+        WITH c AS (
+          SELECT o_orderkey AS k,
+                 CAST(o_orderkey % 20 AS DOUBLE) AS cx,
+                 CAST(o_orderkey % 15 AS DOUBLE) AS cz,
+                 CAST(o_orderkey % 7 + 1 AS DOUBLE) AS r,
+                 CAST(o_orderkey % 10 AS DOUBLE) * 0.7 AS s,
+                 CAST(o_orderkey % 9 AS DOUBLE) * 0.9 AS e,
+                 CAST(o_orderkey % 5 + 4 AS INT) AS n
+          FROM orders WHERE o_orderkey % 11 = 0
+        ), m AS (
+          SELECT *, {_fit.format(a="s")} AS sa FROM c
+        ), rings AS (
+          SELECT k, n, r, s, e,
+                 list_transform(range(0, CAST(n AS BIGINT)), i -> {_circ_pt}) AS circ,
+                 list_reverse(
+                   list_transform(range(0, CAST(n AS BIGINT)), i -> {_sec_pt})
+                 ) AS sec
+          FROM m
+        )
+        SELECT k AS o_orderkey,
+               flatten(list_concat(circ, [circ[1]])) AS circle_u6,
+               flatten(list_concat(sec, [sec[1]])) AS sector_u6,
+               {_su6.format(v=f"r * r * pi() * {_fit.format(a='(' + _fit.format(a='e') + ' - ' + _fit.format(a='s') + ')')} / (2 * pi())")} AS area_u6
+        FROM rings
     """
 
     # line_ops: the same coordinate synthesis and formulas; EPSILON is
