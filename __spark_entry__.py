@@ -1638,6 +1638,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shape_outlines"] = shape_outlines
 
+    def dsir_score(spark, sf_dir):
+        # DSIR importance scoring (Xie et al. 2023): hashed-unigram
+        # log-likelihood ratio of every raw doc against a target slice
+        # (docs with doc_id % 5 == 0); two 64-row distributions
+        # broadcast-join the per-doc bucket counts
+        from osm2world_spark.operators.dsir import dsir_scores
+
+        d = _t(spark, sf_dir, "documents")
+        target = d.where(F.col("doc_id") % 5 == 0)
+        out = dsir_scores(d, target, n_buckets=64)
+        return out.select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("score") * 1000000.0 + 0.5).cast("bigint").alias("score_u6"),
+        )
+
+    q["dsir_score"] = dsir_score
+
     def coastline_water(spark, sf_dir):
         from osm2world_spark.operators.rings import coastline_water_areas
 
@@ -5677,6 +5695,41 @@ def oracle_sql() -> dict[str, str]:
                list_transform(range(0, len(strip) // 3), t ->
                  [strip[t * 3 + 1], strip[t * 3 + 2], strip[t * 3 + 3]]) AS tris
         FROM m
+    """
+
+    # dsir_score: the same hashed-unigram distributions; Laplace args
+    # are identical rationals, ln differs by <= 1 ulp per term
+    _dsb = "(('0x' || substr(md5(tok), 1, 15))::BIGINT % 64)"
+    sql["dsir_score"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_dsb} AS bucket
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split(replace(text, chr(10), ' '), ' ')) AS tok
+            FROM documents
+          ) WHERE tok != ''
+        ), dc AS (
+          SELECT doc_id, bucket, count(*) AS c FROM toks GROUP BY doc_id, bucket
+        ), spine AS (SELECT unnest(range(0, 64)) AS bucket),
+        tgt AS (
+          SELECT s.bucket, COALESCE(n, 0) AS n FROM spine s LEFT JOIN (
+            SELECT bucket, count(*) AS n FROM toks WHERE doc_id % 5 = 0 GROUP BY bucket
+          ) t USING (bucket)
+        ), raw AS (
+          SELECT s.bucket, COALESCE(n, 0) AS n FROM spine s LEFT JOIN (
+            SELECT bucket, count(*) AS n FROM toks GROUP BY bucket
+          ) t USING (bucket)
+        ), ratio AS (
+          SELECT t.bucket,
+                 ln((t.n + 1.0) / ((SELECT sum(n) FROM tgt) + 1.0 * 64))
+                 - ln((r.n + 1.0) / ((SELECT sum(n) FROM raw) + 1.0 * 64)) AS llr
+          FROM tgt t JOIN raw r USING (bucket)
+        )
+        SELECT dc.doc_id,
+               CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+               CAST(floor(sum(dc.c * ratio.llr) * 1000000.0 + 0.5) AS BIGINT) AS score_u6
+        FROM dc JOIN ratio USING (bucket)
+        GROUP BY dc.doc_id
     """
 
     # shape_outlines: same angle chain; fmod in DuckDB follows the
