@@ -2535,6 +2535,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_rules"] = gopher_rules
 
+    # end-to-end curation composition (plans/curation.py): quality ->
+    # exact dedup -> split -> pack in ONE two-exchange plan. Synthesis:
+    # %5 docs get a too-short text (quality drop), the rest collapse
+    # into 91 duplicate classes keyed by (doc_id%7, doc_id%13) so the
+    # first-kept-occurrence-wins dedup, the canonical-only split gate,
+    # and the zero-contribution packing all fire on real group structure
+    def curate_docs(spark, sf_dir):
+        from osm2world_spark.plans.curation import curate
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        body = F.concat(
+            F.lit(
+                "the steady data rows that have to be of and with all these words here "
+            ),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" "),
+            F.repeat(F.lit("extra word here "), (F.col("doc_id") % 13).cast("int")),
+            F.lit("end."),
+        )
+        g = F.when(F.col("doc_id") % 5 == 0, F.lit("tiny.")).otherwise(body)
+        return curate(
+            d.select("doc_id", g.alias("text")),
+            min_words=10,
+            budget_tokens=128,
+            n_buckets=8,
+        )
+
+    q["curate"] = curate_docs
+
     # C4 cleaning pass (Raffel et al. 2020 §2.2): terminal-punctuation /
     # min-words / javascript line rules + '{' / lorem-ipsum / thin-doc
     # document rules, over 4-line synthesized docs
@@ -5072,6 +5101,77 @@ def oracle_sql() -> dict[str, str]:
                 AND sym_ratio <= 0.1 AND bul_ratio <= 0.9 AND ell_ratio <= 0.3
                 AND alpha_ratio >= 0.8 AND n_stop >= 2) AS keep
         FROM v
+    """
+
+    # curate: same gopher arithmetic over the curate synthesis, then the
+    # three downstream stages exactly as plans/curation.py declares them
+    # (min kept id per identical text, canonical-gated split, one pack
+    # window with zero contribution for non-train rows)
+    sql["curate"] = f"""
+        WITH built AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN 'tiny.'
+                      ELSE 'the steady data rows that have to be of and with all these words here '
+                           || (doc_id % 7)::VARCHAR || ' '
+                           || repeat('extra word here ', CAST(doc_id % 13 AS INT))
+                           || 'end.' END AS g
+          FROM documents
+        ), m AS (
+          SELECT doc_id, g,
+                 ' ' || replace(g, chr(10), ' ') || ' ' AS pad,
+                 string_split(replace(g, chr(10), ' '), ' ') AS words,
+                 string_split(g, chr(10)) AS lines
+          FROM built
+        ), v AS (
+          SELECT doc_id, g,
+                 len(words) AS n_words,
+                 CAST(length(g) - (len(words) - 1) AS DOUBLE) / len(words) AS mean_len,
+                 CAST((length(g) - length(replace(g, '#', '')))
+                      + CAST((length(g) - length(replace(g, '...', ''))) / 3 AS BIGINT) AS DOUBLE)
+                   / len(words) AS sym_ratio,
+                 CAST(len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS DOUBLE)
+                   / len(lines) AS bul_ratio,
+                 CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE)
+                   / len(lines) AS ell_ratio,
+                 CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(words) AS alpha_ratio,
+                 {_gstops} AS n_stop
+          FROM m
+        ), kq AS (
+          SELECT doc_id, g,
+                 ((n_words >= 10 AND n_words <= 100000)
+                  AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                  AND sym_ratio <= 0.1 AND bul_ratio <= 0.9 AND ell_ratio <= 0.3
+                  AND alpha_ratio >= 0.8 AND n_stop >= 2) AS keep_quality
+          FROM v
+        ), dd AS (
+          SELECT doc_id, g, keep_quality,
+                 coalesce(keep_quality AND doc_id =
+                   min(CASE WHEN keep_quality THEN doc_id END) OVER (PARTITION BY g),
+                   false) AS is_canonical
+          FROM kq
+        ), sp AS (
+          SELECT doc_id, g, keep_quality, is_canonical,
+                 CASE WHEN is_canonical THEN
+                   CASE WHEN {_u32.format(c="doc_id")} / 4294967296.0 < 0.1
+                        THEN 'val' ELSE 'train' END
+                 END AS split,
+                 CAST({_u32.format(c="doc_id")} % 8 AS INT) AS bkt,
+                 CAST(length(g) - length(replace(g, ' ', '')) + 1 AS BIGINT) AS ntok
+          FROM dd
+        ), ctb AS (
+          SELECT *, CASE WHEN split = 'train' THEN ntok ELSE 0 END AS contrib
+          FROM sp
+        )
+        SELECT doc_id, keep_quality, is_canonical, split,
+               CASE WHEN split = 'train' THEN bkt END AS bucket,
+               CASE WHEN split = 'train' THEN
+                 CAST(floor((sum(contrib) OVER w - contrib) / 128.0) AS BIGINT)
+               END AS bin_id,
+               CASE WHEN split = 'train' THEN ntok END AS n_tokens
+        FROM ctb
+        WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
 
     # c4_clean: same synthesis; the line predicate is one list_filter

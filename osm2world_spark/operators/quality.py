@@ -63,6 +63,7 @@ def gopher_quality(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stop_words: int = 2,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher document-level quality rules (Rae et al. 2021, table A1).
 
@@ -134,6 +135,7 @@ def gopher_quality(
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
         n_words.alias("n_words"),
         micro(mean_word_len).alias("mean_word_len_u6"),
         micro(symbol_ratio).alias("symbol_ratio_u6"),
