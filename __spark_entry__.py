@@ -2564,6 +2564,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate"] = curate_docs
 
+    # BM25 ranked retrieval (operators/retrieval.py) in the rational-idf
+    # oracle mode: fixed 3-query set over the corpus vocabulary, top-5
+    # docs per query with integer micro-unit scores
+    def bm25_query(spark, sf_dir):
+        from osm2world_spark.operators.retrieval import bm25_topk
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        qs = spark.createDataFrame(
+            [(0, "spark join window"), (1, "table scan filter"), (2, "hash agg merge")],
+            "query_id int, query_text string",
+        )
+        return bm25_topk(d, qs, k=5, idf="rational")
+
+    q["bm25_topk"] = bm25_query
+
+    # blocklist hygiene pass: shuffle-free projection, ratio mode
+    def blocklist_query(spark, sf_dir):
+        from osm2world_spark.operators.retrieval import blocklist_filter
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return blocklist_filter(d, ["slow", "big"], max_block_ratio=0.05)
+
+    q["blocklist"] = blocklist_query
+
     # C4 cleaning pass (Raffel et al. 2020 §2.2): terminal-punctuation /
     # min-words / javascript line rules + '{' / lorem-ipsum / thin-doc
     # document rules, over 4-line synthesized docs
@@ -5172,6 +5196,72 @@ def oracle_sql() -> dict[str, str]:
         FROM ctb
         WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    # bm25_topk: the rational-idf BM25 rebuilt relationally — operation
+    # order in the contribution expression mirrors the Column tree
+    # exactly (each IEEE op identical), and scores are integer sums of
+    # per-posting micro snaps, so accumulation order cannot matter
+    sql["bm25_topk"] = """
+        WITH qs(query_id, query_text) AS (
+          VALUES (0, 'spark join window'), (1, 'table scan filter'), (2, 'hash agg merge')
+        ), doclen AS (
+          SELECT doc_id, text,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS dl
+          FROM documents
+        ), postings AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM doclen)
+          WHERE term != ''
+          GROUP BY doc_id, dl, term
+        ), qterms AS (
+          SELECT DISTINCT query_id, term
+          FROM (SELECT query_id, unnest(string_split(query_text, ' ')) AS term FROM qs)
+          WHERE term != ''
+        ), matched AS (
+          SELECT q.query_id, p.doc_id, p.term, p.tf, p.dl
+          FROM postings p JOIN qterms q ON p.term = q.term
+        ), dfreq AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS df_t
+          FROM (SELECT DISTINCT term, doc_id FROM matched)
+          GROUP BY term
+        ), stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM doclen
+        ), scored AS (
+          SELECT query_id, doc_id,
+                 CAST(count(*) AS INT) AS n_terms_hit,
+                 CAST(sum(CAST(floor(
+                   (((n_docs - df_t + 0.5) / (df_t + 0.5))
+                    * ((tf * 2.2) / (tf + 1.2 * (0.25 + ((0.75 * dl) / avgdl)))))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_u6
+          FROM matched JOIN dfreq USING (term) CROSS JOIN stats
+          GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, n_terms_hit, score_u6,
+               CAST(rk AS INT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score_u6 DESC, doc_id) AS rk
+              FROM scored)
+        WHERE rk <= 5
+    """
+
+    # blocklist: list_filter membership, same micro snap
+    sql["blocklist"] = """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> x != '')) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains(['big', 'slow'], x))) AS n_blocked
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(n_blocked AS INT) AS n_blocked,
+               CAST(floor((CAST(n_blocked AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) AS BIGINT)
+                 AS block_ratio_u6,
+               (n_tokens > 0 AND (CAST(n_blocked AS DOUBLE) / n_tokens) <= 0.05) AS keep
+        FROM c
     """
 
     # c4_clean: same synthesis; the line predicate is one list_filter
