@@ -1893,6 +1893,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["network_distances"] = network_distances
 
+    # integer fixed-point PageRank over the same positional node graph
+    # (3 iterations; exact bigint arithmetic, so the oracle replays the
+    # recurrence bit-for-bit in chained CTEs)
+    def pagerank_ranks(spark, sf_dir):
+        from osm2world_spark.operators.network import segment_pagerank
+
+        segs = _network_segs(spark, sf_dir)
+        return segment_pagerank(segs, iters=3)
+
+    q["pagerank_ranks"] = pagerank_ranks
+
     # real SRTM .hgt binary codec (S6 completion): two 1201x1201 tiles are
     # ENCODED to real big-endian row-flipped hgt bytes (one plain, one
     # zipped — both payload paths), then DECODED by the production kernel;
@@ -4546,6 +4557,37 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.src AS node, r.lbl FROM reach r JOIN edges e ON e.dst = r.node
         )
         SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """
+
+    # pagerank_ranks: the exact integer recurrence replayed as chained
+    # CTEs (one per iteration); every op is bigint // so the match is
+    # bit-for-bit, accumulation order irrelevant
+    _pr_iter = """
+        m{i} AS (
+          SELECT e.dst AS node,
+                 CAST(sum((85 * r.rank_u6) // (100 * o.outdeg)) AS BIGINT) AS im
+          FROM edges e JOIN od o USING (src) JOIN r{p} r ON r.node = e.src
+          GROUP BY e.dst
+        ), r{i} AS (
+          SELECT n2.node,
+                 ((15 * 1000000) // (100 * st.n)) + coalesce(m{i}.im, 0) AS rank_u6
+          FROM nodes n2 CROSS JOIN st LEFT JOIN m{i} ON m{i}.node = n2.node
+        )"""
+    sql["pagerank_ranks"] = f"""
+        WITH {_net_segs}, edges AS (
+          SELECT DISTINCT a.node AS src, b.node AS dst
+          FROM eps2 a JOIN eps2 b USING (seg_id)
+          WHERE a.node != b.node
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+        ), od AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+        ), r0 AS (
+          SELECT node, (1000000 // st.n) AS rank_u6 FROM nodes CROSS JOIN st
+        ), {_pr_iter.format(i=1, p=0)}, {_pr_iter.format(i=2, p=1)}, {_pr_iter.format(i=3, p=2)}
+        SELECT node, CAST(rank_u6 AS BIGINT) AS rank_u6 FROM r3
     """
 
     sql["network_hops"] = f"""

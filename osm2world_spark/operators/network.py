@@ -512,3 +512,87 @@ def segment_weighted_distances(
         .distinct()
     )
     return weighted_distances(edges, seeds, max_rounds=max_rounds)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(node, rank_u6): PageRank over (src, dst) edges in EXACT integer
+    fixed-point (Page/Brin/Motwani/Winograd 1999; rank in `scale` units,
+    damping as the rational damping_num/damping_den).
+
+    Every quantity is a bigint and every per-edge contribution uses true
+    integer division — `(damping_num * rank_u) div (damping_den *
+    outdeg)` — so the per-node sum is order-independent (a double-rank
+    PageRank is not: groupBy accumulation order perturbs ulps) and any
+    ANSI engine replays the iteration bit-for-bit. Floor division sheds
+    up to 1 unit per edge per round, so ranks are a lower fixed-point
+    envelope of real PageRank; at scale=1e6 the drift is < 1e-5 per
+    round — far under ranking resolution. Dangling-node mass is dropped
+    (the simplified variant); duplicate edges count with multiplicity.
+
+    Iteration discipline matches components_from_edges: fixed `iters`
+    rounds, one lazy localCheckpoint per round to truncate lineage, no
+    driver-side graph, N from a 1-row aggregate (never a collect). Each
+    round is outdeg-join + groupBy(dst) — two bounded exchanges over the
+    edge list, the standard distributed PageRank shape.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select("node").distinct()
+    stats = nodes.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    base = F.expr(
+        f"({damping_den - damping_num} * {scale}L) div ({damping_den} * n_nodes)"
+    )
+    ranks = (
+        nodes.crossJoin(F.broadcast(stats))
+        .select("node", F.expr(f"{scale}L div n_nodes").alias("rank_u6"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
+    for _ in range(iters):
+        in_mass = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({damping_num} * rank_u6) div ({damping_den} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(stats))
+            .join(in_mass, "node", "left")
+            .select(
+                "node",
+                (base + F.coalesce(F.col("in_mass"), F.lit(0))).alias("rank_u6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def segment_pagerank(segments: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank over the positional node graph of a segment set (both
+    directions per segment, the same edge construction as
+    connected_components)."""
+    eps = segment_endpoints(segments).select("seg_id", "node")
+    edges = (
+        eps.alias("a")
+        .join(eps.alias("b"), "seg_id")
+        .where(F.col("a.node") != F.col("b.node"))
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iters=iters)
