@@ -1904,6 +1904,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_ranks"] = pagerank_ranks
 
+    # small-file compaction planner (plans/compaction.py): next-fit bin
+    # assignment over a synthesized file listing; keep-vs-rewrite rules
+    def compaction_plan(spark, sf_dir):
+        from osm2world_spark.plans.compaction import plan_compaction
+
+        o = _t(spark, sf_dir, "orders")
+        files = o.select(
+            (F.col("o_orderkey") % 5).cast("string").alias("part"),
+            F.concat(F.lit("f"), F.col("o_orderkey").cast("string")).alias("file_path"),
+            ((F.col("o_orderkey") * 131) % 300 + 1).cast("bigint").alias("size_bytes"),
+        )
+        return plan_compaction(files, target_bytes=256, partition_cols=("part",))
+
+    q["compaction_plan"] = compaction_plan
+
     # real SRTM .hgt binary codec (S6 completion): two 1201x1201 tiles are
     # ENCODED to real big-endian row-flipped hgt bytes (one plain, one
     # zipped — both payload paths), then DECODED by the production kernel;
@@ -5238,6 +5253,37 @@ def oracle_sql() -> dict[str, str]:
         FROM ctb
         WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    # compaction_plan: the two next-fit windows replayed verbatim
+    sql["compaction_plan"] = """
+        WITH f AS (
+          SELECT CAST(o_orderkey % 5 AS VARCHAR) AS part,
+                 'f' || CAST(o_orderkey AS VARCHAR) AS file_path,
+                 CAST((o_orderkey * 131) % 300 + 1 AS BIGINT) AS size_bytes
+          FROM orders
+        ), b AS (
+          SELECT part, file_path, size_bytes,
+                 CASE WHEN size_bytes < 256 THEN size_bytes ELSE 0 END AS contrib,
+                 sum(CASE WHEN size_bytes < 256 THEN size_bytes ELSE 0 END)
+                   OVER (PARTITION BY part ORDER BY size_bytes DESC, file_path
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM f
+        ), g AS (
+          SELECT part, file_path, size_bytes,
+                 CASE WHEN size_bytes < 256
+                      THEN CAST(floor((cum - contrib) / 256.0) AS BIGINT) END AS group_id
+          FROM b
+        )
+        SELECT part, file_path, size_bytes, group_id,
+               CASE WHEN group_id IS NOT NULL
+                    THEN CAST(count(*) OVER wg AS INT) END AS n_in_group,
+               CASE WHEN group_id IS NOT NULL
+                    THEN CAST(sum(size_bytes) OVER wg AS BIGINT) END AS group_bytes,
+               CASE WHEN group_id IS NULL OR (count(*) OVER wg) = 1
+                    THEN 'keep' ELSE 'rewrite' END AS action
+        FROM g
+        WINDOW wg AS (PARTITION BY part, group_id)
     """
 
     # bm25_topk: the rational-idf BM25 rebuilt relationally — operation

@@ -1,0 +1,164 @@
+"""Small-file compaction for partitioned parquet stage tables.
+
+At 100 TB every incremental run (plans/pipeline.py writes per-tile;
+plans/pipeline.invalidate rewrites touched tiles) accretes small files,
+and scan cost becomes dominated by file-open overhead instead of bytes.
+This module is the standard maintenance pass (the bin-pack strategy of
+Iceberg/Delta OPTIMIZE, public design): group undersized files into
+~target-size rewrite groups per partition, leave right-sized files
+alone, rewrite each group as one file.
+
+Two pieces:
+- ``plan_compaction`` — the pure planner over a (partition, file_path,
+  size_bytes) listing. Same next-fit window shape as
+  operators/packing.pack_sequences with the zero-contribution trick
+  from plans/curation: ineligible (already >= target) files ride the
+  window contributing nothing, so eligible files bin exactly as if the
+  big files were absent, and the whole plan is TWO windows over the
+  same partition key (bin assignment, then group-size accounting —
+  one exchange; the second window's key extends the first's, so the
+  clustering is reused). Deterministic: order by (size desc, path).
+- ``compact_parquet_dir`` — a working executor for a
+  ``partitionBy(col)`` parquet directory: one Spark job reads ONLY the
+  rewrite groups (file-pruned scan), repartitions by group id (each
+  group lands in exactly one task => exactly one output file per
+  group), writes them through the same partitionBy layout, then swaps
+  the originals out. The file LISTING is driver-side (os.walk /
+  manifest — bounded by file count, the same listing any table format
+  does in its manifest layer), but no row ever passes through the
+  driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: tuple[str, ...] = ("partition",),
+    path_col: str = "file_path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """(partition_cols..., file_path, size_bytes, group_id, n_in_group,
+    group_bytes, action): next-fit bin assignment of undersized files.
+
+    action = 'keep' for files already >= target_bytes AND for eligible
+    files alone in their bin (rewriting a single file buys nothing);
+    'rewrite' for every bin holding >= 2 files. group_id is NULL for
+    keep-because-big files.
+    """
+    pcols = list(partition_cols)
+    eligible = F.col(size_col) < target_bytes
+    contrib = F.when(eligible, F.col(size_col)).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy(*pcols)
+        .orderBy(F.col(size_col).desc(), F.col(path_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(contrib).over(w)
+    binned = files.select(
+        *pcols,
+        path_col,
+        size_col,
+        F.when(eligible, F.floor((cum - contrib) / F.lit(target_bytes)))
+        .cast("bigint")
+        .alias("group_id"),
+    )
+    wg = Window.partitionBy(*pcols, "group_id")
+    n_in_group = F.when(
+        F.col("group_id").isNotNull(), F.count("*").over(wg)
+    ).cast("int")
+    group_bytes = F.when(
+        F.col("group_id").isNotNull(), F.sum(size_col).over(wg)
+    ).cast("bigint")
+    return binned.select(
+        *pcols,
+        path_col,
+        size_col,
+        "group_id",
+        n_in_group.alias("n_in_group"),
+        group_bytes.alias("group_bytes"),
+        F.when(F.col("group_id").isNull() | (n_in_group == 1), F.lit("keep"))
+        .otherwise(F.lit("rewrite"))
+        .alias("action"),
+    )
+
+
+def list_partitioned_parquet(
+    spark: SparkSession, root: str, partition_col: str
+) -> DataFrame:
+    """(partition_value, file_path, size_bytes) for a one-level
+    ``partitionBy(partition_col)`` parquet layout. Driver-side walk —
+    the manifest-layer operation, bounded by file count."""
+    rows = []
+    for entry in sorted(os.listdir(root)):
+        full = os.path.join(root, entry)
+        if not (os.path.isdir(full) and entry.startswith(partition_col + "=")):
+            continue
+        pval = entry.split("=", 1)[1]
+        for fn in sorted(os.listdir(full)):
+            if fn.endswith(".parquet"):
+                fp = os.path.join(full, fn)
+                rows.append((pval, fp, os.path.getsize(fp)))
+    return spark.createDataFrame(
+        rows, f"{partition_col} string, file_path string, size_bytes bigint"
+    )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    target_bytes: int,
+    plan: DataFrame | None = None,
+) -> dict:
+    """Execute a compaction plan over a partitionBy(partition_col)
+    parquet dir in ONE distributed job. Returns a summary dict.
+
+    Reads only files in 'rewrite' groups, tags each row with its group
+    via a broadcast join on the source file path, repartitions by
+    (partition, group) so each group is exactly one task -> one output
+    file, writes through the same partition layout into the live
+    directory, then removes the replaced originals. Crash between write
+    and remove leaves duplicates visible — callers needing atomicity
+    route through the pipeline's commit manifest instead; this is the
+    bare-directory tool.
+    """
+    if plan is None:
+        listing = list_partitioned_parquet(spark, root, partition_col)
+        plan = plan_compaction(
+            listing, target_bytes, partition_cols=(partition_col,)
+        )
+    todo = plan.where(F.col("action") == "rewrite").select(
+        partition_col, "file_path", "group_id"
+    )
+    victims = [r["file_path"] for r in todo.select("file_path").collect()]
+    if not victims:
+        return {"groups_rewritten": 0, "files_removed": 0}
+    n_groups = todo.select(partition_col, "group_id").distinct().count()
+
+    rows = (
+        spark.read.parquet(*victims)
+        .withColumn("_src", F.input_file_name())
+        # input_file_name is URI-style (file:///... or file:/...);
+        # normalize to a plain absolute path
+        .withColumn("_src", F.regexp_replace("_src", "^file:/*", "/"))
+    )
+    tagged = rows.join(
+        F.broadcast(todo.withColumnRenamed("file_path", "_src")), "_src"
+    ).drop("_src")
+    (
+        tagged.repartition(n_groups, partition_col, "group_id")
+        .drop("group_id")
+        .write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(root)
+    )
+    for fp in victims:
+        os.remove(fp)
+    return {"groups_rewritten": n_groups, "files_removed": len(victims)}
