@@ -684,6 +684,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    # hopping event-time windows (60 min / 30 min): the overlapping
+    # sibling of the tumbling hourly roll-up
+    def events_sliding(spark, sf_dir):
+        from osm2world_spark.operators.temporal import sliding_window_stats
+
+        return sliding_window_stats(_t(spark, sf_dir, "events"), 60, 30)
+
+    q["events_sliding"] = events_sliding
+
     # --- temporal: gap-based sessionization roll-up (one-shuffle window plan)
     def sessionize_events(spark, sf_dir):
         from osm2world_spark.operators.temporal import session_stats
@@ -4315,6 +4324,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, date_trunc('hour', ts) AS hour,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    # events_sliding: with duration = 2 x slide each event is in exactly
+    # two epoch-aligned windows — its own 30-min bucket and the previous
+    sql["events_sliding"] = """
+        SELECT event_type,
+               ws AS w_start,
+               ws + INTERVAL 60 MINUTE AS w_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM (
+          SELECT event_type, value,
+                 time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS ws
+          FROM events, unnest([0, 1]) AS t(k)
+        )
+        GROUP BY 1, 2
     """
 
     sql["events_histogram"] = """

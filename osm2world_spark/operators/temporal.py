@@ -172,3 +172,44 @@ def interval_join(
         .drop("_lb", "_rb")
         .withColumn("dt_sec", dt)
     )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    duration_minutes: int = 60,
+    slide_minutes: int = 30,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: (keys..., w_start, w_end,
+    n_events, sum_value) — every epoch-aligned window of
+    `duration_minutes` advancing by `slide_minutes` that the event falls
+    in. The overlapping-window sibling of the tumbling `events_hourly`
+    roll-up and the gap-based `sessionize`.
+
+    Spark shape: `F.window(ts, duration, slide)` — each row expands to
+    duration/slide window memberships BEFORE the partial aggregation,
+    so the exchange carries (keys x windows) partial rows, not events:
+    one shuffle, map-side combined, exactly the tumbling-window plan
+    with a bounded fan-out factor. Works unchanged on a stream (the
+    same expression is watermark-compatible; the batch result is the
+    stream's final state)."""
+    if duration_minutes % slide_minutes != 0:
+        raise ValueError("duration must be a multiple of slide")
+    w = F.window(
+        F.col(ts_col), f"{duration_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    return (
+        events.groupBy(*keys, w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -113,3 +113,39 @@ def test_interval_join_window_and_buckets(spark):
     # bucketed equi-join, not a nested-loop range join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
+
+
+def test_sliding_window_stats(spark):
+    import datetime as dt
+
+    from osm2world_spark.operators.temporal import sliding_window_stats
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=m), "a", float(v))
+        for m, v in [(5, 1.0), (35, 2.0), (65, 4.0)]
+    ]
+    events = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["w_start"].minute + 60 * r["w_start"].hour): (r["n_events"], r["sum_value"])
+        for r in sliding_window_stats(events, 60, 30).collect()
+    }
+    # event@10:05 -> windows starting 09:30 and 10:00; @10:35 -> 10:00,
+    # 10:30; @11:05 -> 10:30, 11:00
+    assert out[9 * 60 + 30] == (1, 1.0)
+    assert out[10 * 60] == (2, 3.0)
+    assert out[10 * 60 + 30] == (2, 6.0)
+    assert out[11 * 60] == (1, 4.0)
+    # every event lands in exactly duration/slide windows
+    total = sum(n for n, _ in out.values())
+    assert total == len(rows) * 2
+
+
+def test_sliding_window_rejects_ragged_slide(spark):
+    import pytest as _pytest
+
+    from osm2world_spark.operators.temporal import sliding_window_stats
+
+    events = spark.createDataFrame([], "ts timestamp, event_type string, value double")
+    with _pytest.raises(ValueError):
+        sliding_window_stats(events, 60, 45)
