@@ -1928,6 +1928,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["compaction_plan"] = compaction_plan
 
+    # degree-oriented triangle counting over a deterministic multiplier
+    # graph (u -> m*u mod 97 for m in {2,3,6}: 2*3=6 closes triangles)
+    def triangle_count(spark, sf_dir):
+        from osm2world_spark.operators.network import triangle_counts
+
+        o = _t(spark, sf_dir, "orders")
+        edges = (
+            o.select(
+                (F.col("o_orderkey") % 97).alias("src"),
+                F.explode(F.array(F.lit(2), F.lit(3), F.lit(6))).alias("m"),
+            )
+            .select("src", ((F.col("src") * F.col("m")) % 97).alias("dst"))
+        )
+        return triangle_counts(edges)
+
+    q["triangle_count"] = triangle_count
+
     # real SRTM .hgt binary codec (S6 completion): two 1201x1201 tiles are
     # ENCODED to real big-endian row-flipped hgt bytes (one plain, one
     # zipped — both payload paths), then DECODED by the production kernel;
@@ -5278,6 +5295,35 @@ def oracle_sql() -> dict[str, str]:
         FROM ctb
         WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    # triangle_count: the same degree orientation replayed in SQL
+    sql["triangle_count"] = """
+        WITH base AS (
+          SELECT DISTINCT o_orderkey % 97 AS src FROM orders
+        ), edges0 AS (
+          SELECT src, (src * m) % 97 AS dst FROM base, unnest([2, 3, 6]) AS t(m)
+        ), und AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges0 WHERE src != dst
+        ), degs AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+          GROUP BY node
+        ), ori AS (
+          SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS src,
+                 CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS dst
+          FROM und e JOIN degs du ON du.node = e.u JOIN degs dv ON dv.node = e.v
+        ), tris AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM ori e1 JOIN ori e2 ON e1.dst = e2.src
+          JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([a, b, c]) AS node FROM tris)
+        GROUP BY node
     """
 
     # compaction_plan: the two next-fit windows replayed verbatim

@@ -66,3 +66,29 @@ def test_pagerank_explicit_node_universe(spark):
     base = ((den - num) * scale) // (den * n)
     assert got["z"] == base
     assert got["b"] == base + (num * (scale // n)) // (den * 1)
+
+
+def test_triangle_counts(spark):
+    from osm2world_spark.operators.network import triangle_counts
+
+    # K4 on a,b,c,d (4 triangles, each node in 3) plus a pendant edge,
+    # with duplicates and reversed directions thrown in
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "c"),
+        ("d", "e"), ("e", "e"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # triangle identity: sum of per-node counts = 3 * n_triangles
+    assert sum(got.values()) == 3 * 4
+
+
+def test_triangle_counts_triangle_free(spark):
+    from osm2world_spark.operators.network import triangle_counts
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    assert triangle_counts(chain).count() == 0
