@@ -693,6 +693,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sliding"] = events_sliding
 
+    # batch twin of the watermarked stream-stream interval join: clicks
+    # paired with same-user views in the preceding 10 minutes
+    def event_correlation(spark, sf_dir):
+        from osm2world_spark.streaming.ingest import stream_event_correlation
+
+        e = _t(spark, sf_dir, "events")
+        return stream_event_correlation(
+            e.where(F.col("event_type") == "click"),
+            e.where(F.col("event_type") == "view"),
+            lookback_minutes=30.0,
+        )
+
+    q["event_correlation"] = event_correlation
+
     # --- temporal: gap-based sessionization roll-up (one-shuffle window plan)
     def sessionize_events(spark, sf_dir):
         from osm2world_spark.operators.temporal import session_stats
@@ -4341,6 +4355,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, date_trunc('hour', ts) AS hour,
                count(*) AS n_events, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+
+    sql["event_correlation"] = """
+        SELECT l.user_id,
+               l.event_id AS l_event_id, l.ts AS l_ts,
+               r.event_id AS r_event_id, r.ts AS r_ts,
+               epoch(l.ts) - epoch(r.ts) AS lag_seconds
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1800 SECOND
+        WHERE l.event_type = 'click' AND r.event_type = 'view'
     """
 
     # events_sliding: with duration = 2 x slide each event is in exactly

@@ -278,3 +278,69 @@ def tile_state_batch(sig_rows: DataFrame) -> DataFrame:
         F.count("*").alias("n_elements"),
         F.expr("bit_xor(sig)").alias("sig"),
     )
+
+
+def stream_event_correlation(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback_minutes: float = 10.0,
+    watermark_minutes: float = 30.0,
+) -> DataFrame:
+    """Stream-stream inner join: every left event paired with the right
+    events of the same key whose timestamps fall in
+    (left.ts - lookback, left.ts] — the click-to-preceding-view
+    correlation shape. Returns (key, l_event_id, l_ts, r_event_id,
+    r_ts, lag_seconds).
+
+    Streaming semantics: BOTH sides carry watermarks and the join
+    condition bounds event-time distance, which is exactly what Spark
+    requires to evict buffered rows — a stream-stream join without the
+    time-range condition would buffer both streams forever. Right rows
+    older than watermark + lookback are dropped from state; output is
+    append-mode.
+
+    The identical expression runs in batch (same function, batch frames
+    in) — that twin is the correctness pin. Note the batch PLAN is a
+    range theta-join, fine at query sizes; a batch BACKFILL over two
+    huge tables should use operators/temporal.interval_join (the
+    bucketed form) instead — same semantics, bounded join keys.
+    """
+    wm = f"{watermark_minutes * 60:.0f} seconds"
+    l = left.select(
+        F.col(key_col).alias("_lk"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key_col).alias("_rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", wm)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", wm)
+    lb = int(lookback_minutes * 60)
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lb} SECONDS"))
+    )
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("_lk").alias(key_col),
+            "l_event_id",
+            "l_ts",
+            "r_event_id",
+            "r_ts",
+            # NTZ cannot cast to double directly; via TIMESTAMP is exact
+            # under the session's pinned UTC zone (temporal._epoch)
+            (
+                F.col("l_ts").cast("timestamp").cast("double")
+                - F.col("r_ts").cast("timestamp").cast("double")
+            ).alias("lag_seconds"),
+        )
+    )

@@ -327,3 +327,43 @@ def test_tile_sig_rows_md5_mode_matches_conv(spark, tmp_path):
     kb = {(r["zoom"], r["tile_x"], r["tile_y"]): r["n_elements"] for r in b.collect()}
     assert ka == kb
     assert all(0 <= r["sig"] < (1 << 60) for r in a.collect())
+
+
+def test_stream_event_correlation_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == its batch twin."""
+    from osm2world_spark.streaming.ingest import (
+        stream_event_correlation,
+        stream_events,
+    )
+
+    src = str(tmp_path / "corr_events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "view"),
+        )
+
+    sl, sr = split(stream_events(spark, src))
+    q = (
+        stream_event_correlation(sl, sr, lookback_minutes=10.0)
+        .writeStream.format("memory")
+        .queryName("corr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM corr").collect())
+
+    bl, br = split(spark.read.parquet(src))
+    want = sorted(
+        tuple(r)
+        for r in stream_event_correlation(bl, br, lookback_minutes=10.0).collect()
+    )
+    assert got == want and len(got) > 0
+    # every pair respects the interval contract
+    assert all(0.0 <= r[-1] <= 600.0 for r in got)
