@@ -1959,6 +1959,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_count"] = triangle_count
 
+    # geohash cell codec (functions/cells.py): encode at precision 6 +
+    # decoded cell center (exact integer bit ops + IEEE-identical center
+    # arithmetic, so the oracle replays both)
+    def geohash_cells(spark, sf_dir):
+        from osm2world_spark.functions.cells import geohash_decode, geohash_encode
+
+        pts = _points(_t(spark, sf_dir, "orders"), "o_orderkey")
+        out = pts.select(
+            "key", geohash_encode(F.col("lat"), F.col("lon"), 6).alias("gh")
+        )
+        d = geohash_decode(F.col("gh"), 6)
+        return out.select(
+            "key", "gh", d["lat"].alias("c_lat"), d["lon"].alias("c_lon")
+        )
+
+    q["geohash_cells"] = geohash_cells
+
     # real SRTM .hgt binary codec (S6 completion): two 1201x1201 tiles are
     # ENCODED to real big-endian row-flipped hgt bytes (one plain, one
     # zipped — both payload paths), then DECODED by the production kernel;
@@ -5320,6 +5337,34 @@ def oracle_sql() -> dict[str, str]:
         FROM ctb
         WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    # geohash_cells: the 30-bit lon/lat interleave unrolled (generated
+    # here by the same loop structure the Column builder uses)
+    from osm2world_spark.functions.cells import GEOHASH32 as _GH32
+
+    def _gh_char(c: int) -> str:
+        terms = []
+        for j in range(5):
+            i = 5 * c + j
+            src = "lon_i" if i % 2 == 0 else "lat_i"
+            terms.append(f"(({src} >> {15 - 1 - i // 2}) & 1) * {1 << (4 - j)}")
+        return f"substr('{_GH32}', CAST({' + '.join(terms)} AS INT) + 1, 1)"
+
+    sql["geohash_cells"] = f"""
+        WITH p AS (
+          SELECT o_orderkey AS key, {lat_o} AS lat, {lon_o} AS lon FROM orders
+        ), ii AS (
+          SELECT key,
+                 CAST(least(floor(((lon + 180.0) / 360.0) * 32768.0), 32767) AS BIGINT) AS lon_i,
+                 CAST(least(floor(((lat + 90.0) / 180.0) * 32768.0), 32767) AS BIGINT) AS lat_i
+          FROM p
+        )
+        SELECT key,
+               {" || ".join(_gh_char(c) for c in range(6))} AS gh,
+               ((CAST(lat_i AS DOUBLE) + 0.5) * {180.0 / 32768.0!r}) - 90.0 AS c_lat,
+               ((CAST(lon_i AS DOUBLE) + 0.5) * {360.0 / 32768.0!r}) - 180.0 AS c_lon
+        FROM ii
     """
 
     # triangle_count: the same degree orientation replayed in SQL

@@ -303,3 +303,88 @@ def hex_center_m(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     x = a * _SQRT3 * (q + r / 2.0)
     y = a * 1.5 * r
     return x, y
+
+
+# ----------------------------------------------------------------- geohash
+
+#: the standard geohash base-32 alphabet (public encoding, Niemeyer 2008)
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat, lon, precision: int = 6):
+    """Geohash cell id of a WGS84 point as a `precision`-char string —
+    the classic hierarchical cell codec, completing the engine's index
+    family (slippy z12/z14, S2 L13, hex r9, Morton): a shared PREFIX of
+    length p means the same cell at precision p, so prefix ranges give
+    multi-resolution locality the same way tile ancestors do.
+
+    Construction (public spec): interleave the binary refinements of
+    lon (even global bit positions, MSB first) and lat (odd), 5 bits
+    per base-32 character. Bit b of lon is bit (n_lon-1-b) of
+    floor((lon+180)/360 * 2^n_lon) — one multiply instead of a
+    per-bit bisection loop. Pure Column arithmetic with constant shift
+    amounts: whole-stage codegen, no UDF; the identical expression tree
+    is replayed by the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    n_bits = 5 * precision
+    n_lon = (n_bits + 1) // 2
+    n_lat = n_bits // 2
+    one = F.lit(1).cast("bigint")
+    lon_i = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << n_lon))),
+        F.lit((1 << n_lon) - 1),
+    ).cast("bigint")
+    lat_i = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << n_lat))),
+        F.lit((1 << n_lat) - 1),
+    ).cast("bigint")
+    chars = []
+    for c in range(precision):
+        val = None
+        for j in range(5):
+            i = 5 * c + j  # global bit index, MSB first
+            if i % 2 == 0:
+                bit = F.shiftright(lon_i, n_lon - 1 - i // 2).bitwiseAND(one)
+            else:
+                bit = F.shiftright(lat_i, n_lat - 1 - i // 2).bitwiseAND(one)
+            val = bit if val is None else F.shiftleft(val, 1) + bit
+        chars.append(F.substr(F.lit(GEOHASH32), (val + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_decode(gh, precision: int = 6):
+    """struct(lat, lon, lat_err, lon_err): the center and half-widths of
+    a `precision`-char geohash cell — the inverse of geohash_encode
+    (same bit layout, reassembled into the integer refinements and
+    mapped back through the cell midpoint). Pure Column arithmetic."""
+    from pyspark.sql import functions as F
+
+    n_bits = 5 * precision
+    n_lon = (n_bits + 1) // 2
+    n_lat = n_bits // 2
+    one = F.lit(1).cast("bigint")
+    lon_i, lat_i = F.lit(0).cast("bigint"), F.lit(0).cast("bigint")
+    for c in range(precision):
+        v = (
+            F.array_position(
+                F.array(*[F.lit(ch) for ch in GEOHASH32]),
+                F.substr(gh, F.lit(c + 1), F.lit(1)),
+            )
+            - 1
+        ).cast("bigint")
+        for j in range(5):
+            i = 5 * c + j
+            bit = F.shiftright(v, 4 - j).bitwiseAND(one)
+            if i % 2 == 0:
+                lon_i = F.shiftleft(lon_i, 1) + bit
+            else:
+                lat_i = F.shiftleft(lat_i, 1) + bit
+    lon_w = 360.0 / float(1 << n_lon)
+    lat_w = 180.0 / float(1 << n_lat)
+    return F.struct(
+        ((lat_i.cast("double") + F.lit(0.5)) * F.lit(lat_w) - F.lit(90.0)).alias("lat"),
+        ((lon_i.cast("double") + F.lit(0.5)) * F.lit(lon_w) - F.lit(180.0)).alias("lon"),
+        F.lit(lat_w / 2.0).alias("lat_err"),
+        F.lit(lon_w / 2.0).alias("lon_err"),
+    )

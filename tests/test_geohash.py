@@ -1,0 +1,100 @@
+"""Geohash codec: agreement with an independent bisection reference,
+known public anchor hashes, prefix-hierarchy property, and the
+encode->decode->encode roundtrip."""
+
+from pyspark.sql import functions as F
+
+from osm2world_spark.functions.cells import GEOHASH32, geohash_decode, geohash_encode
+
+
+def _ref_geohash(lat, lon, precision):
+    """Classic bisection implementation (independent of the bit-shift
+    form under test)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = 0, "", True
+    val = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                val = (val << 1) | 1
+                lon_lo = mid
+            else:
+                val = val << 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                val = (val << 1) | 1
+                lat_lo = mid
+            else:
+                val = val << 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out += GEOHASH32[val]
+            bits, val = 0, 0
+    return out
+
+
+POINTS = [
+    (48.86, 2.35),      # Paris
+    (-33.8568, 151.2153),
+    (0.0, 0.0),
+    (89.999, 179.999),
+    (-89.999, -179.999),
+    (48.56687, 13.45127),  # the repo's golden tile vector
+]
+
+
+def test_geohash_matches_reference_and_anchor(spark):
+    df = spark.createDataFrame(POINTS, "lat double, lon double")
+    got = {
+        (r["lat"], r["lon"]): r["gh"]
+        for r in df.select("lat", "lon", geohash_encode(F.col("lat"), F.col("lon"), 7).alias("gh")).collect()
+    }
+    for lat, lon in POINTS:
+        assert got[(lat, lon)] == _ref_geohash(lat, lon, 7), (lat, lon)
+    # public anchor: geohash of (48.86, 2.35) starts with u09
+    assert got[(48.86, 2.35)].startswith("u09")
+
+
+def test_geohash_prefix_hierarchy(spark):
+    df = spark.createDataFrame(POINTS, "lat double, lon double")
+    out = df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 4).alias("g4"),
+        geohash_encode(F.col("lat"), F.col("lon"), 7).alias("g7"),
+    ).collect()
+    assert all(r["g7"].startswith(r["g4"]) for r in out)
+
+
+def test_geohash_roundtrip(spark):
+    df = spark.createDataFrame(POINTS, "lat double, lon double")
+    dec = geohash_decode(geohash_encode(F.col("lat"), F.col("lon"), 8), 8)
+    out = df.select("lat", "lon", dec.alias("d")).collect()
+    for r in out:
+        assert abs(r["d"]["lat"] - r["lat"]) <= r["d"]["lat_err"] * 1.0000001
+        assert abs(r["d"]["lon"] - r["lon"]) <= r["d"]["lon_err"] * 1.0000001
+    # decode->encode is identity on the center point
+    back = df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 8).alias("gh"),
+    ).select(
+        "gh",
+        geohash_encode(
+            geohash_decode(F.col("gh"), 8)["lat"],
+            geohash_decode(F.col("gh"), 8)["lon"],
+            8,
+        ).alias("gh2"),
+    ).collect()
+    assert all(r["gh"] == r["gh2"] for r in back)
+
+
+def test_geohash_plan_is_projection(spark):
+    df = spark.createDataFrame(POINTS, "lat double, lon double")
+    plan = (
+        df.select(geohash_encode(F.col("lat"), F.col("lon"), 6).alias("gh"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
