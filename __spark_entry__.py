@@ -5436,7 +5436,7 @@ def oracle_sql() -> dict[str, str]:
           VALUES (0, 'spark join window'), (1, 'table scan filter'), (2, 'hash agg merge')
         ), doclen AS (
           SELECT doc_id, text,
-                 CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS dl
+                 CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS DOUBLE) AS dl
           FROM documents
         ), postings AS (
           SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf

@@ -357,7 +357,9 @@ def geohash_decode(gh, precision: int = 6):
     """struct(lat, lon, lat_err, lon_err): the center and half-widths of
     a `precision`-char geohash cell — the inverse of geohash_encode
     (same bit layout, reassembled into the integer refinements and
-    mapped back through the cell midpoint). Pure Column arithmetic."""
+    mapped back through the cell midpoint). Pure Column arithmetic.
+    A string shorter than `precision` or containing a non-alphabet
+    character decodes to NULL lat/lon (never silently-wrong coords)."""
     from pyspark.sql import functions as F
 
     n_bits = 5 * precision
@@ -366,13 +368,14 @@ def geohash_decode(gh, precision: int = 6):
     one = F.lit(1).cast("bigint")
     lon_i, lat_i = F.lit(0).cast("bigint"), F.lit(0).cast("bigint")
     for c in range(precision):
-        v = (
-            F.array_position(
-                F.array(*[F.lit(ch) for ch in GEOHASH32]),
-                F.substr(gh, F.lit(c + 1), F.lit(1)),
-            )
-            - 1
-        ).cast("bigint")
+        pos = F.array_position(
+            F.array(*[F.lit(ch) for ch in GEOHASH32]),
+            F.substr(gh, F.lit(c + 1), F.lit(1)),
+        )
+        # array_position returns 0 for a short string or a char outside
+        # the alphabet ('a','i','l','o', uppercase): NULL out instead of
+        # letting v=-1 sign-extend every bit to 1
+        v = F.when(pos > 0, pos - 1).cast("bigint")
         for j in range(5):
             i = 5 * c + j
             bit = F.shiftright(v, 4 - j).bitwiseAND(one)

@@ -312,20 +312,43 @@ def junction_cuts(segments: DataFrame) -> DataFrame:
     return ju.groupBy("node").applyInPandas(kernel, schema=JUNCTION_SCHEMA)
 
 
-def connected_components(
-    segments: DataFrame, max_rounds: int = 30
-) -> DataFrame:
-    """(node, component) labels for the positional node graph: min-label
-    propagation to a fixpoint over the segment-endpoint edge list."""
+
+def _segment_edges(segments: DataFrame, weighted: bool = False) -> DataFrame:
+    """(src, dst[, w]) directed edge list of the positional node graph:
+    both directions per segment, self-loops (zero-length segments)
+    dropped, distinct. The one shared construction every segment-graph
+    operator (components / BFS / shortest paths / PageRank) builds on;
+    w = segment length when weighted."""
     eps = segment_endpoints(segments).select("seg_id", "node")
     edges = (
         eps.alias("a")
         .join(eps.alias("b"), "seg_id")
         .where(F.col("a.node") != F.col("b.node"))
-        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+    )
+    if weighted:
+        length = F.sqrt(
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("z2") - F.col("z1")) * (F.col("z2") - F.col("z1"))
+        )
+        seg_w = segments.select("seg_id", length.alias("w"))
+        return (
+            edges.join(seg_w, "seg_id")
+            .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"), "w")
+            .distinct()
+        )
+    return (
+        edges.select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
         .distinct()
     )
-    nodes = eps.select("node").distinct()
+
+
+def connected_components(
+    segments: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """(node, component) labels for the positional node graph: min-label
+    propagation to a fixpoint over the segment-endpoint edge list."""
+    edges = _segment_edges(segments)
+    nodes = segment_endpoints(segments).select("node").distinct()
     return components_from_edges(edges, nodes, max_rounds=max_rounds).withColumnRenamed(
         "label", "component"
     )
@@ -407,15 +430,7 @@ def segment_hop_distances(
 ) -> DataFrame:
     """BFS hop distances over the positional node graph of a segment set
     (edge list built exactly as connected_components does)."""
-    eps = segment_endpoints(segments).select("seg_id", "node")
-    edges = (
-        eps.alias("a")
-        .join(eps.alias("b"), "seg_id")
-        .where(F.col("a.node") != F.col("b.node"))
-        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
-        .distinct()
-    )
-    return hop_distances(edges, seeds, max_hops=max_hops)
+    return hop_distances(_segment_edges(segments), seeds, max_hops=max_hops)
 
 
 def weighted_distances(
@@ -497,21 +512,9 @@ def segment_weighted_distances(
 ) -> DataFrame:
     """Shortest metric distances over the positional node graph, edge
     weight = segment length (both directions)."""
-    eps = segment_endpoints(segments).select("seg_id", "node")
-    length = F.sqrt(
-        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
-        + (F.col("z2") - F.col("z1")) * (F.col("z2") - F.col("z1"))
+    return weighted_distances(
+        _segment_edges(segments, weighted=True), seeds, max_rounds=max_rounds
     )
-    seg_w = segments.select("seg_id", length.alias("w"))
-    edges = (
-        eps.alias("a")
-        .join(eps.alias("b"), "seg_id")
-        .where(F.col("a.node") != F.col("b.node"))
-        .join(seg_w, "seg_id")
-        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"), "w")
-        .distinct()
-    )
-    return weighted_distances(edges, seeds, max_rounds=max_rounds)
 
 
 def pagerank(
@@ -587,15 +590,7 @@ def segment_pagerank(segments: DataFrame, iters: int = 3) -> DataFrame:
     """PageRank over the positional node graph of a segment set (both
     directions per segment, the same edge construction as
     connected_components)."""
-    eps = segment_endpoints(segments).select("seg_id", "node")
-    edges = (
-        eps.alias("a")
-        .join(eps.alias("b"), "seg_id")
-        .where(F.col("a.node") != F.col("b.node"))
-        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
-        .distinct()
-    )
-    return pagerank(edges, iters=iters)
+    return pagerank(_segment_edges(segments), iters=iters)
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import micro, token_count
+from .text import micro
 
 
 def bm25_topk(
@@ -59,7 +59,13 @@ def bm25_topk(
     if idf not in ("lucene", "rational"):
         raise ValueError("idf must be 'lucene' or 'rational'")
 
-    dl = token_count(F.col(text_col)).cast("double")
+    # dl counts exactly the tokens the postings index (split + drop
+    # empties) — a length-arithmetic token count would inflate dl on
+    # runs of whitespace relative to tf and skew the length norm
+    dl = (
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+        .cast("double")
+    )
     postings = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -138,7 +144,9 @@ def blocklist_filter(
     lit_block = F.array(*[F.lit(w) for w in sorted(set(blocklist))])
     n_tok = F.size(F.filter(toks, lambda t: t != ""))
     n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(lit_block, t)))
-    ratio = n_blocked.cast("double") / n_tok
+    # try_divide: an empty/whitespace-only doc has n_tok=0 and must flag
+    # keep=false, not abort the job under ANSI mode
+    ratio = F.try_divide(n_blocked.cast("double"), n_tok)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_tok.cast("int").alias("n_tokens"),

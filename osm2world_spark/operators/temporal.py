@@ -180,6 +180,7 @@ def sliding_window_stats(
     slide_minutes: int = 30,
     ts_col: str = "ts",
     keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
 ) -> DataFrame:
     """Hopping (sliding) event-time windows: (keys..., w_start, w_end,
     n_events, sum_value) — every epoch-aligned window of
@@ -203,7 +204,7 @@ def sliding_window_stats(
         events.groupBy(*keys, w.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
         )
         .select(
             *keys,

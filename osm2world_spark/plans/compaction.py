@@ -144,21 +144,66 @@ def compact_parquet_dir(
 
     rows = (
         spark.read.parquet(*victims)
-        .withColumn("_src", F.input_file_name())
-        # input_file_name is URI-style (file:///... or file:/...);
-        # normalize to a plain absolute path
-        .withColumn("_src", F.regexp_replace("_src", "^file:/*", "/"))
+        # input_file_name is a percent-encoded URI (file:///...); decode
+        # and strip the scheme so it matches the os.walk listing
+        .withColumn(
+            "_src",
+            F.url_decode(
+                F.regexp_replace(F.input_file_name(), "^file:/*", "/")
+            ),
+        )
     )
     tagged = rows.join(
         F.broadcast(todo.withColumnRenamed("file_path", "_src")), "_src"
-    ).drop("_src")
-    (
-        tagged.repartition(n_groups, partition_col, "group_id")
-        .drop("group_id")
-        .write.mode("append")
-        .partitionBy(partition_col)
-        .parquet(root)
     )
+    # refuse to delete anything a path-normalization mismatch failed to
+    # re-tag (url_decode's '+'-as-space rule is one known gap): data
+    # loss is never an acceptable failure mode for a maintenance tool
+    matched = tagged.select("_src").distinct().count()
+    if matched != len(victims):
+        raise RuntimeError(
+            f"compaction tagged {matched}/{len(victims)} source files; "
+            "refusing to rewrite (path normalization mismatch)"
+        )
+
+    # write through a leading-underscore temp dir (invisible to parquet
+    # readers of `root`), partitioned by (partition, group): hash
+    # repartition puts each group in exactly one task, and the group
+    # DIRECTORY keeps colliding groups in separate files, so the
+    # one-file-per-group contract survives hash collisions
+    tmp = os.path.join(root, "_compact_tmp")
+    (
+        tagged.drop("_src")
+        .withColumnRenamed("group_id", "_cgrp")
+        .repartition(n_groups, partition_col, "_cgrp")
+        .write.mode("overwrite")
+        .partitionBy(partition_col, "_cgrp")
+        .parquet(tmp)
+    )
+    import shutil
+
+    n_files_out = 0
+    for ptdir in sorted(os.listdir(tmp)):
+        if not ptdir.startswith(partition_col + "="):
+            continue
+        dest = os.path.join(root, ptdir)
+        os.makedirs(dest, exist_ok=True)
+        for gdir in sorted(os.listdir(os.path.join(tmp, ptdir))):
+            if not gdir.startswith("_cgrp="):
+                continue
+            gval = gdir.split("=", 1)[1]
+            for fn in sorted(os.listdir(os.path.join(tmp, ptdir, gdir))):
+                if fn.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(tmp, ptdir, gdir, fn),
+                        os.path.join(dest, f"compact-g{gval}-{fn}"),
+                    )
+                    n_files_out += 1
     for fp in victims:
         os.remove(fp)
-    return {"groups_rewritten": n_groups, "files_removed": len(victims)}
+    shutil.rmtree(tmp)
+    return {
+        "groups_rewritten": n_groups,
+        "files_removed": len(victims),
+        "files_written": n_files_out,
+    }

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.temporal import _epoch
+
 DOC_SCHEMA = (
     "doc_id string, spans array<struct<kind string, text string, "
     "media_ref string, offset int>>"
@@ -336,11 +338,6 @@ def stream_event_correlation(
             "l_ts",
             "r_event_id",
             "r_ts",
-            # NTZ cannot cast to double directly; via TIMESTAMP is exact
-            # under the session's pinned UTC zone (temporal._epoch)
-            (
-                F.col("l_ts").cast("timestamp").cast("double")
-                - F.col("r_ts").cast("timestamp").cast("double")
-            ).alias("lag_seconds"),
+            (_epoch(F.col("l_ts")) - _epoch(F.col("r_ts"))).alias("lag_seconds"),
         )
     )

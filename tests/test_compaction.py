@@ -79,3 +79,27 @@ def test_compact_parquet_dir_roundtrip(spark, tmp_path):
         "groups_rewritten": 0,
         "files_removed": 0,
     }
+
+
+def test_compact_parquet_dir_uri_encoded_partition_values(spark, tmp_path):
+    """Partition values needing URI encoding (spaces) must compact
+    losslessly — input_file_name returns percent-encoded paths."""
+    root = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [("New York", i, f"v{i}") for i in range(40)]
+        + [("sao paulo", i, f"w{i}") for i in range(40)],
+        "pt string, v long, payload string",
+    )
+    df.repartition(8).write.partitionBy("pt").parquet(root)
+    baseline = sorted(
+        (r["pt"], r["v"], r["payload"]) for r in spark.read.parquet(root).collect()
+    )
+    n_before = list_partitioned_parquet(spark, root, "pt").count()
+    assert n_before > 2
+    summary = compact_parquet_dir(spark, root, "pt", target_bytes=1 << 20)
+    assert summary["files_removed"] == n_before and summary["files_written"] == 2
+    got = sorted(
+        (r["pt"], r["v"], r["payload"]) for r in spark.read.parquet(root).collect()
+    )
+    assert got == baseline
+    assert list_partitioned_parquet(spark, root, "pt").count() == 2

@@ -98,3 +98,14 @@ def test_geohash_plan_is_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_geohash_decode_invalid_is_null(spark):
+    df = spark.createDataFrame(
+        [("u09t",), ("u09tuq",), ("uXyzzy",), ("u09tua",)], "gh string"
+    )
+    out = {r["gh"]: r["d"] for r in df.select("gh", geohash_decode(F.col("gh"), 6).alias("d")).collect()}
+    assert out["u09tuq"]["lat"] is not None
+    assert out["u09t"]["lat"] is None          # too short
+    assert out["uXyzzy"]["lat"] is None        # uppercase not in alphabet
+    assert out["u09tua"]["lat"] is None        # 'a' not in geohash32
