@@ -1976,6 +1976,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geohash_cells"] = geohash_cells
 
+    # raster finite-difference gradients (operators/rasterops.py): two
+    # adjacency-guarded windows over an integer synthetic grid with
+    # no-data holes; exact bigint evidence columns
+    def raster_gradients_q(spark, sf_dir):
+        from osm2world_spark.operators.rasterops import raster_gradients
+
+        n = 200
+        grid = spark.range(n * n).select(
+            F.lit(13).alias("cell_lon"),
+            F.lit(48).alias("cell_lat"),
+            (F.col("id") % n).cast("int").alias("px"),
+            F.floor(F.col("id") / n).cast("int").alias("py"),
+        )
+        elev = F.when(
+            (F.col("px") * 31 + F.col("py") * 37) % 499 == 0, F.lit(-32768)
+        ).otherwise((F.col("px") * 7919 + F.col("py") * 104729) % 1000)
+        return raster_gradients(grid.withColumn("elev", elev.cast("int")))
+
+    q["raster_gradients"] = raster_gradients_q
+
+    # great-circle distances between the order-keyed and custkey-keyed
+    # synthetic points (functions/projection.haversine_m)
+    def haversine_pairs(spark, sf_dir):
+        from osm2world_spark.functions.projection import haversine_m
+
+        o = _t(spark, sf_dir, "orders")
+        d = haversine_m(
+            F.expr(LAT.format(k="o_orderkey")),
+            F.expr(LON.format(k="o_orderkey")),
+            F.expr(LAT.format(k="o_custkey")),
+            F.expr(LON.format(k="o_custkey")),
+        )
+        return o.select(
+            F.col("o_orderkey").alias("key"), F.round(d, 6).alias("dist_m")
+        )
+
+    q["haversine_pairs"] = haversine_pairs
+
     # real SRTM .hgt binary codec (S6 completion): two 1201x1201 tiles are
     # ENCODED to real big-endian row-flipped hgt bytes (one plain, one
     # zipped — both payload paths), then DECODED by the production kernel;
@@ -5337,6 +5375,53 @@ def oracle_sql() -> dict[str, str]:
         FROM ctb
         WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    # haversine_pairs: identical op-order arithmetic; the only libm/JVM
+    # exposure is sin/cos/asin/sqrt (same contract as the Mercator
+    # log/tan queries, green three rounds)
+    sql["haversine_pairs"] = f"""
+        WITH p AS (
+          SELECT o_orderkey AS key,
+                 {LAT.format(k="o_orderkey")} AS lat1, {LON.format(k="o_orderkey")} AS lon1,
+                 {LAT.format(k="o_custkey")} AS lat2, {LON.format(k="o_custkey")} AS lon2
+          FROM orders
+        )
+        SELECT key,
+               round((2.0 * 6371008.8) * asin(sqrt(least(
+                 sin((lat2 * 0.017453292519943295 - lat1 * 0.017453292519943295) / 2)
+                 * sin((lat2 * 0.017453292519943295 - lat1 * 0.017453292519943295) / 2)
+                 + cos(lat1 * 0.017453292519943295) * cos(lat2 * 0.017453292519943295)
+                   * sin((lon2 * 0.017453292519943295 - lon1 * 0.017453292519943295) / 2)
+                   * sin((lon2 * 0.017453292519943295 - lon1 * 0.017453292519943295) / 2),
+                 1.0))), 6) AS dist_m
+        FROM p
+    """
+
+    # raster_gradients: the same guarded lag/lead windows in SQL
+    sql["raster_gradients"] = """
+        WITH g AS (
+          SELECT 13 AS cell_lon, 48 AS cell_lat,
+                 CAST(i % 200 AS INT) AS px, CAST(i // 200 AS INT) AS py
+          FROM range(40000) t(i)
+        ), z AS (
+          SELECT cell_lon, cell_lat, px, py,
+                 CASE WHEN NOT ((px * 31 + py * 37) % 499 = 0)
+                      THEN CAST((px * 7919 + py * 104729) % 1000 AS BIGINT) END AS zz
+          FROM g
+        ), d AS (
+          SELECT cell_lon, cell_lat, px, py,
+                 (CASE WHEN lead(px) OVER wx = px + 1 THEN lead(zz) OVER wx END
+                  - CASE WHEN lag(px) OVER wx = px - 1 THEN lag(zz) OVER wx END) AS dzdx2,
+                 (CASE WHEN lead(py) OVER wy = py + 1 THEN lead(zz) OVER wy END
+                  - CASE WHEN lag(py) OVER wy = py - 1 THEN lag(zz) OVER wy END) AS dzdy2
+          FROM z
+          WINDOW wx AS (PARTITION BY cell_lon, cell_lat, py ORDER BY px),
+                 wy AS (PARTITION BY cell_lon, cell_lat, px ORDER BY py)
+        )
+        SELECT cell_lon, cell_lat, px, py, dzdx2, dzdy2,
+               dzdx2 * dzdx2 + dzdy2 * dzdy2 AS grad2
+        FROM d
     """
 
     # geohash_cells: the 30-bit lon/lat interleave unrolled (generated

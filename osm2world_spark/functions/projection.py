@@ -220,3 +220,31 @@ def np_projection(name: str):
         return resolve("projection", name)
     except ValueError:
         return np_to_xz
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in meters between two WGS84 points
+    (haversine form, mean earth radius 6371008.8 m — the IUGG mean;
+    the reference's planar pipeline projects first and measures in the
+    projected plane, so this is the engine's pre-projection companion
+    for continent-scale distances where a metric tile projection does
+    not exist yet).
+
+    Pure Column trig. Numerically stable at small distances (haversine
+    avoids the cos-law cancellation); antipodal points are exact to
+    the asin clamp. Cross-engine note: sin/cos/asin agree between the
+    JVM and libm on this pipeline's value ranges (the same contract
+    the Mercator log/tan queries rely on); snap outputs if a hash
+    boundary ever flips."""
+    # explicit deg->rad constant (not F.radians): Java toRadians computes
+    # x/180*pi while other engines precompute x*(pi/180) — a one-ulp skew
+    # this form removes by pinning the exact multiply in both
+    d2r = F.lit(0.017453292519943295)
+    rlat1, rlat2 = lat1 * d2r, lat2 * d2r
+    dlat = lat2 * d2r - lat1 * d2r
+    dlon = lon2 * d2r - lon1 * d2r
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * 6371008.8) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))

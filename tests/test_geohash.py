@@ -109,3 +109,34 @@ def test_geohash_decode_invalid_is_null(spark):
     assert out["u09t"]["lat"] is None          # too short
     assert out["uXyzzy"]["lat"] is None        # uppercase not in alphabet
     assert out["u09tua"]["lat"] is None        # 'a' not in geohash32
+
+
+def test_haversine_reference_points(spark):
+    import math
+
+    from osm2world_spark.functions.projection import haversine_m
+
+    def ref(lat1, lon1, lat2, lon2):
+        r = 6371008.8
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+
+    pairs = [
+        (48.8566, 2.3522, 51.5074, -0.1278),   # Paris -> London
+        (0.0, 0.0, 0.0, 180.0),                # antipodal on equator
+        (48.56687, 13.45127, 48.56688, 13.45128),  # ~1.3 m apart
+        (90.0, 0.0, -90.0, 0.0),
+    ]
+    df = spark.createDataFrame(pairs, "lat1 double, lon1 double, lat2 double, lon2 double")
+    got = df.select(
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()
+    for (r, p) in zip(got, pairs):
+        assert abs(r["d"] - ref(*p)) < 1e-6
+    # Paris -> London is ~343.5 km
+    assert abs(got[0]["d"] - 343_500) < 1_500
+    # poles: half the circumference of the sphere
+    import math as m
+    assert abs(got[3]["d"] - m.pi * 6371008.8) < 1e-3

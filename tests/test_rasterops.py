@@ -1,0 +1,63 @@
+"""Raster gradients: numpy reference agreement (including slope/aspect
+trig), no-data and border NULLs, and subsampling-gap guards."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osm2world_spark.operators.rasterops import raster_gradients, slope_aspect
+from osm2world_spark.sources.raster import BLANK_VALUE
+
+
+def _grid_df(spark, n=12, blank=()):
+    rows = []
+    for py in range(n):
+        for px in range(n):
+            z = BLANK_VALUE if (px, py) in blank else (px * px + 3 * py + px * py)
+            rows.append((13, 48, px, py, z))
+    return spark.createDataFrame(
+        rows, "cell_lon int, cell_lat int, px int, py int, elev int"
+    )
+
+
+def test_gradients_match_numpy(spark):
+    n = 12
+    df = _grid_df(spark, n)
+    out = {
+        (r["px"], r["py"]): (r["dzdx2"], r["dzdy2"], r["grad2"])
+        for r in raster_gradients(df).collect()
+    }
+    z = np.array([[px * px + 3 * py + px * py for px in range(n)] for py in range(n)])
+    for py in range(1, n - 1):
+        for px in range(1, n - 1):
+            dzdx2 = int(z[py, px + 1] - z[py, px - 1])
+            dzdy2 = int(z[py + 1, px] - z[py - 1, px])
+            assert out[(px, py)] == (dzdx2, dzdy2, dzdx2**2 + dzdy2**2)
+    # borders are NULL
+    assert out[(0, 5)][0] is None and out[(5, 0)][1] is None
+
+
+def test_gradients_nodata_and_gap_nulls(spark):
+    df = _grid_df(spark, 8, blank={(3, 4)})
+    out = {
+        (r["px"], r["py"]): r for r in raster_gradients(df).collect()
+    }
+    # the blank pixel's neighbors lose the gradient across it
+    assert out[(2, 4)]["dzdx2"] is None and out[(4, 4)]["dzdx2"] is None
+    assert out[(3, 3)]["dzdy2"] is None and out[(3, 5)]["dzdy2"] is None
+    # the blank pixel itself has no gradient in the crossing axis only
+    assert out[(3, 4)]["dzdx2"] is not None and out[(3, 4)]["grad2"] is not None
+
+    # a subsampled grid (every 2nd px) must not fake adjacency
+    sub = _grid_df(spark, 8).where(F.col("px") % 2 == 0)
+    assert all(r["dzdx2"] is None for r in raster_gradients(sub).collect())
+
+
+def test_slope_aspect_matches_numpy(spark):
+    df = _grid_df(spark, 6)
+    out = slope_aspect(raster_gradients(df), pixel_size_m=30.0).collect()
+    for r in out:
+        if r["dzdx2"] is None or r["dzdy2"] is None:
+            continue
+        p, q = r["dzdx2"] / 60.0, r["dzdy2"] / 60.0
+        assert abs(r["slope_deg"] - np.degrees(np.arctan(np.hypot(p, q)))) < 1e-9
+        assert abs(r["aspect_deg"] - np.degrees(np.arctan2(q, -p))) < 1e-9
