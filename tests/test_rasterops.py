@@ -61,3 +61,13 @@ def test_slope_aspect_matches_numpy(spark):
         p, q = r["dzdx2"] / 60.0, r["dzdy2"] / 60.0
         assert abs(r["slope_deg"] - np.degrees(np.arctan(np.hypot(p, q)))) < 1e-9
         assert abs(r["aspect_deg"] - np.degrees(np.arctan2(q, -p))) < 1e-9
+
+
+def test_gradients_plan_two_exchanges(spark):
+    plan = (
+        raster_gradients(_grid_df(spark, 6))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one exchange per window axis, nothing else (no join, no python)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan and "BatchEvalPython" not in plan
