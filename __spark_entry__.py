@@ -2991,6 +2991,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_hourly"] = hll_hourly
 
+    # --- §2.7: OSM tag-value parsers (ValueParseUtil.java:42-388) —
+    # speed/measure/weight/incline/angle over a deterministic raw-string
+    # mix exercising every branch (unitless POSITIVE, km/h, mph, m, km,
+    # feet-inches with float32 unit constants, signed %, compass rose,
+    # garbage); the real regex parsers run engine-side, the oracle
+    # re-derives each value arithmetically from the generator params
+    def parse_values(spark, sf_dir):
+        from osm2world_spark.functions import values as V
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        a = (F.col("doc_id") * 37 % 97).cast("int")
+        b = (F.col("doc_id") % 7).cast("int")
+        kind = (F.col("doc_id") % 10).cast("int")
+        rose = F.array(*[F.lit(n) for n, _ in V._COMPASS])
+        a_s, b_s = a.cast("string"), b.cast("string")
+        raw = (
+            F.when(kind == 0, a_s)
+            .when(kind == 1, F.concat(F.lit("-"), a_s, F.lit("."), b_s))
+            .when(kind == 2, F.concat(a_s, F.lit(" km/h")))
+            .when(kind == 3, F.concat(a_s, F.lit(" mph")))
+            .when(kind == 4, F.concat(a_s, F.lit("."), b_s, F.lit(" m")))
+            .when(kind == 5, F.concat(a_s, F.lit(" km")))
+            .when(kind == 6, F.concat(a_s, F.lit("'"), b_s, F.lit('"')))
+            .when(
+                kind == 7,
+                F.concat(
+                    F.when(b % 2 == 0, F.lit("-")).otherwise(F.lit("")),
+                    a_s, F.lit("."), b_s, F.lit(" %"),
+                ),
+            )
+            .when(kind == 8, F.element_at(rose, (F.col("doc_id") % 16).cast("int") + 1))
+            .otherwise(F.concat(F.lit("v"), a_s))
+        )
+        d = d.select("doc_id", raw.alias("raw"))
+        r = F.col("raw")
+        return d.select(
+            "doc_id",
+            "raw",
+            micro(V.parse_speed(r)).alias("speed_kmh_u"),
+            micro(V.parse_measure(r)).alias("measure_m_u"),
+            micro(V.parse_weight(r)).alias("weight_t_u"),
+            micro(V.parse_incline(r)).alias("incline_pct_u"),
+            micro(V.parse_angle(r)).alias("angle_deg_u"),
+        )
+
+    q["parse_values"] = parse_values
+
     return _driver_window_order(q)
 
 
@@ -6529,6 +6577,72 @@ def oracle_sql() -> dict[str, str]:
                                + (200.0 + (c_custkey * 53 % 6000) / 10.0) / 255.0)
                           * 1000000.0 + 0.5) AS BIGINT) AS ele_u6
         FROM customer WHERE c_custkey % 7 = 0
+    """
+
+    # parse_values: the oracle re-derives every parser output from the
+    # generator parameters (kind, a, b) instead of re-running the regex
+    # chain — an independent arithmetic derivation of ValueParseUtil
+    # semantics. Unit constants are the reference's float32 literals as
+    # exact doubles (1.609344f, 0.0254f). micro = floor(x*1e6+0.5).
+    sql["parse_values"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 CAST((doc_id * 37) % 97 AS INT) AS a,
+                 CAST(doc_id % 7 AS INT) AS b,
+                 CAST(doc_id % 10 AS INT) AS kind
+          FROM documents
+        ), v AS (
+          SELECT doc_id, a, b, kind,
+                 CAST(a AS DOUBLE) + POWER(10.0, -1) * b AS ab,
+                 CASE WHEN b % 2 = 0 THEN -1.0 ELSE 1.0 END AS sgn,
+                 list_extract(['N','NNE','NE','ENE','E','ESE','SE','SSE',
+                               'S','SSW','SW','WSW','W','WNW','NW','NNW'],
+                              CAST(doc_id % 16 AS INT) + 1) AS rose_name,
+                 list_extract([0.0,22.5,45.0,67.5,90.0,112.5,135.0,157.5,
+                               180.0,202.5,225.0,247.5,270.0,292.5,315.0,337.5],
+                              CAST(doc_id % 16 AS INT) + 1) AS rose_deg
+          FROM g
+        ), o AS (
+          SELECT doc_id,
+                 CASE kind
+                   WHEN 0 THEN CAST(a AS VARCHAR)
+                   WHEN 1 THEN '-' || a || '.' || b
+                   WHEN 2 THEN a || ' km/h'
+                   WHEN 3 THEN a || ' mph'
+                   WHEN 4 THEN a || '.' || b || ' m'
+                   WHEN 5 THEN a || ' km'
+                   WHEN 6 THEN a || '''' || b || '"'
+                   WHEN 7 THEN (CASE WHEN b % 2 = 0 THEN '-' ELSE '' END)
+                               || a || '.' || b || ' %'
+                   WHEN 8 THEN rose_name
+                   ELSE 'v' || a
+                 END AS raw,
+                 CASE WHEN kind = 0 AND a > 0 THEN CAST(a AS DOUBLE)
+                      WHEN kind = 2 THEN CAST(a AS DOUBLE)
+                      WHEN kind = 3 THEN a * CAST(1.6093440055847168 AS DOUBLE)
+                 END AS speed,
+                 CASE WHEN kind = 0 AND a > 0 THEN CAST(a AS DOUBLE)
+                      WHEN kind = 4 AND ab > 0 THEN ab
+                      WHEN kind = 5 AND a > 0 THEN 1000.0 * a
+                      WHEN kind = 6 THEN CAST(0.02539999969303608 AS DOUBLE) * (12 * a + b)
+                 END AS measure,
+                 CASE WHEN kind = 0 AND a > 0 THEN CAST(a AS DOUBLE)
+                 END AS weight,
+                 CASE WHEN kind = 7 THEN sgn * ab
+                 END AS incline,
+                 CASE WHEN kind = 0 THEN fmod(CAST(a AS DOUBLE), 360.0)
+                      WHEN kind = 1 AND a = 0 AND b = 0 THEN 0.0
+                      WHEN kind = 8 THEN rose_deg
+                 END AS angle
+          FROM v
+        )
+        SELECT doc_id, raw,
+               CAST(FLOOR(speed * 1000000.0 + 0.5) AS BIGINT) AS speed_kmh_u,
+               CAST(FLOOR(measure * 1000000.0 + 0.5) AS BIGINT) AS measure_m_u,
+               CAST(FLOOR(weight * 1000000.0 + 0.5) AS BIGINT) AS weight_t_u,
+               CAST(FLOOR(incline * 1000000.0 + 0.5) AS BIGINT) AS incline_pct_u,
+               CAST(FLOOR(angle * 1000000.0 + 0.5) AS BIGINT) AS angle_deg_u
+        FROM o
     """
 
     return sql
