@@ -163,3 +163,32 @@ def parse_angle(col: Column) -> Column:
         F.create_map(*[F.lit(v) for pair in _COMPASS for v in pair]), col
     )
     return F.coalesce(num, rose)
+
+
+def parse_levels(col: Column) -> Column:
+    """parseLevels :443-483 — Simple Indoor Tagging level list.
+
+    Whitespace stripped, ';'-separated pieces; a piece is either a full
+    range `(-?\\d+)-(-?\\d+)` expanded min..max (so "4-2" is [2,3,4]
+    and "-5--2" works) or a single Integer.parseInt; unparseable pieces
+    are skipped silently (the reference swallows the
+    NumberFormatException — an overflowing range bound also kills just
+    its piece). Result is sorted ascending, duplicate-free,
+    array<int>; NULL when nothing parsed. Higher-order transform +
+    flatten — still a single codegen-adjacent projection, no UDF."""
+    rng = r"^(-?\d+)-(-?\d+)$"
+    pieces = F.split(F.regexp_replace(col, r"\s+", ""), ";")
+
+    def piece_levels(p: Column) -> Column:
+        a = F.regexp_extract(p, rng, 1).try_cast("int")
+        b = F.regexp_extract(p, rng, 2).try_cast("int")
+        range_arr = F.when(
+            p.rlike(rng) & a.isNotNull() & b.isNotNull(),
+            F.sequence(F.least(a, b), F.greatest(a, b)),
+        )
+        single_i = F.when(p.rlike(_INT), p.try_cast("int"))
+        single = F.when(single_i.isNotNull(), F.array(single_i))
+        return F.coalesce(range_arr, single, F.array().cast("array<int>"))
+
+    levels = F.array_sort(F.array_distinct(F.flatten(F.transform(pieces, piece_levels))))
+    return F.when(F.size(levels) > 0, levels)

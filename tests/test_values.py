@@ -175,6 +175,41 @@ def test_branch_edge_values(parsed):
     assert parsed[" 5"]["i"] is None
 
 
+def _j_levels(s):
+    """Literal transcription of parseLevels :443-483."""
+    result = []
+    for piece in re.sub(r"\s+", "", s).split(";"):
+        m = re.fullmatch(r"(-?\d+)-(-?\d+)", piece)
+        if m:
+            a, b = _j_int(m.group(1)), _j_int(m.group(2))
+            if a is None or b is None:
+                continue  # NumberFormatException -> piece skipped
+            result.extend(range(min(a, b), max(a, b) + 1))
+        else:
+            v = _j_int(piece)
+            if v is not None:
+                result.append(v)
+    result = sorted(set(result))
+    return result or None
+
+
+LEVELS_FIXTURE = [
+    "0", "3", "-2", "1-3", "4-2", "-5--2", "-5-10", "1;3;5", "1-3;5",
+    "2; 4", " 1 - 3 ", "3-", "1-2-3", "4.5", "1;x;3", "x", "", "1;1;1",
+    "99999999999-3",
+]
+
+
+def test_parse_levels(spark):
+    df = spark.createDataFrame([(s,) for s in LEVELS_FIXTURE], ["raw"])
+    got = {
+        r["raw"]: r["v"]
+        for r in df.select("raw", V.parse_levels(F.col("raw")).alias("v")).collect()
+    }
+    for s in LEVELS_FIXTURE:
+        assert got[s] == _j_levels(s), (s, got[s], _j_levels(s))
+
+
 def test_unitless_factor(spark):
     df = spark.createDataFrame([("2.5",), ("bad",)], ["raw"])
     got = {
