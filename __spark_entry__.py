@@ -3043,40 +3043,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round 3 registered 75, so 25 (everything inserted after
-# position 50 — the network/elevation/media/LLM-pipeline additions and the
-# 8 round-2 rows-only queries) never received a driver CORRECTNESS row.
-# This explicit window order puts every never-driver-checked query, every
-# round-4 addition, and the round-3 hash-fail fix inside the window;
-# queries that have hashed green for 3 consecutive rounds rotate to the
-# back (their oracles remain registered, and tools/check_oracles.py still
-# verifies ALL queries locally). natural_linear (hash evidence for J9 via
-# Sibson linear precision) takes the slot of rows-only ivf_ann — the IVF
-# component keeps in-window hash evidence through ivf_ann_fixed.
+# insertion order. Union driver-green coverage across r1-r4 is 97/134:
+# 34 SQL-checkable queries have only ever been verified by the local
+# comparator (tools/check_oracles.py, same algorithm, self-reported).
+# Round 5's window is exactly that rotation batch (VERDICT r4 "Next
+# round" #1): the 34 never-driver-checked queries, natural_elevation
+# (rows-only in r2/r4 — now carrying a golden-parquet oracle so the slot
+# earns a hash row), the new round-5 queries (MBTiles source,
+# progressive JPEG), and the remaining slots re-confirm the oldest
+# (round-1) green rows on flagship-path queries. Everything rotated out
+# has a driver-green row on record AND stays covered by the local gate.
 _WINDOW_FIRST = [
-    # round-2/3 queries that have never had a driver correctness row
-    "lsh_cosine_topk", "media_features", "knn_elevation", "triangulate_areas",
-    "assemble_rings", "lsq_elevation", "natural_elevation", "coastline_water",
-    "natural_linear", "near_dups_lsh", "ele_constraints", "ele_calculator",
-    "media_decode", "network_degrees", "network_components",
-    "network_connector_cuts", "network_hops", "network_distances",
-    "sample_split", "repetition_stats", "tfidf_terms", "stratified_sample",
-    "events_quantiles", "events_histogram", "pack_sequences",
-    # round-4 additions
-    "srtm_decode", "cag_pieces", "poly_buffer", "distribute_points", "dup_spans", "morton_order", "scatter_points",
-    "ngram_lm", "osm_json_parse",
-    "osm_way_geometry", "audio_decode", "pii_scrub", "ivf_ann_fixed",
-    "winnow_dups", "count_min", "hll_sketch", "pq_ann",
-    "kmeans_1iter",
-    # round-3 hash mismatch, fixed this round (HUGEINT->BIGINT oracle cast)
-    "tileset_index",
-    # round-4 polyline/ring additions, never driver-checked
-    "tri_interpolate", "insert_vertex", "simplify_ring", "convex_hull",
-    # round-4 LLM-pipeline additions, never driver-checked (domain_cap
-    # and chunk_docs stay out-of-window: locally oracle-checked + pytest;
-    # spatial_overlaps / minhash_near_dups / dedup_clusters /
-    # decontaminate / huge_clip rotate out with r3 green rows on record)
-    "para_dedup", "bloom_decon",
+    # -- the 34 SQL-checkable queries that have never had a driver row --
+    "events_sliding", "event_correlation", "tri_strip_fan",
+    "bpe_merge_round", "weighted_sample", "mesh_flat_normals",
+    "smooth_normals", "line_ops", "semdedup", "shape_outlines",
+    "dsir_score", "pagerank_ranks", "compaction_plan", "triangle_count",
+    "geohash_cells", "raster_gradients", "haversine_pairs", "chunk_docs",
+    "domain_cap", "gopher_rules", "curate", "bm25_topk", "blocklist",
+    "c4_clean", "line_dedup", "dhash_dups", "cdc_chunks",
+    "roughly_contains", "token_mix", "gram_embed", "polyline_walk",
+    "polyline_ele", "hll_hourly", "parse_values",
+    # -- J9 Sibson: golden-parquet oracle lands this round (was no_oracle) --
+    "natural_elevation",
+    # -- round-5 additions --
+    "mbtiles_tiles", "mbtiles_metadata", "jpeg_progressive",
+    "bpe_batched_round",
+    # -- re-confirmation block: oldest (r1) green rows on the flagship
+    #    path, so the hard signal on the headline plans stays fresh --
+    "spatial_overlaps", "minhash_near_dups", "knn9", "pip_membership",
+    "tile_cover_z14", "dedup_exact", "ngram_jaccard", "simhash",
+    "tile_points_z14", "huge_clip", "centroid_area",
 ]
 
 
@@ -6571,6 +6568,19 @@ def oracle_sql() -> dict[str, str]:
     # affine value itself, so the oracle is the closed form (the engine
     # earns agreement by actually computing stolen-area Sibson weights
     # over a distributed Bowyer-Watson triangulation)
+    # natural_elevation: J9 Sibson over the sf0.01 clouds. DuckDB cannot
+    # express incremental Delaunay, so the oracle is a committed golden
+    # parquet frozen by tools/make_natural_golden.py — which validates
+    # every sampled row against an INDEPENDENT windowed brute-Voronoi
+    # stolen-area oracle (interior rows via Sibson linear precision to
+    # 1e-5, edge rows via grid-counted weights); the same validation
+    # runs in tests/test_natural_golden.py. The driver's correctness
+    # gate runs at sf0.01, the scale the golden is frozen at.
+    sql["natural_elevation"] = """
+        SELECT q_id, ele_r
+        FROM read_parquet('/root/repo/tests/golden/natural_elevation/golden.parquet')
+    """
+
     sql["natural_linear"] = """
         SELECT CAST(c_custkey AS VARCHAR) AS q_id,
                CAST(floor((3.0 + (200.0 + (c_custkey * 37 % 6000) / 10.0) / 127.0

@@ -405,7 +405,11 @@ def _morton_order(x, z):
     code = (_spread16(qz.astype(np.uint64)) << np.uint64(1)) | _spread16(
         qx.astype(np.uint64)
     )
-    return np.argsort(code, kind="stable")
+    # Tie-break quantization collisions by exact (x, z) so insertion
+    # order — hence every float rounding in the triangulation — is a
+    # pure function of the coordinates, independent of the row order
+    # the shuffle happened to deliver (hash-grade golden determinism).
+    return np.lexsort((z, x, code))
 
 
 def _interpolate_group(sites_x, sites_z, sites_y, q_x, q_z):
