@@ -19,14 +19,17 @@ Two pieces:
   one exchange; the second window's key extends the first's, so the
   clustering is reused). Deterministic: order by (size desc, path).
 - ``compact_parquet_dir`` — a working executor for a
-  ``partitionBy(col)`` parquet directory: one Spark job reads ONLY the
-  rewrite groups (file-pruned scan), repartitions by group id (each
-  group lands in exactly one task => exactly one output file per
+  ``partitionBy(col)`` parquet directory: one Spark job scans the table
+  directory, keeps only rewrite-group rows via a broadcast join on
+  (partition, input_file_name) — dynamic partition pruning drops
+  untouched partition directories at runtime — repartitions by group id
+  (each group lands in exactly one task => exactly one output file per
   group), writes them through the same partitionBy layout, then swaps
   the originals out. The file LISTING is driver-side (os.walk /
   manifest — bounded by file count, the same listing any table format
-  does in its manifest layer), but no row ever passes through the
-  driver.
+  does in its manifest layer), but neither a data row nor the victim
+  path LIST ever materializes on the driver (paths stream out via
+  toLocalIterator for the unlink pass).
 """
 
 from __future__ import annotations
@@ -35,6 +38,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Static partition-pruning bound for the compaction executor: touched
+# partition values up to this count are pushed down as a partition
+# filter (a ~10k-literal IN keeps the plan small); beyond it the scan
+# relies on the broadcast row-filter join alone.
+_STATIC_PRUNE_MAX = 10_000
 
 
 def plan_compaction(
@@ -137,13 +146,45 @@ def compact_parquet_dir(
     todo = plan.where(F.col("action") == "rewrite").select(
         partition_col, "file_path", "group_id"
     )
-    victims = [r["file_path"] for r in todo.select("file_path").collect()]
-    if not victims:
+    n_victims = todo.count()
+    if n_victims == 0:
         return {"groups_rewritten": 0, "files_removed": 0}
     n_groups = todo.select(partition_col, "group_id").distinct().count()
 
+    # Scan the table DIRECTORY and tag rewrite rows with a broadcast
+    # join on (partition, source file) — the victim path LIST never
+    # passes through the driver (at 100-TB maintenance it is easily
+    # 10^5-10^6 paths, too many for a read.parquet(*victims) argument
+    # list). Untouched partition directories are pruned STATICALLY: the
+    # distinct touched partition VALUES (bounded by directory count, a
+    # strictly smaller set than file paths) become a pushed-down
+    # partition filter when they number <= _STATIC_PRUNE_MAX; above
+    # that, the scan falls back to the join-only row filter, which is
+    # correct at any scale (Catalyst's DPP heuristic cannot be relied
+    # on here — the plan side is a stats-less window subtree). The
+    # partition column is typed string via an explicit read schema so
+    # the join key matches the plan's without a scan-side cast; one
+    # victim file's footer provides the data schema (a 1-row lookup).
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    one_victim = todo.select("file_path").first()["file_path"]
+    data_schema = spark.read.parquet(one_victim).schema
+    full_schema = StructType(
+        [f for f in data_schema if f.name != partition_col]
+        + [StructField(partition_col, StringType())]
+    )
+    touched = [
+        r[0]
+        for r in todo.select(partition_col)
+        .distinct()
+        .limit(_STATIC_PRUNE_MAX + 1)
+        .collect()
+    ]
+    reader = spark.read.schema(full_schema).parquet(root)
+    if len(touched) <= _STATIC_PRUNE_MAX:
+        reader = reader.where(F.col(partition_col).isin(touched))
     rows = (
-        spark.read.parquet(*victims)
+        reader
         # input_file_name is a percent-encoded URI (file:///...); decode
         # and strip the scheme so it matches the os.walk listing
         .withColumn(
@@ -154,15 +195,16 @@ def compact_parquet_dir(
         )
     )
     tagged = rows.join(
-        F.broadcast(todo.withColumnRenamed("file_path", "_src")), "_src"
+        F.broadcast(todo.withColumnRenamed("file_path", "_src")),
+        [partition_col, "_src"],
     )
     # refuse to delete anything a path-normalization mismatch failed to
     # re-tag (url_decode's '+'-as-space rule is one known gap): data
     # loss is never an acceptable failure mode for a maintenance tool
     matched = tagged.select("_src").distinct().count()
-    if matched != len(victims):
+    if matched != n_victims:
         raise RuntimeError(
-            f"compaction tagged {matched}/{len(victims)} source files; "
+            f"compaction tagged {matched}/{n_victims} source files; "
             "refusing to rewrite (path normalization mismatch)"
         )
 
@@ -199,11 +241,16 @@ def compact_parquet_dir(
                         os.path.join(dest, f"compact-g{gval}-{fn}"),
                     )
                     n_files_out += 1
-    for fp in victims:
-        os.remove(fp)
+    # stream the victim paths partition-by-partition instead of
+    # materializing the full list driver-side (bounded driver memory at
+    # any victim count)
+    n_removed = 0
+    for r in todo.select("file_path").toLocalIterator():
+        os.remove(r["file_path"])
+        n_removed += 1
     shutil.rmtree(tmp)
     return {
         "groups_rewritten": n_groups,
-        "files_removed": len(victims),
+        "files_removed": n_removed,
         "files_written": n_files_out,
     }

@@ -103,3 +103,72 @@ def test_compact_parquet_dir_uri_encoded_partition_values(spark, tmp_path):
     )
     assert got == baseline
     assert list_partitioned_parquet(spark, root, "pt").count() == 2
+
+
+def test_compact_untouched_partitions_pruned_and_preserved(spark, tmp_path):
+    """Partitions with nothing to rewrite are never read or touched: the
+    executor's directory scan is filtered by a broadcast join on the
+    partition column, which Catalyst turns into dynamic partition
+    pruning (the 100-TB guarantee that maintenance cost scales with the
+    rewrite set, not the table)."""
+    import os
+
+    root = str(tmp_path / "stage")
+    df = spark.range(400).select(
+        (F.col("id") % 2).cast("string").alias("pt"), F.col("id").alias("v")
+    )
+    # pt=0: one big file (keep); pt=1: many small files (rewrite)
+    df.where("pt = '0'").coalesce(1).write.partitionBy("pt").parquet(root)
+    df.where("pt = '1'").repartition(8).write.mode("append").partitionBy(
+        "pt"
+    ).parquet(root)
+
+    keep_dir = os.path.join(root, "pt=0")
+    keep_files = {
+        fn: os.path.getmtime(os.path.join(keep_dir, fn))
+        for fn in os.listdir(keep_dir)
+        if fn.endswith(".parquet")
+    }
+
+    listing = list_partitioned_parquet(spark, root, "pt")
+    plan = plan_compaction(listing, 1 << 20, partition_cols=("pt",))
+    # pt=0's single big-or-lone file must be keep; pt=1 all rewrite
+    acts = {(r["pt"], r["action"]) for r in plan.collect()}
+    assert ("0", "rewrite") not in acts and ("1", "rewrite") in acts
+
+    summary = compact_parquet_dir(spark, root, "pt", target_bytes=1 << 20)
+    assert summary["groups_rewritten"] == 1
+
+    # untouched partition: same files, same mtimes, data intact
+    got = {
+        fn: os.path.getmtime(os.path.join(keep_dir, fn))
+        for fn in os.listdir(keep_dir)
+        if fn.endswith(".parquet")
+    }
+    assert got == keep_files
+    assert spark.read.parquet(root).count() == 400
+
+    # scan shape: the executor's static partition filter prunes the
+    # untouched directory entirely — the filtered reader lists no pt=0
+    # file (the same inputFiles set the Spark scan will read)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("v", spark.read.parquet(root).schema["v"].dataType),
+         StructField("pt", StringType())]
+    )
+    reader = spark.read.schema(schema).parquet(root).where(
+        F.col("pt").isin(["1"])
+    )
+    plan_str = reader._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_str and "pt" in plan_str.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan_str[:1500]
+    # and the pruned scan actually reads only the touched directory
+    files = {
+        r[0]
+        for r in reader.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert files and all("pt=0" not in f for f in files), files
