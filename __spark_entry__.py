@@ -1482,6 +1482,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_merge_round"] = bpe_merge_round
 
+    def bpe_batched_round(spark, sf_dir):
+        # one BATCHED BPE round (operators/bpe.bpe_train_batched — the
+        # n_merges/k-jobs trainer): distributed pair weights -> bounded
+        # top-16 candidate collect -> greedy conflict-free batch of 4
+        # (select_batch: skip any pair whose symbols or merged string
+        # collide with an earlier selection). The oracle re-runs the
+        # greedy as a DuckDB recursive CTE over the same candidate SQL.
+        from osm2world_spark.operators.bpe import (
+            adjacent_pair_weights,
+            initial_symbols,
+            select_batch,
+            word_counts,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        words = word_counts(d).select(
+            "word", "count", initial_symbols(F.col("word")).alias("symbols")
+        )
+        top = (
+            adjacent_pair_weights(words)
+            .orderBy(F.col("weight").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(16)
+            .collect()
+        )
+        batch = select_batch([(r["a"], r["b"], r["weight"]) for r in top], 4)
+        wmap = {(r["a"], r["b"]): r["weight"] for r in top}
+        rows = [
+            (i + 1, a, b, int(wmap[(a, b)])) for i, (a, b) in enumerate(batch)
+        ]
+        return spark.createDataFrame(
+            rows, "rank int, m_a string, m_b string, weight bigint"
+        )
+
+    q["bpe_batched_round"] = bpe_batched_round
+
     def weighted_sample(spark, sf_dir):
         # Efraimidis-Spirakis weighted sampling without replacement
         # (A-ES 2006): top-5 per source by ln(u)/w, u = md5 unit hash —
@@ -6521,6 +6556,74 @@ def oracle_sql() -> dict[str, str]:
     # bpe_merge_round: the same round rebuilt relationally — the merge
     # fold is list_reduce over single-element-wrapped symbols (the same
     # left fold as F.aggregate), the argmax the same ORDER BY LIMIT 1
+    # bpe_batched_round: same word/pair CTEs as bpe_merge_round, then
+    # the greedy conflict-free batch selection as a recursive CTE that
+    # walks the top-16 candidates one rank at a time, carrying the
+    # used-symbol list (a, b, and the merged string a||b of every
+    # selection) — an independent rebuild of operators/bpe.select_batch.
+    sql["bpe_batched_round"] = """
+        WITH RECURSIVE w AS (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(replace(text, chr(10), ' '), ' ')) AS word
+            FROM documents
+          ) WHERE word != '' GROUP BY word
+        ), s AS (
+          SELECT word, cnt,
+                 list_transform(range(1, length(word) + 1), i ->
+                   CASE WHEN i = length(word)
+                        THEN substr(word, CAST(i AS INT), 1) || '</w>'
+                        ELSE substr(word, CAST(i AS INT), 1) END) AS syms
+          FROM w
+        ), p AS (
+          SELECT a, b, sum(cnt) AS weight FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
+                   unnest(list_transform(range(1, len(syms)), i -> syms[i + 1])) AS b
+            FROM s
+          ) GROUP BY a, b
+        ), cand AS (
+          SELECT a, b, weight,
+                 row_number() OVER (ORDER BY weight DESC, a, b) AS rn
+          FROM p ORDER BY weight DESC, a, b LIMIT 16
+        ), sel AS (
+          SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS m_a,
+                 CAST(NULL AS VARCHAR) AS m_b, CAST(NULL AS BIGINT) AS w,
+                 0 AS n_taken, CAST([] AS VARCHAR[]) AS used
+          UNION ALL
+          SELECT c.rn,
+                 CASE WHEN (s.n_taken < 4 AND c.weight >= 2
+                            AND NOT list_contains(s.used, c.a)
+                            AND NOT list_contains(s.used, c.b)
+                            AND NOT list_contains(s.used, c.a || c.b))
+                      THEN c.a END,
+                 CASE WHEN (s.n_taken < 4 AND c.weight >= 2
+                            AND NOT list_contains(s.used, c.a)
+                            AND NOT list_contains(s.used, c.b)
+                            AND NOT list_contains(s.used, c.a || c.b))
+                      THEN c.b END,
+                 CASE WHEN (s.n_taken < 4 AND c.weight >= 2
+                            AND NOT list_contains(s.used, c.a)
+                            AND NOT list_contains(s.used, c.b)
+                            AND NOT list_contains(s.used, c.a || c.b))
+                      THEN c.weight END,
+                 s.n_taken + CASE WHEN (s.n_taken < 4 AND c.weight >= 2
+                            AND NOT list_contains(s.used, c.a)
+                            AND NOT list_contains(s.used, c.b)
+                            AND NOT list_contains(s.used, c.a || c.b))
+                      THEN 1 ELSE 0 END,
+                 CASE WHEN (s.n_taken < 4 AND c.weight >= 2
+                            AND NOT list_contains(s.used, c.a)
+                            AND NOT list_contains(s.used, c.b)
+                            AND NOT list_contains(s.used, c.a || c.b))
+                      THEN list_concat(s.used, [c.a, c.b, c.a || c.b])
+                      ELSE s.used END
+          FROM sel s JOIN cand c ON c.rn = s.rn + 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY rn) AS INT) AS rank,
+               m_a, m_b, CAST(w AS BIGINT) AS weight
+        FROM sel WHERE m_a IS NOT NULL
+    """
+
     sql["bpe_merge_round"] = """
         WITH w AS (
           SELECT word, count(*) AS cnt FROM (

@@ -140,3 +140,97 @@ def test_tie_break_is_deterministic(spark):
     merges, _ = bpe_train(_docs(spark, texts), n_merges=1)
     want_merges, _, _ = _py_train(texts, 1)
     assert merges == want_merges
+
+
+# ---------------------------------------------------------------- batched
+
+def test_batched_k1_equals_classic(spark):
+    from osm2world_spark.operators.bpe import bpe_train_batched
+
+    d = _docs(spark, CORPUS)
+    m_classic, w_classic = bpe_train(d, 6)
+    m_batched, w_batched = bpe_train_batched(d, 6, batch_k=1)
+    assert m_batched == m_classic
+    a = {r["word"]: list(r["symbols"]) for r in w_classic.collect()}
+    b = {r["word"]: list(r["symbols"]) for r in w_batched.collect()}
+    assert a == b
+
+
+def test_batched_agrees_on_disjoint_alphabet_corpus(spark):
+    """Pairs drawn from disjoint alphabets with well-separated weights:
+    every batch is conflict-free AND no created pair can out-rank a
+    later batch member, so the batched and classic schedules coincide."""
+    from osm2world_spark.operators.bpe import bpe_train_batched
+
+    texts = (
+        ["aa"] * 64 + ["bb"] * 32 + ["cc"] * 16 + ["dd"] * 8 + ["ee"] * 4
+    )
+    d = _docs(spark, [" ".join(texts)])
+    m_classic, _ = bpe_train(d, 5)
+    m_batched, wb = bpe_train_batched(d, 5, batch_k=4)
+    assert m_batched == m_classic == [
+        ("a", "a" + EOW), ("b", "b" + EOW), ("c", "c" + EOW),
+        ("d", "d" + EOW), ("e", "e" + EOW),
+    ]
+    # final segmentation fully merged
+    segs = {r["word"]: list(r["symbols"]) for r in wb.collect()}
+    assert segs["aa"] == ["aa" + EOW]
+
+
+def test_batched_divergence_is_the_documented_kind(spark):
+    """A merge that creates a pair out-ranking the next batch member:
+    classic takes the created pair first, batched takes the pre-batch
+    runner-up. Both schedules stay valid BPE (same merge SET may
+    differ); this pins the documented approximation boundary."""
+    from osm2world_spark.operators.bpe import bpe_train_batched
+
+    # 'aaa': merging (a, a) creates (aa, a</w>) with weight 40 — above
+    # the runner-up (x, y</w>) at weight 30.
+    texts = ["aaa"] * 40 + ["xy"] * 30
+    d = _docs(spark, [" ".join(texts)])
+    m_classic, _ = bpe_train(d, 2)
+    m_batched, _ = bpe_train_batched(d, 2, batch_k=2)
+    assert m_classic[0] == m_batched[0] == ("a", "a")
+    assert m_classic[1] == ("aa", "a" + EOW)   # the created pair wins
+    assert m_batched[1] == ("x", "y" + EOW)    # pre-batch runner-up
+
+
+def test_batched_job_count(spark, monkeypatch):
+    """16 merges at batch_k=8 must cost <= 3 candidate collects (the
+    scale fix: n_merges/k jobs, not n_merges)."""
+    from pyspark.sql import DataFrame
+
+    from osm2world_spark.operators.bpe import bpe_train_batched
+
+    texts = [f"{c1}{c2}" for c1 in "abcdefgh" for c2 in "qrstuvwx"]
+    weighted = []
+    for i, t in enumerate(texts):
+        weighted.extend([t] * (2 + (i % 7)))
+    d = _docs(spark, [" ".join(weighted)])
+    n_collects = 0
+    orig = DataFrame.collect
+
+    def counting(self):
+        nonlocal n_collects
+        n_collects += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    merges, _ = bpe_train_batched(d, 16, batch_k=8)
+    assert len(merges) == 16
+    assert n_collects <= 3, n_collects
+
+
+def test_select_batch_conflict_rules():
+    from osm2world_spark.operators.bpe import select_batch
+
+    cands = [
+        ("a", "b", 100),   # take
+        ("b", "c", 90),    # skip: b used
+        ("c", "d", 80),    # take
+        ("ab", "x", 70),   # skip: 'ab' is the merged string of #1
+        ("e", "f", 60),    # take
+        ("g", "h", 1),     # skip: weight < 2
+    ]
+    assert select_batch(cands, 10) == [("a", "b"), ("c", "d"), ("e", "f")]
+    assert select_batch(cands, 2) == [("a", "b"), ("c", "d")]
