@@ -2083,6 +2083,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["srtm_decode"] = srtm_decode
 
+    def mbtiles_tiles(spark, sf_dir):
+        # S2: distributed MBTiles sqlite scan (MbtilesReader.java:54-76
+        # fetch semantics, TMS y-flip TileNumber.java:88-90) over the
+        # committed deterministic fixture pyramid: per-zoom row-range
+        # splits fan out via mapInPandas, each task range-scans the
+        # (zoom_level, tile_row) index read-only. The oracle re-derives
+        # every row arithmetically from the generator formula — it
+        # never opens sqlite.
+        from osm2world_spark.sources.mbtiles import mbtiles_tiles as scan
+
+        path = "/root/repo/tests/fixtures/fixture.mbtiles"
+        return scan(spark, path, rows_per_split=8).select(
+            "zoom", "tile_x", "tile_y", "tms_row", "n_bytes",
+            F.md5(F.col("tile_data")).alias("blob_md5"),
+        )
+
+    q["mbtiles_tiles"] = mbtiles_tiles
+
+    def mbtiles_metadata(spark, sf_dir):
+        # S2: the MBTiles metadata name/value table (spec table; the
+        # reference reads it through mbtiles4j in
+        # MapMetadataMbtilesUtil.java) — driver-side read, tiny by spec.
+        from osm2world_spark.sources.mbtiles import mbtiles_metadata as meta
+
+        return meta(spark, "/root/repo/tests/fixtures/fixture.mbtiles")
+
+    q["mbtiles_metadata"] = mbtiles_metadata
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -6191,6 +6219,40 @@ def oracle_sql() -> dict[str, str]:
 
     # srtm_decode: the decoded pixel table must equal the grid formula the
     # encoder wrote — recomputed here directly, never through the codec
+    # mbtiles_tiles / mbtiles_metadata: expected rows re-derived
+    # arithmetically from the deterministic fixture-generator formulas
+    # (tools/make_mbtiles_fixture.py) — md5 blobs via hashlib here,
+    # never by opening the sqlite file, so the oracle is independent of
+    # the reader under test.
+    import hashlib as _hl
+
+    from tools.make_mbtiles_fixture import fixture_tiles as _ft
+    from tools.make_mbtiles_fixture import tile_blob as _tb_blob
+
+    _mb_rows = ", ".join(
+        f"({z}, {x}, {(1 << z) - 1 - r}, {r}, "
+        f"{len(_tb_blob(z, x, r))}, '{_hl.md5(_tb_blob(z, x, r)).hexdigest()}')"
+        for z, x, r in _ft()
+    )
+    sql["mbtiles_tiles"] = f"""
+        SELECT CAST(c0 AS INT) AS zoom, CAST(c1 AS INT) AS tile_x,
+               CAST(c2 AS INT) AS tile_y, CAST(c3 AS INT) AS tms_row,
+               CAST(c4 AS BIGINT) AS n_bytes, c5 AS blob_md5
+        FROM (VALUES {_mb_rows}) t(c0, c1, c2, c3, c4, c5)
+    """
+
+    sql["mbtiles_metadata"] = """
+        SELECT * FROM (VALUES
+          ('bounds', '13.27,48.48,13.62,48.69'),
+          ('format', 'pbf'),
+          ('maxzoom', '14'),
+          ('minzoom', '12'),
+          ('name', 'osm2world_spark fixture'),
+          ('type', 'baselayer'),
+          ('version', '1')
+        ) t(name, value)
+    """
+
     sql["srtm_decode"] = """
         WITH cells(cell_lon, cell_lat) AS (VALUES (13, 48), (14, 48)),
         pxs AS (SELECT unnest(generate_series(0, 1200, 97)) AS px),
