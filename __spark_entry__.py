@@ -1863,6 +1863,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode"] = media_decode
 
+    def jpeg_progressive(spark, sf_dir):
+        # PROGRESSIVE (SOF2) JPEG through the same magic-byte dispatch
+        # path: multi-scan streams (interleaved DC first + refinement,
+        # banded AC first scans with EOB runs, AC correction-bit
+        # refinement — T.81 G.2) over constant 8x8 blocks, which decode
+        # EXACTLY, so the oracle is the same closed pixel form as the
+        # baseline fixture. Byte-level progressive==baseline equivalence
+        # on arbitrary images is pinned by tests/test_jpeg.py.
+        from osm2world_spark.operators.multimodal import (
+            extract_features,
+            synthetic_jpeg_media,
+        )
+
+        o = _t(spark, sf_dir, "orders")
+        jpg = synthetic_jpeg_media(
+            o.where(F.col("o_orderkey") % 50 == 21), "o_orderkey",
+            blocks=2, progressive=True,
+        )
+        feats = extract_features(jpg, real_codecs=True)
+        return feats.select(
+            "doc_id", F.posexplode("feature").alias("cell", "f")
+        ).select(
+            "doc_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(F.col("f") * 4080).cast("bigint").alias("lum_sum"),
+        )
+
+    q["jpeg_progressive"] = jpeg_progressive
+
     # --- road-network fixtures: zigzag/straight chains synthesized from
     # orders (node identity = exact position, like MapNode). Chain c has
     # up to 6 segments; even chains zigzag (bisector-branch connector
@@ -4737,6 +4766,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(k AS VARCHAR) AS doc_id, CAST(cell AS INT) AS cell,
                CAST(sum(v) AS BIGINT) AS lum_sum
         FROM px GROUP BY 1, 2
+    """
+
+    # jpeg_progressive: progressive streams of the same constant-block
+    # pixels decode exactly, so the closed form matches media_decode's
+    # jpg branch (different key residue)
+    sql["jpeg_progressive"] = """
+        SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+               CAST((y // 4) * 4 + (x // 4) AS INT) AS cell,
+               CAST(sum(((y // 8) * 2 + (x // 8) + o_orderkey * 7) % 256)
+                    AS BIGINT) AS lum_sum
+        FROM orders,
+             unnest(generate_series(0, 15)) AS ty(y),
+             unnest(generate_series(0, 15)) AS tx(x)
+        WHERE o_orderkey % 50 = 21
+        GROUP BY 1, 2
     """
 
     # Road-network fixture shared by the three network queries: zigzag /

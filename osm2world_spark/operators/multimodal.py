@@ -109,15 +109,23 @@ def synthetic_png_media(keys: DataFrame, key_col: str, size: int = 16) -> DataFr
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def synthetic_jpeg_media(keys: DataFrame, key_col: str, blocks: int = 2) -> DataFrame:
-    """One REAL baseline JPEG per key: a (blocks*8 x blocks*8) image whose
+def synthetic_jpeg_media(
+    keys: DataFrame, key_col: str, blocks: int = 2, progressive: bool = False
+) -> DataFrame:
+    """One REAL JPEG per key: a (blocks*8 x blocks*8) image whose
     8x8 blocks are each CONSTANT, value (block_row * blocks + block_col +
     key * 7) % 256, encoded with the all-ones quantization table — constant
     blocks quantize to exact DC-only coefficients, so the lossy format
     roundtrips EXACTLY and the decoded pixels have a closed form the
-    driver oracle can state."""
-    from osm2world_spark.functions.jpeg import encode_jpeg_gray
+    driver oracle can state. progressive=True emits the same pixels as a
+    SOF2 multi-scan stream (DC first/refine + banded AC scans with EOB
+    runs) — byte-different, pixel-identical."""
+    from osm2world_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
 
+    enc = encode_jpeg_progressive if progressive else encode_jpeg_gray
     base = keys.select(F.col(key_col).cast("bigint").alias("k"))
     size = blocks * 8
 
@@ -133,7 +141,7 @@ def synthetic_jpeg_media(keys: DataFrame, key_col: str, blocks: int = 2) -> Data
                     "media_ref": [str(k) for k in ks],
                     "media_type": ["image"] * len(ks),
                     "payload": [
-                        encode_jpeg_gray(
+                        enc(
                             np.repeat(
                                 np.repeat(((block_idx + int(k) * 7) % 256).astype(np.uint8), 8, axis=0),
                                 8,

@@ -38,16 +38,17 @@ def test_noise_bounded_error():
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_arithmetic():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # minimal stream with a progressive SOF2 marker
-    prog = (
+    # minimal stream with an arithmetic-coded SOF9 marker (progressive
+    # SOF2 is SUPPORTED since round 5 — see the progressive tests below)
+    arith = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+        + b"\xff\xc9" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
     )
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="baseline or progressive"):
+        decode_jpeg(arith)
 
 
 def _color_jpeg(y_val, cb_val, cr_val, h_samp=1, v_samp=1, size=8):
@@ -150,3 +151,100 @@ def test_media_dispatch_both_formats(spark):
         # JPEG: constant blocks, cell 0 is inside block 0 -> (0 + 7k') % 256
         kj = k + 7
         assert feats[str(kj)][0] == pytest.approx(((kj * 7) % 256) / 255.0, abs=1e-6)
+
+
+# ------------------------------------------------------------ progressive
+
+def test_progressive_equals_baseline_gray():
+    """SOF2 multi-scan streams (DC first/refine, banded AC with EOB
+    runs, AC correction bits) decode to the identical pixels as the
+    baseline encoding of the same quantized coefficients."""
+    import numpy as np
+
+    from osm2world_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for img in [
+        rng.integers(0, 256, (24, 32), dtype=np.uint8),
+        np.full((16, 16), 77, np.uint8),
+        np.where(rng.random((48, 48)) < 0.02, 255, 128).astype(np.uint8),
+    ]:
+        base = decode_jpeg(encode_jpeg_gray(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_equals_baseline_color_and_quantized():
+    import numpy as np
+
+    from osm2world_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color444,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    q = np.clip(np.arange(64).reshape(8, 8) + 1, 1, 32)
+    for quant in (None, q):
+        base = decode_jpeg(encode_jpeg_color444(rgb, quant))
+        prog = decode_jpeg(encode_jpeg_progressive(rgb, quant))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_randomized_sweep():
+    """Property sweep over sizes, content shapes (smooth -> long EOB
+    runs; sparse spikes -> ZRL + correction-bit interleave), and quant
+    tables: progressive == baseline on every stream."""
+    import numpy as np
+
+    from osm2world_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color444,
+        encode_jpeg_progressive,
+    )
+
+    for seed in range(16):
+        rng = np.random.default_rng(seed)
+        h, w = 8 * int(rng.integers(1, 6)), 8 * int(rng.integers(1, 6))
+        kind = seed % 4
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        elif kind == 1:
+            img = (
+                128
+                + 60 * np.sin(np.arange(h)[:, None] / 9.0)
+                * np.cos(np.arange(w)[None, :] / 7.0)
+            ).astype(np.uint8)
+        elif kind == 2:
+            img = np.full((h, w), 100, np.uint8)
+            ys, xs = rng.integers(0, h, 12), rng.integers(0, w, 12)
+            img[ys, xs] = 255
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        q = (
+            np.ones((8, 8), np.int64)
+            if seed % 3 == 0
+            else np.clip(rng.integers(1, 24, (8, 8)), 1, None)
+        )
+        base = decode_jpeg(encode_jpeg_color444(img, q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q))
+        assert np.array_equal(base, prog), seed
+
+
+def test_non_huffman_modes_still_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from osm2world_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    data = bytearray(encode_jpeg_gray(np.full((8, 8), 50, np.uint8)))
+    # rewrite SOF0 marker to SOF9 (arithmetic sequential)
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC9
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
