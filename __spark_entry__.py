@@ -3156,8 +3156,8 @@ _WINDOW_FIRST = [
     "c4_clean", "line_dedup", "dhash_dups", "cdc_chunks",
     "roughly_contains", "token_mix", "gram_embed", "polyline_walk",
     "polyline_ele", "hll_hourly", "parse_values",
-    # -- J9 Sibson: golden-parquet oracle lands this round (was no_oracle) --
-    "natural_elevation",
+    # -- golden-parquet oracles land this round (were rows-only) --
+    "natural_elevation", "cell_ids",
     # -- round-5 additions --
     "mbtiles_tiles", "mbtiles_metadata", "jpeg_progressive",
     "bpe_batched_round",
@@ -3165,7 +3165,7 @@ _WINDOW_FIRST = [
     #    path, so the hard signal on the headline plans stays fresh --
     "spatial_overlaps", "minhash_near_dups", "knn9", "pip_membership",
     "tile_cover_z14", "dedup_exact", "ngram_jaccard", "simhash",
-    "tile_points_z14", "huge_clip", "centroid_area",
+    "tile_points_z14", "huge_clip",
 ]
 
 
@@ -6777,6 +6777,19 @@ def oracle_sql() -> dict[str, str]:
     # affine value itself, so the oracle is the closed form (the engine
     # earns agreement by actually computing stolen-area Sibson weights
     # over a distributed Bowyer-Watson triangulation)
+    # cell_ids: DuckDB has no H3/S2 encoders, so the oracle is the
+    # committed golden parquet frozen by tools/make_cell_ids_golden.py,
+    # which validates tile ranges + z12<-z14 ancestry + cell-id
+    # structure before writing; the encoders themselves are pinned by
+    # the public test vectors in tests/test_cells.py and the row-for-row
+    # sf_unit golden (tests/test_golden_parquet.py). Frozen at sf0.01,
+    # the driver gate's scale.
+    sql["cell_ids"] = """
+        SELECT doc_id, span_idx, element_type, zoom, tile_x, tile_y,
+               h3_r9, s2_l13
+        FROM read_parquet('/root/repo/tests/golden/cell_ids/golden.parquet')
+    """
+
     # natural_elevation: J9 Sibson over the sf0.01 clouds. DuckDB cannot
     # express incremental Delaunay, so the oracle is a committed golden
     # parquet frozen by tools/make_natural_golden.py — which validates

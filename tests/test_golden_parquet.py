@@ -41,3 +41,31 @@ def test_golden_pip_join(spark, built):
     want = _canon(golden, keys)
     assert len(got) == len(want)
     assert got == want  # row-for-row, including intersection positions
+
+
+def test_cell_ids_driver_golden(spark):
+    """The driver-scale (sf0.01) golden for the cell_ids query: engine
+    output must match the committed parquet exactly (the equality the
+    driver's hash gate checks); semantic correctness of the encoders is
+    pinned by tests/test_cells.py vectors and the sf_unit golden above."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        _pytest.skip("sf0.01 testdata not present")
+    import __spark_entry__ as em
+
+    got = {
+        tuple(r) for r in em.queries()["cell_ids"](spark, sf).collect()
+    }
+    g = pq.read_table(
+        os.path.join(os.path.dirname(__file__), "golden", "cell_ids", "golden.parquet")
+    ).to_pylist()
+    want = {
+        (r["doc_id"], r["span_idx"], r["element_type"], r["zoom"],
+         r["tile_x"], r["tile_y"], r["h3_r9"], r["s2_l13"]) for r in g
+    }
+    assert got == want
