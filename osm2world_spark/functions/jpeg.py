@@ -125,10 +125,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, amp
 
 
-def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_jpeg_gray(
+    arr: np.ndarray, quant: np.ndarray | None = None, restart_interval: int = 0
+) -> bytes:
     """uint8 (H, W) greyscale -> baseline JFIF bytes, H and W multiples of
     8. quant is an 8x8 table (natural order), default all-ones — constant
-    8x8 blocks then roundtrip exactly through decode_jpeg."""
+    8x8 blocks then roundtrip exactly through decode_jpeg.
+    restart_interval > 0 emits DRI + RSTn markers every that-many MCUs
+    with a DC-predictor reset (T.81 E.1.2)."""
     a = np.asarray(arr, dtype=np.uint8)
     h, w = a.shape
     if h % 8 or w % 8:
@@ -139,8 +143,15 @@ def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     ac_codes = _huff_codes(*_STD_AC_LUM)
     bw = _BitWriter()
     prev_dc = 0
+    ri = int(restart_interval)
+    n_rst = 0
     blocks = a.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    for blk in blocks:
+    for m, blk in enumerate(blocks):
+        if ri and m and m % ri == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            prev_dc = 0
         f = _C @ (blk.astype(np.float64) - 128.0) @ _C.T
         coef = np.round(f / q).astype(np.int64).ravel()[_ZZ]
         # DC difference
@@ -181,6 +192,8 @@ def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUM[0]) + bytes(_STD_DC_LUM[1]))
     out += seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUM[0]) + bytes(_STD_AC_LUM[1]))
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bytes(bw.buf) + b"\xff\xd9"  # EOI
     return out
@@ -772,7 +785,8 @@ class _ProgWriter:
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quant: np.ndarray | None = None
+    arr: np.ndarray, quant: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W) grey or (H, W, 3) RGB -> PROGRESSIVE JFIF (SOF2) at 4:4:4.
 
@@ -784,7 +798,10 @@ def encode_jpeg_progressive(
       5. per-comp AC refinement, band 1-63, Ah=1 -> Al=0 (correction bits)
 
     Decodes to the identical image as encode_jpeg_color444 of the same
-    input (same quantized coefficients, reordered bitstream)."""
+    input (same quantized coefficients, reordered bitstream).
+    restart_interval > 0 emits a DRI segment and RSTn markers every
+    that-many MCUs (DC scans) / blocks (AC scans), resetting the DC
+    predictor and EOB run at each — T.81 E.1.2 applied per Annex G."""
     planes = _comp_planes(arr)
     h, w = planes[0].shape
     if h % 8 or w % 8:
@@ -795,6 +812,12 @@ def encode_jpeg_progressive(
     coefs = [_quant_blocks(p, q) for p in planes]
     ncomp = len(planes)
     out = _headers(h, w, ncomp, q, 0xC2, ac_table=_FLAT_AC)
+    ri = int(restart_interval)
+    if ri:
+        out += _seg(0xDD, struct.pack(">H", ri))
+
+    def rst_marker(n):
+        return bytes([0xFF, 0xD0 + (n % 8)])
 
     def sos(comp_ids, ss, se, ah, al):
         body = bytes([len(comp_ids)])
@@ -805,16 +828,23 @@ def encode_jpeg_progressive(
     # ---- scan 1: DC first (interleaved), Al=1
     bw = _BitWriter()
     pred = [0] * ncomp
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci, cf in enumerate(coefs):
-                t = int(cf[by, bx][0]) >> 1  # point transform (arith shift)
-                size, amp = _magnitude(t - pred[ci])
-                pred[ci] = t
-                code, length = dc_codes[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(amp, size)
+    n_rst = 0
+    for m, (by, bx) in enumerate(
+        (by, bx) for by in range(h // 8) for bx in range(w // 8)
+    ):
+        if ri and m and m % ri == 0:
+            bw.flush()
+            bw.buf += rst_marker(n_rst)
+            n_rst += 1
+            pred = [0] * ncomp
+        for ci, cf in enumerate(coefs):
+            t = int(cf[by, bx][0]) >> 1  # point transform (arith shift)
+            size, amp = _magnitude(t - pred[ci])
+            pred[ci] = t
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(amp, size)
     bw.flush()
     out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1) + bytes(bw.buf)
 
@@ -823,8 +853,16 @@ def encode_jpeg_progressive(
         for ci in range(ncomp):
             pw = _ProgWriter(ac_codes)
             cf = coefs[ci]
-            for by in range(h // 8):
-                for bx in range(w // 8):
+            n_rst = 0
+            for m, (by, bx) in enumerate(
+                (by, bx) for by in range(h // 8) for bx in range(w // 8)
+            ):
+                if True:
+                    if ri and m and m % ri == 0:
+                        pw.flush_eob()
+                        pw.bw.flush()
+                        pw.bw.buf += rst_marker(n_rst)
+                        n_rst += 1
                     blk = cf[by, bx]
                     run = 0
                     wrote = False
@@ -854,10 +892,16 @@ def encode_jpeg_progressive(
 
     # ---- scan 4: DC refinement (interleaved), Ah=1 Al=0 — raw bits
     bw = _BitWriter()
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for cf in coefs:
-                bw.write(int(cf[by, bx][0]) & 1, 1)
+    n_rst = 0
+    for m, (by, bx) in enumerate(
+        (by, bx) for by in range(h // 8) for bx in range(w // 8)
+    ):
+        if ri and m and m % ri == 0:
+            bw.flush()
+            bw.buf += rst_marker(n_rst)
+            n_rst += 1
+        for cf in coefs:
+            bw.write(int(cf[by, bx][0]) & 1, 1)
     bw.flush()
     out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
     out += bytes(bw.buf)
@@ -866,8 +910,16 @@ def encode_jpeg_progressive(
     for ci in range(ncomp):
         pw = _ProgWriter(ac_codes)
         cf = coefs[ci]
-        for by in range(h // 8):
-            for bx in range(w // 8):
+        n_rst = 0
+        for m, (by, bx) in enumerate(
+            (by, bx) for by in range(h // 8) for bx in range(w // 8)
+        ):
+            if True:
+                if ri and m and m % ri == 0:
+                    pw.flush_eob()
+                    pw.bw.flush()
+                    pw.bw.buf += rst_marker(n_rst)
+                    n_rst += 1
                 blk = cf[by, bx]
                 absv = [abs(int(blk[k])) for k in range(1, 64)]
                 eobpos = max(

@@ -248,3 +248,38 @@ def test_non_huffman_modes_still_rejected():
     data[i + 1] = 0xC9
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_restart_intervals_baseline_and_progressive():
+    """DRI/RSTn markers (T.81 E.1.2): the decoder must byte-align, skip
+    the marker, and reset DC prediction (+ EOB runs in progressive
+    scans) — decoded pixels identical to the marker-free stream at
+    every interval."""
+    import numpy as np
+
+    from osm2world_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color444,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    q = np.clip(rng.integers(1, 20, (8, 8)), 1, None)
+    plain = decode_jpeg(encode_jpeg_gray(img, q))
+    for ri in (1, 3, 7):
+        assert np.array_equal(
+            plain, decode_jpeg(encode_jpeg_gray(img, q, restart_interval=ri))
+        ), ("baseline", ri)
+        assert np.array_equal(
+            plain,
+            decode_jpeg(encode_jpeg_progressive(img, q, restart_interval=ri)),
+        ), ("progressive", ri)
+    rgb = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_color444(rgb, q))
+    for ri in (2, 5):
+        assert np.array_equal(
+            base,
+            decode_jpeg(encode_jpeg_progressive(rgb, q, restart_interval=ri)),
+        ), ("progressive-color", ri)

@@ -37,6 +37,7 @@ BENCH_DIR = os.path.join(REPO, "BENCH")
 TRIALS = os.path.join(BENCH_DIR, "trials.jsonl")
 PAIR = (1, 4)          # headline N -> 4N pair
 SECONDARY = (2, 8)     # also reported
+WIDE_PAIR = (8, 32)    # the full-machine N -> 4N pair, also run + reported
 DEFAULT_DOCS = 640000
 
 
@@ -94,7 +95,8 @@ def load_trials(n_docs: int) -> list[dict]:
         line = line.strip()
         if line:
             t = json.loads(line)
-            if t["n_docs"] == n_docs:
+            # skip non-scaling records (e.g. kind=bpe_batched microbench)
+            if t.get("n_docs") == n_docs and "kind" not in t:
                 out.append(t)
     return out
 
@@ -130,7 +132,9 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
 
     e_main = eff(lo, hi)
     e_sec = eff(*SECONDARY)
+    e_wide = eff(*WIDE_PAIR)
     paired = paired_efficiencies(trials, lo, hi)
+    paired_wide = paired_efficiencies(trials, *WIDE_PAIR)
 
     summary = {
         f"docs_per_sec_local{lo}": best[lo]["docs_per_sec"],
@@ -143,6 +147,10 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
     }
     if e_sec is not None:
         summary[f"scaling_efficiency_{SECONDARY[0]}_to_{SECONDARY[1]}"] = round(e_sec, 3)
+    if e_wide is not None:
+        summary[f"scaling_efficiency_{WIDE_PAIR[0]}_to_{WIDE_PAIR[1]}"] = round(e_wide, 3)
+    if paired_wide:
+        summary["paired_run_efficiencies_8_to_32"] = [round(p, 3) for p in paired_wide]
     if paired:
         summary["paired_run_efficiencies"] = [round(p, 3) for p in paired]
         summary["paired_run_efficiency_median"] = round(sorted(paired)[len(paired) // 2], 3)
@@ -185,6 +193,63 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
         if e_sec is not None
         else ""
     )
+    wide_line = ""
+    if e_wide is not None:
+        wlo, whi = WIDE_PAIR
+        wp = (
+            f" Same-invocation {wlo}->{whi} pairs: "
+            + ", ".join(f"{p:.3f}" for p in paired_wide)
+            + "."
+            if paired_wide
+            else ""
+        )
+        wide_line = (
+            f"Full-machine N -> 4N pair local[{wlo}] -> local[{whi}]: "
+            f"{best[wlo]['docs_per_sec']} -> {best[whi]['docs_per_sec']} "
+            f"docs/sec, efficiency {e_wide:.3f}.{wp} This pair runs inside "
+            "the host's measured saturation region (the pure-CPU burn "
+            "itself scales 8->32 at only ~0.58 on this VM), so it bounds "
+            "the HOST, not the engine; it is reported because it is the "
+            "widest N->4N pair the sandbox can express."
+        )
+    # batched-BPE microbench: latest kind=bpe_batched record, if any
+    bpe_block = ""
+    bpe_recs = []
+    if os.path.exists(TRIALS):
+        for line in open(TRIALS):
+            line = line.strip()
+            if line:
+                t = json.loads(line)
+                if t.get("kind") == "bpe_batched":
+                    bpe_recs.append(t)
+    if bpe_recs:
+        b = bpe_recs[-1]
+        bpe_block = f"""## Batched BPE trainer microbench
+
+The classic trainer runs ONE Spark job per merge round (the r4 `weak`
+item: 32k production merges = 32k sequential jobs). `bpe_train_batched`
+collects a bounded top-(4*batch_k) candidate list per round and applies
+a greedy conflict-free batch of batch_k merges in one pass, so the JOB
+COUNT is n_merges / batch_k. Measured on the deterministic synthetic
+corpus of tools/bench_bpe.py (4k-word Zipf vocabulary), local[8]:
+
+| metric | value |
+|---|---|
+| merges completed (batch_k={b['batch_k']}) | {b['n_merges']} in {b['batched_sec']} s ({b['merges_per_sec_batched']} merges/s, {b['n_merges'] // b['batch_k']} jobs) |
+| head-to-head at {b['head_to_head_merges']} merges | classic {b['classic_sec_at_h2h']} s ({b['head_to_head_merges']} jobs) vs batched {b['batched_sec_at_h2h']} s ({b['head_to_head_merges'] // b['batch_k']} jobs) |
+| local wall-clock speedup | {b['speedup_at_h2h']}x |
+| schedule overlap at {b['head_to_head_merges']} merges | {b['schedule_overlap_at_h2h']:.2f} (documented approximation) |
+
+Locally the speedup saturates below batch_k because each batched round
+evaluates a k-deep merge-fold chain per word; the {b['batch_k']}x JOB reduction
+is the quantity that matters on a real cluster, where per-job scheduling
+latency (not fold arithmetic) dominates a 32k-merge train. batch_k=1
+reproduces the classic schedule exactly (pytest-pinned); the divergence
+mode for batch_k>1 (a merge creating a pair that out-ranks a later
+batch member) is pinned by tests/test_bpe.py on a corpus built to
+trigger it. Raw records: kind=bpe_batched in trials.jsonl.
+
+"""
     os.makedirs(BENCH_DIR, exist_ok=True)
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write(
@@ -204,6 +269,8 @@ Python workers warmed before the measured window.
 {paired_line}
 
 {sec_line}
+
+{wide_line}
 
 The VM advertises 32 vCPUs but a pure-CPU burn test saturates the host
 near 16 concurrent workers (4->16 procs scale at ~0.91 efficiency, 8->32
@@ -225,7 +292,7 @@ the least-biased estimate; every trial is listed below, nothing discarded
 silently.
 
 {queries_block}
-## All recorded trials ({n_docs} docs)
+{bpe_block}## All recorded trials ({n_docs} docs)
 
 | when (UTC) | config | docs/sec | wall (s) |
 |---|---|---|---|
@@ -256,6 +323,16 @@ def main() -> None:
                     f"({r['queries']['flagship_tile_join']}s)",
                     file=sys.stderr,
                 )
+        # one back-to-back wide pair (8 -> 32) per invocation: the
+        # full-machine N -> 4N expression of the scaling rule
+        for cpus in WIDE_PAIR:
+            r = run_bench(cpus, n_docs, sf_dir, queries=False, reps=2)
+            record(cpus, r, n_docs)
+            print(
+                f"wide pair local[{cpus}]: {r['value']} docs/sec "
+                f"({r['queries']['flagship_tile_join']}s)",
+                file=sys.stderr,
+            )
         full = run_bench(32, n_docs, sf_dir, queries=True)
         record(32, full, n_docs)
         with open(os.path.join(BENCH_DIR, "last_full.json"), "w") as f:
