@@ -2140,6 +2140,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mbtiles_metadata"] = mbtiles_metadata
 
+    def osm_pbf_elements(spark, sf_dir):
+        # OSM PBF file decode (public PBF format; the reference's
+        # OSMFileReader/PbfIterator path, OSMStreamReader.java:88-89):
+        # header-only framing walk driver-side, per-blob decode in
+        # executors. Fixture elements are pure functions of their index
+        # (tools/make_osmpbf_fixture.py), so the oracle re-derives every
+        # row from generate_series arithmetic — it never parses pbf.
+        from osm2world_spark.sources.osmpbf import read_osm_pbf
+
+        els = read_osm_pbf(
+            spark, "/root/repo/tests/fixtures/fixture.osm.pbf"
+        )
+        return els.select(
+            "element_type",
+            F.col("id").cast("bigint").alias("id"),
+            F.round(F.col("lat") * 1e7).cast("bigint").alias("lat_u7"),
+            F.round(F.col("lon") * 1e7).cast("bigint").alias("lon_u7"),
+            F.size(F.map_keys("tags")).alias("n_tags"),
+            F.coalesce(F.size("refs"), F.lit(-1)).alias("n_refs"),
+            F.coalesce(
+                F.aggregate("refs", F.lit(0).cast("bigint"), lambda a, x: a + x),
+                F.lit(0).cast("bigint"),
+            ).alias("refs_sum"),
+            F.coalesce(F.concat_ws("|", "member_roles"), F.lit("")).alias("roles"),
+        )
+
+    q["osm_pbf_elements"] = osm_pbf_elements
+
+    def mbtiles_pbf_decode(spark, sf_dir):
+        # MbtilesReader.getData end to end (MbtilesReader.java:54-76):
+        # sqlite tile blobs -> pbf elements with tile keys carried
+        # through one mapInPandas — the full reference read path.
+        from osm2world_spark.sources.mbtiles import mbtiles_tiles as scan
+        from osm2world_spark.sources.osmpbf import decode_pbf_blobs
+
+        tiles = scan(spark, "/root/repo/tests/fixtures/pbf_tiles.mbtiles")
+        els = decode_pbf_blobs(tiles, keys=("zoom", "tile_x", "tile_y"))
+        return els.select(
+            "zoom", "tile_x", "tile_y", "element_type",
+            F.col("id").cast("bigint").alias("id"),
+            F.round(F.col("lat") * 1e7).cast("bigint").alias("lat_u7"),
+            F.coalesce(F.size("refs"), F.lit(-1)).alias("n_refs"),
+        )
+
+    q["mbtiles_pbf_decode"] = mbtiles_pbf_decode
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -3160,12 +3206,11 @@ _WINDOW_FIRST = [
     "natural_elevation", "cell_ids",
     # -- round-5 additions --
     "mbtiles_tiles", "mbtiles_metadata", "jpeg_progressive",
-    "bpe_batched_round",
+    "bpe_batched_round", "osm_pbf_elements", "mbtiles_pbf_decode",
     # -- re-confirmation block: oldest (r1) green rows on the flagship
     #    path, so the hard signal on the headline plans stays fresh --
     "spatial_overlaps", "minhash_near_dups", "knn9", "pip_membership",
     "tile_cover_z14", "dedup_exact", "ngram_jaccard", "simhash",
-    "tile_points_z14", "huge_clip",
 ]
 
 
@@ -6283,6 +6328,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(c2 AS INT) AS tile_y, CAST(c3 AS INT) AS tms_row,
                CAST(c4 AS BIGINT) AS n_bytes, c5 AS blob_md5
         FROM (VALUES {_mb_rows}) t(c0, c1, c2, c3, c4, c5)
+    """
+
+    # osm_pbf_elements / mbtiles_pbf_decode: fixture elements are pure
+    # functions of their index / tile address, so the oracles rebuild
+    # them from generate_series arithmetic — never parsing pbf.
+    # node lat/lon quantize at 1e-7 deg (granularity 100), exact at u7.
+    sql["osm_pbf_elements"] = """
+        WITH n AS (
+          SELECT 'node' AS element_type, CAST(100 + i AS BIGINT) AS id,
+                 CAST(round((48.52 + 0.001 * i) * 1e7) AS BIGINT) AS lat_u7,
+                 CAST(round((13.37 + 0.002 * i) * 1e7) AS BIGINT) AS lon_u7,
+                 CAST(CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS INT) AS n_tags,
+                 -1 AS n_refs, CAST(0 AS BIGINT) AS refs_sum, '' AS roles
+          FROM unnest(generate_series(0, 39)) t(i)
+        ), w AS (
+          SELECT 'way', CAST(500 + j AS BIGINT), NULL, NULL, 1,
+                 3, CAST(303 + 3 * j AS BIGINT), ''
+          FROM unnest(generate_series(0, 9)) t(j)
+        ), r AS (
+          SELECT 'relation', CAST(900 + k AS BIGINT), NULL, NULL, 1,
+                 2, CAST(600 + 2 * k AS BIGINT), 'admin_centre|outer'
+          FROM unnest(generate_series(0, 2)) t(k)
+        )
+        SELECT * FROM n UNION ALL SELECT * FROM w UNION ALL SELECT * FROM r
+    """
+
+    sql["mbtiles_pbf_decode"] = """
+        WITH tiles AS (
+          SELECT 14 AS zoom, 8805 + dx AS tile_x, 5657 + dy AS tile_y
+          FROM unnest(generate_series(0, 2)) a(dx),
+               unnest(generate_series(0, 1)) b(dy)
+        ), base AS (
+          SELECT zoom, tile_x, tile_y,
+                 (tile_x * 10000 + tile_y) * 10 AS b
+          FROM tiles
+        ), n AS (
+          SELECT zoom, CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+                 'node' AS element_type, CAST(b + i AS BIGINT) AS id,
+                 CAST(round((48.0 + ((tile_x + i) % 100) * 0.001) * 1e7) AS BIGINT) AS lat_u7,
+                 -1 AS n_refs
+          FROM base, unnest(generate_series(0, 2)) t(i)
+        ), w AS (
+          SELECT zoom, CAST(tile_x AS INT), CAST(tile_y AS INT),
+                 'way', CAST(b + 9 AS BIGINT), NULL, 3
+          FROM base
+        )
+        SELECT CAST(zoom AS INT) AS zoom, tile_x, tile_y, element_type,
+               id, lat_u7, n_refs
+        FROM (SELECT * FROM n UNION ALL SELECT * FROM w)
     """
 
     sql["mbtiles_metadata"] = """
