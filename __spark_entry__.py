@@ -2168,6 +2168,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["osm_pbf_elements"] = osm_pbf_elements
 
+    def osm_xml_elements(spark, sf_dir):
+        # OSM XML source (OsmXmlIterator parity, OSMStreamReader.java:
+        # 90-91) over the GZIP fixture with the JOSM action="delete"
+        # workaround on: same logical elements as fixture.osm.pbf (plus
+        # two delete stubs that must vanish), so the oracle is the same
+        # generate_series arithmetic — pure XML coords make lat exact.
+        from osm2world_spark.sources.osmxml import read_osm_xml
+
+        els = read_osm_xml(
+            spark, ["/root/repo/tests/fixtures/fixture.osm.gz"],
+            josm_workaround=True,
+        )
+        return els.select(
+            "element_type",
+            F.col("id").cast("bigint").alias("id"),
+            F.round(F.col("lat") * 1e7).cast("bigint").alias("lat_u7"),
+            F.round(F.col("lon") * 1e7).cast("bigint").alias("lon_u7"),
+            F.size(F.map_keys("tags")).alias("n_tags"),
+            F.coalesce(F.size("refs"), F.lit(-1)).alias("n_refs"),
+            F.coalesce(
+                F.aggregate("refs", F.lit(0).cast("bigint"), lambda a, x: a + x),
+                F.lit(0).cast("bigint"),
+            ).alias("refs_sum"),
+            F.coalesce(F.concat_ws("|", "member_roles"), F.lit("")).alias("roles"),
+        )
+
+    q["osm_xml_elements"] = osm_xml_elements
+
     def mbtiles_pbf_decode(spark, sf_dir):
         # MbtilesReader.getData end to end (MbtilesReader.java:54-76):
         # sqlite tile blobs -> pbf elements with tile keys carried
@@ -3210,7 +3238,9 @@ _WINDOW_FIRST = [
     # -- re-confirmation block: oldest (r1) green rows on the flagship
     #    path, so the hard signal on the headline plans stays fresh --
     "spatial_overlaps", "minhash_near_dups", "knn9", "pip_membership",
-    "tile_cover_z14", "dedup_exact", "ngram_jaccard", "simhash",
+    "tile_cover_z14", "dedup_exact", "ngram_jaccard",
+    # (osm_xml_elements takes the last slot over an 8th re-confirmation)
+    "osm_xml_elements",
 ]
 
 
@@ -6353,6 +6383,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM n UNION ALL SELECT * FROM w UNION ALL SELECT * FROM r
     """
+
+    # osm_xml_elements: same logical elements as the pbf fixture, same
+    # arithmetic oracle (XML carries exact doubles, u7 rounding equal)
+    sql["osm_xml_elements"] = sql["osm_pbf_elements"]
 
     sql["mbtiles_pbf_decode"] = """
         WITH tiles AS (

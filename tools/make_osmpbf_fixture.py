@@ -90,12 +90,24 @@ def tile_way(z: int, x: int, y: int):
 
 def main() -> None:
     from osm2world_spark.sources.osmpbf import make_pbf_blob, write_osm_pbf
+    from osm2world_spark.sources.osmxml import write_osm_xml
 
     os.makedirs(FIXDIR, exist_ok=True)
     pbf_path = os.path.join(FIXDIR, "fixture.osm.pbf")
     write_osm_pbf(pbf_path, file_nodes(), file_ways(), file_relations())
     print(f"wrote {N_NODES} nodes / {N_WAYS} ways / {N_RELS} relations ->",
           pbf_path)
+
+    # the SAME elements as .osm and .osm.gz (format-agnostic schema):
+    # the XML fixtures add two action="delete" stubs the JOSM
+    # workaround must drop
+    for name in ("fixture.osm", "fixture.osm.gz"):
+        write_osm_xml(
+            os.path.join(FIXDIR, name),
+            file_nodes(), file_ways(), file_relations(),
+            deleted_node_ids=(9001, 9002),
+        )
+        print("wrote", name)
 
     mb_path = os.path.join(FIXDIR, "pbf_tiles.mbtiles")
     if os.path.exists(mb_path):
