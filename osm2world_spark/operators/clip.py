@@ -522,14 +522,26 @@ def shrink_huge_areas(
     Output: the input rows with `geom` replaced where clipped and a
     `clipped` flag column.
     """
-    nodes = elements.where(F.col("element_type") == "node")
-    src = nodes if not nodes.isEmpty() else elements
-    b = src.agg(
-        F.min("minx").alias("bminx"),
-        F.min("minz").alias("bminz"),
-        F.max("maxx").alias("bmaxx"),
-        F.max("maxz").alias("bmaxz"),
+    # ONE action for the boundary: node extent and all-element extent
+    # come out of the same aggregate (conditional min/max), instead of
+    # an isEmpty() probe followed by a second scan
+    is_node = F.col("element_type") == "node"
+    agg = elements.agg(
+        F.min(F.when(is_node, F.col("minx"))).alias("nminx"),
+        F.min(F.when(is_node, F.col("minz"))).alias("nminz"),
+        F.max(F.when(is_node, F.col("maxx"))).alias("nmaxx"),
+        F.max(F.when(is_node, F.col("maxz"))).alias("nmaxz"),
+        F.min("minx").alias("aminx"),
+        F.min("minz").alias("aminz"),
+        F.max("maxx").alias("amaxx"),
+        F.max("maxz").alias("amaxz"),
     ).first()
+    if agg["nminx"] is not None:
+        b = {"bminx": agg["nminx"], "bminz": agg["nminz"],
+             "bmaxx": agg["nmaxx"], "bmaxz": agg["nmaxz"]}
+    else:  # no nodes: fall back to the all-element bbox
+        b = {"bminx": agg["aminx"], "bminz": agg["aminz"],
+             "bmaxx": agg["amaxx"], "bmaxz": agg["amaxz"]}
     if b["bminx"] is None:
         return elements.withColumn("clipped", F.lit(False))
     bminx, bminz = b["bminx"] - pad, b["bminz"] - pad
