@@ -2196,6 +2196,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["osm_xml_elements"] = osm_xml_elements
 
+    def pbf_way_geometry(spark, sf_dir):
+        # the reference's FULL read pipeline (file -> node store -> way
+        # geometry, OSMToMapDataConverter semantics): pbf elements ->
+        # posexplode(refs) -> shuffle join against the corpus-sized node
+        # table -> ordered collect per way. Oracle: the fixture's way j
+        # references nodes 100+j..100+j+2 on the generator formulas.
+        from osm2world_spark.sources.osmpbf import (
+            assemble_way_geometries,
+            read_osm_pbf,
+        )
+
+        els = read_osm_pbf(
+            spark, "/root/repo/tests/fixtures/fixture.osm.pbf"
+        )
+        ways = assemble_way_geometries(els)
+        return ways.select(
+            F.col("way_id").cast("bigint").alias("way_id"),
+            F.col("n_pts").cast("int").alias("n_pts"),
+            "n_missing",
+            F.round(F.element_at("lats", 1) * 1e7).cast("bigint").alias("lat0_u7"),
+            F.aggregate(
+                F.transform("lats", lambda v: F.round(v * 1e7).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("lat_sum_u7"),
+            F.aggregate(
+                F.transform("lons", lambda v: F.round(v * 1e7).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("lon_sum_u7"),
+        )
+
+    q["pbf_way_geometry"] = pbf_way_geometry
+
     def mbtiles_pbf_decode(spark, sf_dir):
         # MbtilesReader.getData end to end (MbtilesReader.java:54-76):
         # sqlite tile blobs -> pbf elements with tile keys carried
@@ -3238,7 +3272,7 @@ _WINDOW_FIRST = [
     # -- re-confirmation block: oldest (r1) green rows on the flagship
     #    path, so the hard signal on the headline plans stays fresh --
     "spatial_overlaps", "minhash_near_dups", "knn9", "pip_membership",
-    "tile_cover_z14", "dedup_exact", "ngram_jaccard",
+    "tile_cover_z14", "ngram_jaccard", "pbf_way_geometry",
     # (osm_xml_elements takes the last slot over an 8th re-confirmation)
     "osm_xml_elements",
 ]
@@ -6387,6 +6421,21 @@ def oracle_sql() -> dict[str, str]:
     # osm_xml_elements: same logical elements as the pbf fixture, same
     # arithmetic oracle (XML carries exact doubles, u7 rounding equal)
     sql["osm_xml_elements"] = sql["osm_pbf_elements"]
+
+    # pbf_way_geometry: way j (id 500+j) resolves nodes 100+j..100+j+2;
+    # node coords follow the generator formulas, u7-exact after the pbf
+    # 1e-7 granularity quantization
+    sql["pbf_way_geometry"] = """
+        SELECT CAST(500 + j AS BIGINT) AS way_id, 3 AS n_pts, 0 AS n_missing,
+               CAST(round((48.52 + 0.001 * j) * 1e7) AS BIGINT) AS lat0_u7,
+               CAST(round((48.52 + 0.001 * j) * 1e7)
+                    + round((48.52 + 0.001 * (j + 1)) * 1e7)
+                    + round((48.52 + 0.001 * (j + 2)) * 1e7) AS BIGINT) AS lat_sum_u7,
+               CAST(round((13.37 + 0.002 * j) * 1e7)
+                    + round((13.37 + 0.002 * (j + 1)) * 1e7)
+                    + round((13.37 + 0.002 * (j + 2)) * 1e7) AS BIGINT) AS lon_sum_u7
+        FROM unnest(generate_series(0, 9)) t(j)
+    """
 
     sql["mbtiles_pbf_decode"] = """
         WITH tiles AS (

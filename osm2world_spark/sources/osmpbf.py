@@ -493,3 +493,43 @@ def make_pbf_blob(
             return body
         p = p + 4 + hl + size
     raise ValueError("no OSMData blob written")
+
+
+def assemble_way_geometries(elements: DataFrame) -> DataFrame:
+    """ELEMENTS_SCHEMA rows (pbf or xml) -> per-way ordered coordinate
+    arrays — the node-store resolution step of the reference's
+    OSMToMapDataConverter, completing the full read pipeline
+    (MbtilesReader/OSMFileReader -> elements -> way geometry). Same plan
+    as sources/overpass.assemble_way_geometries: posexplode the refs,
+    join the corpus-sized node table (shuffle join, NOT broadcast),
+    ordered collect per way. Output: (way_id, tags, lats, lons, n_pts,
+    n_missing); n_missing counts refs without a node in the dataset
+    (the reference quarantines such ways)."""
+    from pyspark.sql import functions as F
+
+    nodes = elements.where(F.col("element_type") == "node").select(
+        F.col("id").alias("_ref"), "lat", "lon"
+    )
+    refs = elements.where(F.col("element_type") == "way").select(
+        F.col("id").alias("way_id"),
+        "tags",
+        F.posexplode("refs").alias("pos", "_ref"),
+    )
+    joined = refs.join(nodes, "_ref", "left")
+    return joined.groupBy("way_id").agg(
+        F.first("tags").alias("tags"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("lat"), F.col("lon")))
+            ),
+            lambda s: s["lat"],
+        ).alias("lats"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("lat"), F.col("lon")))
+            ),
+            lambda s: s["lon"],
+        ).alias("lons"),
+        F.count("pos").alias("n_pts"),
+        F.sum(F.when(F.col("lat").isNull(), 1).otherwise(0)).cast("int").alias("n_missing"),
+    )

@@ -163,3 +163,31 @@ def test_zlib_payload_actually_compressed():
     data = open(FIX, "rb").read()
     assert b"residential" not in data  # strings live inside the zlib blob
     assert zlib  # imported: the writer compresses, the parser inflates
+
+
+def test_assemble_way_geometries_full_pipeline(spark):
+    """fixture.osm.pbf -> elements -> per-way ordered coordinates: the
+    reference's file -> node store -> way geometry pipeline end to end.
+    Way 500+j references nodes 100+j..100+j+2, whose coords follow the
+    generator formulas."""
+    from osm2world_spark.sources.osmpbf import assemble_way_geometries
+
+    els = read_osm_pbf(spark, FIX)
+    ways = {r["way_id"]: r for r in assemble_way_geometries(els).collect()}
+    for wid, refs, tags in file_ways():
+        r = ways[wid]
+        assert r["n_pts"] == 3 and r["n_missing"] == 0
+        j = wid - 500
+        want_lats = [48.52 + (j + d) * 0.001 for d in range(3)]
+        for got, want in zip(r["lats"], want_lats):
+            assert got == pytest.approx(want, abs=1e-7)
+        assert dict(r["tags"]) == tags
+
+
+def test_assemble_way_geometries_missing_ref(spark, tmp_path):
+    p = str(tmp_path / "m.osm.pbf")
+    write_osm_pbf(p, [(1, 5.0, 6.0, {})], [(10, [1, 999], {})])
+    from osm2world_spark.sources.osmpbf import assemble_way_geometries
+
+    r = assemble_way_geometries(read_osm_pbf(spark, p)).collect()[0]
+    assert r["n_pts"] == 2 and r["n_missing"] == 1
