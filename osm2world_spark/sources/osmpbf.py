@@ -268,55 +268,71 @@ def parse_pbf_blob(blob: bytes) -> list[tuple]:
     return rows
 
 
-def pbf_blob_table(spark: SparkSession, path: str) -> DataFrame:
-    """Framing walk over a .osm.pbf FILE: a bounded driver-side scan
-    reading only the 4-byte lengths + BlobHeaders (seeking over
-    payloads), then executors read + decode their own byte ranges.
-    Returns (blob_idx, blob_type, offset, size)."""
+def pbf_blob_table(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Framing walk over one or many .osm.pbf FILES: a bounded
+    driver-side scan reading only the 4-byte lengths + BlobHeaders
+    (seeking over payloads), then executors read + decode their own
+    byte ranges. Returns (path, blob_idx, blob_type, offset, size)."""
+    paths = [path] if isinstance(path, str) else list(path)
     frames = []
-    with open(path, "rb") as f:
-        idx = 0
-        while True:
-            hdr_len_b = f.read(4)
-            if len(hdr_len_b) < 4:
-                break
-            (hdr_len,) = struct.unpack(">I", hdr_len_b)
-            hdr = f.read(hdr_len)
-            btype = "?"
-            datasize = 0
-            for fno, _, v in _fields(hdr):
-                if fno == 1:
-                    btype = bytes(v).decode("utf-8")
-                elif fno == 3:
-                    datasize = v
-            off = f.tell()
-            frames.append((idx, btype, off, datasize))
-            f.seek(datasize, 1)
-            idx += 1
+    for p in paths:
+        with open(p, "rb") as f:
+            idx = 0
+            while True:
+                hdr_len_b = f.read(4)
+                if len(hdr_len_b) < 4:
+                    break
+                (hdr_len,) = struct.unpack(">I", hdr_len_b)
+                hdr = f.read(hdr_len)
+                btype = "?"
+                datasize = 0
+                for fno, _, v in _fields(hdr):
+                    if fno == 1:
+                        btype = bytes(v).decode("utf-8")
+                    elif fno == 3:
+                        datasize = v
+                off = f.tell()
+                frames.append((p, idx, btype, off, datasize))
+                f.seek(datasize, 1)
+                idx += 1
     return spark.createDataFrame(
-        frames, "blob_idx int, blob_type string, offset bigint, size bigint"
+        frames,
+        "path string, blob_idx int, blob_type string, offset bigint, size bigint",
     )
 
 
-def read_osm_pbf(spark: SparkSession, path: str, n_splits: int = 64) -> DataFrame:
-    """.osm.pbf file -> distributed element table (ELEMENTS_SCHEMA):
-    driver does the header-only framing walk; each task opens the file,
-    reads its blobs' byte ranges, and decodes independently."""
-    blobs = pbf_blob_table(spark, path).where("blob_type = 'OSMData'")
+def read_osm_pbf(
+    spark: SparkSession, path: str | list[str], n_splits: int = 64
+) -> DataFrame:
+    """One or many .osm.pbf files -> distributed element table
+    (ELEMENTS_SCHEMA): driver does the header-only framing walk; each
+    task opens its files, reads its blobs' byte ranges, and decodes
+    independently (file handles reused within a task)."""
+    all_blobs = pbf_blob_table(spark, path)
+    blobs = all_blobs.where("blob_type = 'OSMData'")
     blobs = blobs.repartition(max(1, min(n_splits, blobs.count())))
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        with open(path, "rb") as f:
+        handles: dict[str, object] = {}
+        try:
             for pdf in batches:
-                for off, size in pdf[["offset", "size"]].itertuples(index=False):
+                for p, off, size in pdf[["path", "offset", "size"]].itertuples(
+                    index=False
+                ):
+                    f = handles.get(p)
+                    if f is None:
+                        f = handles[p] = open(p, "rb")
                     f.seek(int(off))
                     rows = parse_pbf_blob(f.read(int(size)))
                     if rows:
                         yield pd.DataFrame(
                             rows, columns=[fl.name for fl in ELEMENTS_SCHEMA]
                         )
+        finally:
+            for f in handles.values():
+                f.close()
 
     return blobs.mapInPandas(decode, ELEMENTS_SCHEMA)
 
@@ -383,7 +399,7 @@ def _w_packed(fno: int, vals: list[int], signed: bool = False) -> bytes:
 def write_osm_pbf(
     path: str,
     nodes: list[tuple[int, float, float, dict]],
-    ways: list[tuple[int, list[int], dict]],
+    ways: list[tuple[int, list[int], dict]] = (),
     relations: list[tuple[int, list[tuple[str, int, str]], dict]] = (),
     granularity: int = 100,
 ) -> None:

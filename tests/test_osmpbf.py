@@ -191,3 +191,15 @@ def test_assemble_way_geometries_missing_ref(spark, tmp_path):
 
     r = assemble_way_geometries(read_osm_pbf(spark, p)).collect()[0]
     assert r["n_pts"] == 2 and r["n_missing"] == 1
+
+
+def test_read_many_files(spark, tmp_path):
+    """A corpus of .osm.pbf files decodes in one distributed table."""
+    ps = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.osm.pbf")
+        write_osm_pbf(p, [(1000 + i, 1.0 + i, 2.0, {"f": str(i)})])
+        ps.append(p)
+    rows = {r["id"]: r for r in read_osm_pbf(spark, ps).collect()}
+    assert set(rows) == {1000, 1001, 1002}
+    assert dict(rows[1002]["tags"]) == {"f": "2"}
