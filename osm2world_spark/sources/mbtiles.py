@@ -22,9 +22,9 @@ per-zoom tile_row extents (<= ~23 rows per file, a pure index read,
 never the blobs) and fans out one sqlite range query per split via
 mapInPandas — every executor opens the file read-only itself, so blob
 bytes never pass through the driver, and the (zoom_level, tile_column,
-tile_row) primary index serves each range scan. The inner .osm.pbf blob
-decode stays out of scope (the reference delegates it to osm4j); blobs
-surface as opaque binary for downstream operators.
+tile_row) primary index serves each range scan. Blobs surface as opaque
+binary; pipe them through sources/osmpbf.decode_pbf_blobs for the full
+MbtilesReader.getData path (tile blob -> pbf elements).
 """
 
 from __future__ import annotations
@@ -89,38 +89,50 @@ def _zoom_extents(path: str) -> list[tuple[int, int, int, int]]:
 
 
 def mbtiles_tiles(
-    spark: SparkSession, path: str, rows_per_split: int = 4096
+    spark: SparkSession, path: str | list[str], rows_per_split: int = 4096
 ) -> DataFrame:
-    """Distributed scan of every tile in an mbtiles file:
+    """Distributed scan of every tile in one or many mbtiles files:
     (zoom, tile_x, tile_y, tms_row, n_bytes, tile_data) with tile_y in
-    the reference's XYZ convention (flip applied in-plan).
+    the reference's XYZ convention (flip applied in-plan). A 100-TB
+    tileset is MANY mbtiles files (per region/epoch), so the split
+    table spans the whole list.
 
-    Splits are (zoom, tile_row range) chunks sized so each task streams
-    ~rows_per_split tiles through the (zoom_level, tile_row) index; the
-    split table is the only driver-side state (O(zooms * splits), no
-    paths, no blobs)."""
-    splits: list[tuple[int, int, int]] = []
-    for z, lo, hi, n in _zoom_extents(path):
-        span = hi - lo + 1
-        # rows cluster unevenly across the row range; chunk the RANGE by
-        # the average density so dense zooms still split
-        n_chunks = max(1, min(span, (n + rows_per_split - 1) // rows_per_split))
-        step = (span + n_chunks - 1) // n_chunks
-        for start in range(lo, hi + 1, step):
-            splits.append((z, start, min(start + step - 1, hi)))
+    Splits are (path, zoom, tile_row range) chunks sized so each task
+    streams ~rows_per_split tiles through the (zoom_level, tile_row)
+    index; the split table is the only driver-side state
+    (O(files * zooms * splits), no blobs). Tasks reuse one read-only
+    connection per file."""
+    paths = [path] if isinstance(path, str) else list(path)
+    splits: list[tuple[str, int, int, int]] = []
+    for p in paths:
+        for z, lo, hi, n in _zoom_extents(p):
+            span = hi - lo + 1
+            # rows cluster unevenly across the row range; chunk the
+            # RANGE by the average density so dense zooms still split
+            n_chunks = max(
+                1, min(span, (n + rows_per_split - 1) // rows_per_split)
+            )
+            step = (span + n_chunks - 1) // n_chunks
+            for start in range(lo, hi + 1, step):
+                splits.append((p, z, start, min(start + step - 1, hi)))
     split_df = spark.createDataFrame(
-        splits, "zoom int, row_lo int, row_hi int"
+        splits, "path string, zoom int, row_lo int, row_hi int"
     ).repartition(max(1, min(len(splits), 64)))
 
     def scan(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        cons: dict[str, sqlite3.Connection] = {}
         try:
             for pdf in batches:
-                for z, lo, hi in pdf[["zoom", "row_lo", "row_hi"]].itertuples(
-                    index=False
-                ):
+                for p, z, lo, hi in pdf[
+                    ["path", "zoom", "row_lo", "row_hi"]
+                ].itertuples(index=False):
+                    con = cons.get(p)
+                    if con is None:
+                        con = cons[p] = sqlite3.connect(
+                            f"file:{p}?mode=ro", uri=True
+                        )
                     rows = con.execute(
                         "SELECT tile_column, tile_row, tile_data FROM tiles "
                         "WHERE zoom_level = ? AND tile_row BETWEEN ? AND ? "
@@ -139,7 +151,8 @@ def mbtiles_tiles(
                         "tile_data": [bytes(d) for _, _, d in rows],
                     })
         finally:
-            con.close()
+            for con in cons.values():
+                con.close()
 
     return split_df.mapInPandas(scan, TILES_SCHEMA)
 

@@ -91,3 +91,29 @@ def test_metadata_for_tile_walks_up_the_pyramid():
     }
     # totally outside: None
     assert metadata_for_tile(META, 14, 3, 5) is None
+
+
+def test_distributed_scan_many_files(spark, tmp_path):
+    """A tileset of several mbtiles files scans as one table."""
+    import sqlite3
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"t{i}.mbtiles")
+        con = sqlite3.connect(p)
+        con.execute(
+            "CREATE TABLE tiles (zoom_level integer, tile_column integer, "
+            "tile_row integer, tile_data blob)"
+        )
+        con.execute(
+            "INSERT INTO tiles VALUES (?, ?, ?, ?)", (10, 5 + i, 7, b"x" * (i + 1))
+        )
+        con.commit()
+        con.close()
+        paths.append(p)
+    rows = {
+        (r["zoom"], r["tile_x"]): r for r in mbtiles_tiles(spark, paths).collect()
+    }
+    assert set(rows) == {(10, 5), (10, 6)}
+    assert rows[(10, 6)]["n_bytes"] == 2
+    assert rows[(10, 5)]["tile_y"] == (1 << 10) - 1 - 7
