@@ -2230,6 +2230,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pbf_way_geometry"] = pbf_way_geometry
 
+    def pbf_tile_assign(spark, sf_dir):
+        # CAPSTONE: the reference's complete ingest-to-tiles path in ONE
+        # plan — MBTiles sqlite (TMS flip) -> pbf tile blobs -> decoded
+        # nodes -> z14 web-mercator tile assignment (TileNumber.java:
+        # 122-126) -> per-tile counts. The oracle re-derives node coords
+        # from the fixture formulas and runs the same slippy closed form
+        # in DuckDB.
+        from osm2world_spark.functions.tiles import tile_at
+        from osm2world_spark.sources.mbtiles import mbtiles_tiles as scan
+        from osm2world_spark.sources.osmpbf import decode_pbf_blobs
+
+        tiles = scan(spark, "/root/repo/tests/fixtures/pbf_tiles.mbtiles")
+        els = decode_pbf_blobs(tiles, keys=("zoom", "tile_x", "tile_y"))
+        nodes = els.where(F.col("element_type") == "node")
+        t = tile_at(14, F.col("lat"), F.col("lon"))
+        return (
+            nodes.select(
+                F.col("tile_x").alias("src_x"),
+                F.col("tile_y").alias("src_y"),
+                t["x"].alias("assign_x"),
+                t["y"].alias("assign_y"),
+                "id",
+            )
+            .groupBy("src_x", "src_y", "assign_x", "assign_y")
+            .agg(
+                F.count("*").alias("n_nodes"),
+                F.sum("id").alias("id_sum"),
+            )
+        )
+
+    q["pbf_tile_assign"] = pbf_tile_assign
+
     def mbtiles_pbf_decode(spark, sf_dir):
         # MbtilesReader.getData end to end (MbtilesReader.java:54-76):
         # sqlite tile blobs -> pbf elements with tile keys carried
@@ -3272,7 +3304,7 @@ _WINDOW_FIRST = [
     # -- re-confirmation block: oldest (r1) green rows on the flagship
     #    path, so the hard signal on the headline plans stays fresh --
     "spatial_overlaps", "minhash_near_dups", "knn9", "pip_membership",
-    "tile_cover_z14", "ngram_jaccard", "pbf_way_geometry",
+    "tile_cover_z14", "pbf_way_geometry", "pbf_tile_assign",
     # (osm_xml_elements takes the last slot over an 8th re-confirmation)
     "osm_xml_elements",
 ]
@@ -6421,6 +6453,29 @@ def oracle_sql() -> dict[str, str]:
     # osm_xml_elements: same logical elements as the pbf fixture, same
     # arithmetic oracle (XML carries exact doubles, u7 rounding equal)
     sql["osm_xml_elements"] = sql["osm_pbf_elements"]
+
+    # pbf_tile_assign: the full ingest path — node coords re-derived
+    # from tile_nodes() formulas (lat=48+((x+i)%100)/1000 exact at the
+    # 1e-7 pbf granularity), slippy z14 assignment in closed form
+    sql["pbf_tile_assign"] = f"""
+        WITH tiles AS (
+          SELECT 8805 + dx AS src_x, 5657 + dy AS src_y
+          FROM unnest(generate_series(0, 2)) a(dx),
+               unnest(generate_series(0, 1)) b(dy)
+        ), nodes AS (
+          SELECT src_x, src_y,
+                 (src_x * 10000 + src_y) * 10 + i AS id,
+                 round((48.0 + ((src_x + i) % 100) * 0.001) * 1e7) * 1e-7 AS lat,
+                 round((13.0 + ((src_y + i) % 100) * 0.001) * 1e7) * 1e-7 AS lon
+          FROM tiles, unnest(generate_series(0, 2)) t(i)
+        )
+        SELECT CAST(src_x AS INT) AS src_x, CAST(src_y AS INT) AS src_y,
+               {TX14.format(lon="lon")} AS assign_x,
+               {TY14.format(lat="lat")} AS assign_y,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(id) AS BIGINT) AS id_sum
+        FROM nodes GROUP BY 1, 2, 3, 4
+    """
 
     # pbf_way_geometry: way j (id 500+j) resolves nodes 100+j..100+j+2;
     # node coords follow the generator formulas, u7-exact after the pbf
