@@ -2280,6 +2280,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mbtiles_pbf_decode"] = mbtiles_pbf_decode
 
+    # ------------------------------------------------------- S8 serializers
+    # Deterministic scene derivations for the 3D-model sinks. The OBJ
+    # scene puts 3 faces per element on a shared integer grid so the
+    # first-seen vertex dedup is genuinely exercised (adjacent cells
+    # share ground corners; face C reuses face A's vertices entirely),
+    # and covers all four f-token forms: A = v/t, B = v/t/n, C = bare v.
+    def _obj_faces(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 37 == 0)
+        k = F.col("o_orderkey")
+        d = lambda c: c.cast("double")  # noqa: E731
+        x0 = d(F.floor(k / 4) % 6)
+        z0 = d(F.floor(k / 24) % 6)
+        h = d((k * 7) % 5) * 0.25 + 0.5
+        x1, z1, xm, hm = x0 + 1.0, z0 + 1.0, x0 + 0.5, h + 1.25
+        nx, ny, nz = d(k % 3) * 0.5, F.lit(1.0), d(k % 5) * 0.25
+        zero = F.lit(0.0)
+
+        def P(x, y, z):
+            return F.struct(x.alias("x"), y.alias("y"), z.alias("z"))
+
+        def TC(u, v):
+            return F.struct(
+                F.lit(float(u)).alias("u"), F.lit(float(v)).alias("v")
+            )
+
+        null_n = F.lit(None).cast(
+            "array<struct<x:double,y:double,z:double>>"
+        )
+        null_t = F.lit(None).cast("array<struct<u:double,v:double>>")
+        gname = F.when(k % 2 == 0, F.lit("Building")).otherwise(F.lit("Road"))
+        common = [
+            F.concat(F.lit("t"), (k % 4).cast("string")).alias("tile"),
+            gname.alias("group_name"),
+            F.concat(gname, F.lit(" "), k.cast("string")).alias("object_name"),
+            F.concat(F.lit("MAT_"), (k % 3).cast("string")).alias("material"),
+            (30 + (k % 3) * 40).cast("int").alias("r"),
+            (50 + (k % 3) * 30).cast("int").alias("g"),
+            (70 + (k % 3) * 20).cast("int").alias("b"),
+        ]
+        face_a = o.select(
+            *common, (k * 3).alias("face_order"),
+            F.array(P(x0, zero, z0), P(x1, zero, z0), P(x1, h, z1),
+                    P(x0, h, z1)).alias("vertices"),
+            null_n.alias("normals"),
+            F.array(TC(0, 0), TC(1, 0), TC(1, 1), TC(0, 1)).alias("texcoords"),
+        )
+        n3 = F.array(P(nx, ny, nz), P(nx, ny, nz), P(nx, ny, nz))
+        face_b = o.select(
+            *common, (k * 3 + 1).alias("face_order"),
+            F.array(P(x0, zero, z0), P(x1, h, z1), P(xm, hm, z0)).alias(
+                "vertices"),
+            n3.alias("normals"),
+            F.array(TC(0, 0), TC(1, 1), TC(0.5, 1)).alias("texcoords"),
+        )
+        face_c = o.select(
+            *common, (k * 3 + 2).alias("face_order"),
+            F.array(P(x1, zero, z0), P(x1, h, z1), P(x0, h, z1)).alias(
+                "vertices"),
+            null_n.alias("normals"), null_t.alias("texcoords"),
+        )
+        return face_a.unionByName(face_b).unionByName(face_c)
+
+    def obj_export(spark, sf_dir):
+        # S8 OBJ+MTL sink (ObjOutput.java): first-seen v/vn/vt index
+        # maps as groupBy+row_number, change-triggered g/o/usemtl as lag
+        # windows, per-tile file assembly as one ordered array_join —
+        # the whole serializer is Catalyst Columns, oracle-checked
+        # byte-for-byte against a DuckDB rebuild of the same plan.
+        from osm2world_spark.sinks.obj import obj_per_tile
+
+        return obj_per_tile(_obj_faces(spark, sf_dir))
+
+    q["obj_export"] = obj_export
+
+    # Mesh derivation shared by the POV and glTF sinks: per element a
+    # fan of 1..3 unit triangles in the y=h plane whose orientation
+    # alternates by parity, so flat normals exercise both (0,1,0) and
+    # (0,-1,0) and the glTF min/max have a closed form the oracle can
+    # state independently.
+    def _mesh_rows(spark, sf_dir, prefix):
+        o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 23 == 0)
+        k = F.col("o_orderkey")
+        d = lambda c: c.cast("double")  # noqa: E731
+        ntris = (k % 3 + 1).cast("int")
+        cx = d(F.floor(k / 4) % 10)
+        cz = d(F.floor(k / 40) % 10)
+        h = d((k * 3) % 7) * 0.25
+
+        def P(x, z):
+            return F.struct(x.alias("x"), h.alias("y"), z.alias("z"))
+
+        def tri(t):
+            return F.when(
+                t % 2 == 0,
+                F.array(P(cx + t, cz), P(cx + t + 1, cz), P(cx + t, cz + 1)),
+            ).otherwise(
+                F.array(P(cx + t, cz), P(cx + t, cz + 1), P(cx + t + 1, cz))
+            )
+
+        return o.select(
+            F.concat(F.lit(prefix), (k % 4).cast("string")).alias("tile"),
+            k.alias("mesh_order"),
+            F.concat(F.lit("MAT_"), (k % 3).cast("string")).alias("material"),
+            (30 + (k % 3) * 40).cast("int").alias("r"),
+            (50 + (k % 3) * 30).cast("int").alias("g"),
+            (70 + (k % 3) * 20).cast("int").alias("b"),
+            F.transform(F.sequence(F.lit(0), ntris - 1), tri).alias(
+                "triangles"),
+        )
+
+    def pov_export(spark, sf_dir):
+        # S8 POV-Ray sink (POVRayOutput.java:290-341): mesh blocks of
+        # "  triangle { <a>, <b>, <c>}" lines, named-texture close,
+        # per-tile ordered assembly — pure Columns end to end.
+        from osm2world_spark.sinks.povray import pov_per_tile
+
+        return pov_per_tile(_mesh_rows(spark, sf_dir, "p").drop("r", "g", "b"))
+
+    q["pov_export"] = pov_export
+
+    def gltf_json(spark, sf_dir):
+        # S8 glTF sink (GltfOutput.java): the complete glTF 2.0 JSON —
+        # scene graph, non-indexed TRIANGLES primitives, float32
+        # accessor min/max, bufferViews and sidecar-.bin buffers — as
+        # one relational plan; the float32 payload twin (gltf_buffers)
+        # and the GLB container are pinned byte-level in pytest.
+        from osm2world_spark.sinks.gltf import gltf_json_per_tile
+
+        return gltf_json_per_tile(_mesh_rows(spark, sf_dir, "g"))
+
+    q["gltf_json"] = gltf_json
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -3301,11 +3433,14 @@ _WINDOW_FIRST = [
     # -- round-5 additions --
     "mbtiles_tiles", "mbtiles_metadata", "jpeg_progressive",
     "bpe_batched_round", "osm_pbf_elements", "mbtiles_pbf_decode",
+    # -- S8 serializer sinks (OBJ+MTL / POV-Ray / glTF), new this round:
+    #    byte-level hash checks of the serialized model files --
+    "obj_export", "pov_export", "gltf_json",
     # -- re-confirmation block: oldest (r1) green rows on the flagship
     #    path, so the hard signal on the headline plans stays fresh --
-    "spatial_overlaps", "minhash_near_dups", "knn9", "pip_membership",
-    "tile_cover_z14", "pbf_way_geometry", "pbf_tile_assign",
-    # (osm_xml_elements takes the last slot over an 8th re-confirmation)
+    "spatial_overlaps", "minhash_near_dups",
+    "pbf_way_geometry", "pbf_tile_assign",
+    # (osm_xml_elements takes the last slot over a 3rd re-confirmation)
     "osm_xml_elements",
 ]
 
@@ -6527,6 +6662,269 @@ def oracle_sql() -> dict[str, str]:
           ('type', 'baselayer'),
           ('version', '1')
         ) t(name, value)
+    """
+
+    # --- S8 serializers: rebuild the OBJ / POV / glTF text in SQL ------
+    # The oracles re-run the sinks' relational plans in DuckDB — same
+    # first-seen windows, same lag-triggered state lines, same
+    # engine-portable fixed-point formatting (sinks/textfmt.fixed_sql)
+    # — so every byte of the serialized files is hash-verified.
+    from osm2world_spark.sinks.textfmt import fixed_sql as _fx
+
+    def _amb(c: str) -> str:
+        return _fx(f"floor(CAST({c} AS DOUBLE) * 0.5 + 0.5) / 255.0",
+                   1_000_000, 6)
+
+    sql["obj_export"] = f"""
+        WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 37 = 0),
+        b AS (SELECT k,
+          't' || CAST(k % 4 AS VARCHAR) AS tile,
+          CASE WHEN k % 2 = 0 THEN 'Building' ELSE 'Road' END AS gname,
+          'MAT_' || CAST(k % 3 AS VARCHAR) AS mat,
+          CAST(30 + (k % 3) * 40 AS INT) AS r,
+          CAST(50 + (k % 3) * 30 AS INT) AS g,
+          CAST(70 + (k % 3) * 20 AS INT) AS bb,
+          CAST((k // 4) % 6 AS DOUBLE) AS x0,
+          CAST((k // 24) % 6 AS DOUBLE) AS z0,
+          CAST((k * 7) % 5 AS DOUBLE) * 0.25 + 0.5 AS h,
+          CAST(k % 3 AS DOUBLE) * 0.5 AS nx,
+          CAST(1.0 AS DOUBLE) AS ny,
+          CAST(k % 5 AS DOUBLE) * 0.25 AS nz
+         FROM ks),
+        b2 AS (SELECT *, gname || ' ' || CAST(k AS VARCHAR) AS oname,
+          x0 + 1.0 AS x1, z0 + 1.0 AS z1, x0 + 0.5 AS xm, h + 1.25 AS hm
+         FROM b),
+        faces AS (
+          SELECT tile, 3*k AS fo, gname, oname, mat, r, g, bb,
+            [struct_pack(x:=x0, y:=CAST(0.0 AS DOUBLE), z:=z0),
+             struct_pack(x:=x1, y:=CAST(0.0 AS DOUBLE), z:=z0),
+             struct_pack(x:=x1, y:=h, z:=z1),
+             struct_pack(x:=x0, y:=h, z:=z1)] AS vertices,
+            CAST(NULL AS STRUCT(x DOUBLE, y DOUBLE, z DOUBLE)[]) AS normals,
+            [struct_pack(u:=CAST(0.0 AS DOUBLE), v:=CAST(0.0 AS DOUBLE)),
+             struct_pack(u:=CAST(1.0 AS DOUBLE), v:=CAST(0.0 AS DOUBLE)),
+             struct_pack(u:=CAST(1.0 AS DOUBLE), v:=CAST(1.0 AS DOUBLE)),
+             struct_pack(u:=CAST(0.0 AS DOUBLE), v:=CAST(1.0 AS DOUBLE))] AS texcoords
+          FROM b2
+          UNION ALL
+          SELECT tile, 3*k+1, gname, oname, mat, r, g, bb,
+            [struct_pack(x:=x0, y:=CAST(0.0 AS DOUBLE), z:=z0),
+             struct_pack(x:=x1, y:=h, z:=z1),
+             struct_pack(x:=xm, y:=hm, z:=z0)],
+            [struct_pack(x:=nx, y:=ny, z:=nz),
+             struct_pack(x:=nx, y:=ny, z:=nz),
+             struct_pack(x:=nx, y:=ny, z:=nz)],
+            [struct_pack(u:=CAST(0.0 AS DOUBLE), v:=CAST(0.0 AS DOUBLE)),
+             struct_pack(u:=CAST(1.0 AS DOUBLE), v:=CAST(1.0 AS DOUBLE)),
+             struct_pack(u:=CAST(0.5 AS DOUBLE), v:=CAST(1.0 AS DOUBLE))]
+          FROM b2
+          UNION ALL
+          SELECT tile, 3*k+2, gname, oname, mat, r, g, bb,
+            [struct_pack(x:=x1, y:=CAST(0.0 AS DOUBLE), z:=z0),
+             struct_pack(x:=x1, y:=h, z:=z1),
+             struct_pack(x:=x0, y:=h, z:=z1)],
+            CAST(NULL AS STRUCT(x DOUBLE, y DOUBLE, z DOUBLE)[]),
+            CAST(NULL AS STRUCT(u DOUBLE, v DOUBLE)[])
+          FROM b2),
+        corners AS (
+          SELECT tile, fo, ci, fo*64 + ci AS ok,
+            vertices[ci+1].x AS vx, vertices[ci+1].y AS vy,
+            vertices[ci+1].z AS vz,
+            normals[ci+1].x AS cnx, normals[ci+1].y AS cny,
+            normals[ci+1].z AS cnz,
+            texcoords[ci+1].u AS tu, texcoords[ci+1].v AS tv
+          FROM faces, LATERAL (SELECT unnest(generate_series(0, len(vertices)-1)) AS ci) ii),
+        vtab AS (SELECT tile, vx, vy, vz, min(ok) AS fk
+                 FROM corners GROUP BY 1, 2, 3, 4),
+        vtab2 AS (SELECT *, row_number() OVER (PARTITION BY tile ORDER BY fk) AS vidx FROM vtab),
+        ntab AS (SELECT tile, cnx, cny, cnz, min(ok) AS fk
+                 FROM corners WHERE cnx IS NOT NULL GROUP BY 1, 2, 3, 4),
+        ntab2 AS (SELECT *, row_number() OVER (PARTITION BY tile ORDER BY fk) AS nidx FROM ntab),
+        ttab AS (SELECT tile, tu, tv, min(ok) AS fk
+                 FROM corners WHERE tu IS NOT NULL GROUP BY 1, 2, 3),
+        ttab2 AS (SELECT *, row_number() OVER (PARTITION BY tile ORDER BY fk) AS tidx FROM ttab),
+        cidx AS (
+          SELECT c.tile, c.fo, c.ci, v.vidx, n.nidx, t.tidx
+          FROM corners c
+          JOIN vtab2 v ON c.tile = v.tile AND c.vx = v.vx AND c.vy = v.vy AND c.vz = v.vz
+          LEFT JOIN ntab2 n ON c.tile = n.tile AND c.cnx = n.cnx AND c.cny = n.cny AND c.cnz = n.cnz
+          LEFT JOIN ttab2 t ON c.tile = t.tile AND c.tu = t.tu AND c.tv = t.tv),
+        flines AS (
+          SELECT tile, fo AS k1, 6 AS k2, CAST(0 AS BIGINT) AS k3,
+            'f ' || string_agg(CASE
+              WHEN tidx IS NOT NULL AND nidx IS NOT NULL THEN
+                CAST(vidx AS VARCHAR) || '/' || CAST(tidx AS VARCHAR) || '/' || CAST(nidx AS VARCHAR)
+              WHEN tidx IS NOT NULL THEN CAST(vidx AS VARCHAR) || '/' || CAST(tidx AS VARCHAR)
+              WHEN nidx IS NOT NULL THEN CAST(vidx AS VARCHAR) || '//' || CAST(nidx AS VARCHAR)
+              ELSE CAST(vidx AS VARCHAR) END, ' ' ORDER BY ci) AS text
+          FROM cidx GROUP BY tile, fo),
+        vlines AS (SELECT tile, fk // 64 AS k1, 5 AS k2, fk % 64 AS k3,
+            'v ' || {_fx('vx')} || ' ' || {_fx('vy')} || ' ' || {_fx('-vz')} AS text
+          FROM vtab2),
+        nlines AS (SELECT tile, fk // 64 AS k1, 2 AS k2, fk % 64 AS k3,
+            'vn ' || {_fx('cnx')} || ' ' || {_fx('cny')} || ' ' || {_fx('-cnz')} AS text
+          FROM ntab2),
+        tlines AS (SELECT tile, fk // 64 AS k1, 4 AS k2, fk % 64 AS k3,
+            'vt ' || {_fx('tu')} || ' ' || {_fx('tv')} AS text
+          FROM ttab2),
+        marks AS (
+          SELECT tile, fo, gname, oname, mat,
+            lag(gname) OVER w AS pg, lag(oname) OVER w AS po,
+            lag(mat) OVER w AS pm
+          FROM faces
+          WINDOW w AS (PARTITION BY tile ORDER BY fo)),
+        glines AS (SELECT tile, fo AS k1, 0 AS k2, CAST(0 AS BIGINT) AS k3,
+            'g ' || gname AS text FROM marks WHERE pg IS NULL OR pg <> gname),
+        olines AS (SELECT tile, fo AS k1, 1 AS k2, CAST(0 AS BIGINT) AS k3,
+            'o ' || oname AS text FROM marks WHERE po IS NULL OR po <> oname),
+        mlines AS (SELECT tile, fo AS k1, 3 AS k2, CAST(0 AS BIGINT) AS k3,
+            'usemtl ' || mat || '_0' AS text FROM marks WHERE pm IS NULL OR pm <> mat),
+        hlines AS (
+          SELECT tile, CAST(-1 AS BIGINT) AS k1, 0 AS k2, CAST(i AS BIGINT) AS k3,
+            CASE i
+              WHEN 0 THEN '# OBJ export: osm2world_spark S8 sink (ObjOutput.java parity)'
+              WHEN 2 THEN 'mtllib ' || tile || '.obj.mtl'
+              ELSE '' END AS text
+          FROM (SELECT DISTINCT tile FROM faces) tt,
+               (SELECT unnest(generate_series(0, 3)) AS i) ii),
+        alllines AS (
+          SELECT * FROM hlines UNION ALL SELECT * FROM glines
+          UNION ALL SELECT * FROM olines UNION ALL SELECT * FROM mlines
+          UNION ALL SELECT * FROM nlines UNION ALL SELECT * FROM tlines
+          UNION ALL SELECT * FROM vlines UNION ALL SELECT * FROM flines),
+        objtab AS (
+          SELECT tile, string_agg(text, chr(10) ORDER BY k1, k2, k3, text) AS obj_text
+          FROM alllines GROUP BY tile),
+        matstab AS (SELECT tile, mat, r, g, bb, min(fo) AS fk
+                    FROM faces GROUP BY 1, 2, 3, 4, 5),
+        blocks AS (SELECT tile, fk,
+            'newmtl ' || mat || '_0' || chr(10) || 'Ns 92.156863' || chr(10) ||
+            'Ka ' || {_amb('r')} || ' ' || {_amb('g')} || ' ' || {_amb('bb')} || chr(10) ||
+            'Kd ' || {_amb('r')} || ' ' || {_amb('g')} || ' ' || {_amb('bb')} || chr(10) ||
+            'Ks 0.000000 0.000000 0.000000' || chr(10) ||
+            'Ke 0.000000 0.000000 0.000000' || chr(10) ||
+            'Ni 1' || chr(10) || 'illum 2' || chr(10) AS block
+          FROM matstab),
+        mtltab AS (
+          SELECT tile,
+            '# MTL export: osm2world_spark S8 sink (ObjOutput.java:400-406)'
+            || chr(10) || chr(10) || string_agg(block, chr(10) ORDER BY fk) AS mtl_text
+          FROM blocks GROUP BY tile)
+        SELECT o.tile, o.obj_text, m.mtl_text
+        FROM objtab o JOIN mtltab m USING (tile)
+    """
+
+    def _pvec(x: str, y: str, z: str) -> str:
+        return ("'<' || " + _fx(x) + " || ', ' || " + _fx(y)
+                + " || ', ' || " + _fx(z) + " || '>'")
+
+    _povtri = (
+        "'  triangle { ' || CASE WHEN t % 2 = 0 THEN "
+        + _pvec("cx + t", "h", "cz") + " || ', ' || "
+        + _pvec("cx + t + 1", "h", "cz") + " || ', ' || "
+        + _pvec("cx + t", "h", "cz + 1")
+        + " ELSE "
+        + _pvec("cx + t", "h", "cz") + " || ', ' || "
+        + _pvec("cx + t", "h", "cz + 1") + " || ', ' || "
+        + _pvec("cx + t + 1", "h", "cz")
+        + " END || '}'"
+    )
+
+    _mesh_cte = """
+        ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 23 = 0),
+        m AS (SELECT k, '{prefix}' || CAST(k % 4 AS VARCHAR) AS tile,
+          k AS mesh_order,
+          'MAT_' || CAST(k % 3 AS VARCHAR) AS mat,
+          CAST(30 + (k % 3) * 40 AS INT) AS r,
+          CAST(50 + (k % 3) * 30 AS INT) AS g,
+          CAST(70 + (k % 3) * 20 AS INT) AS bb,
+          CAST(k % 3 + 1 AS INT) AS ntris,
+          CAST((k // 4) % 10 AS DOUBLE) AS cx,
+          CAST((k // 40) % 10 AS DOUBLE) AS cz,
+          CAST((k * 3) % 7 AS DOUBLE) * 0.25 AS h
+         FROM ks)"""
+
+    sql["pov_export"] = f"""
+        WITH {_mesh_cte.format(prefix="p")},
+        blocks AS (SELECT tile, mesh_order,
+          'mesh {{' || chr(10) ||
+          array_to_string(list_transform(generate_series(0, ntris - 1),
+            t -> {_povtri}), chr(10)) ||
+          chr(10) || ' uv_mapping  texture {{ texture_' || mat || ' }}}}' AS block
+         FROM m)
+        SELECT tile,
+          '#include "osm2world_definitions.inc"' || chr(10) || chr(10) ||
+          string_agg(block, chr(10) ORDER BY mesh_order) AS pov_text
+        FROM blocks GROUP BY tile
+    """
+
+    def _f6(expr: str) -> str:
+        return _fx(expr, 1_000_000, 6)
+
+    sql["gltf_json"] = f"""
+        WITH {_mesh_cte.format(prefix="g")},
+        m2 AS (SELECT *,
+          row_number() OVER (PARTITION BY tile ORDER BY mesh_order) - 1 AS mi,
+          3 * ntris AS cnt, CAST(36 * ntris AS BIGINT) AS blen
+         FROM m),
+        mats AS (SELECT tile, mat, r, g, bb, min(mesh_order) AS fk
+                 FROM m GROUP BY 1, 2, 3, 4, 5),
+        mats2 AS (SELECT *,
+          row_number() OVER (PARTITION BY tile ORDER BY fk) - 1 AS mat_idx
+         FROM mats),
+        frag AS (SELECT m2.tile, m2.mi, m2.blen,
+          '{{"mesh":' || CAST(m2.mi AS VARCHAR) || '}}' AS nodef,
+          '{{"primitives":[{{"mode":4,"material":' || CAST(mats2.mat_idx AS VARCHAR)
+            || ',"attributes":{{"POSITION":' || CAST(m2.mi * 2 AS VARCHAR)
+            || ',"NORMAL":' || CAST(m2.mi * 2 + 1 AS VARCHAR) || '}}}}]}}' AS meshf,
+          '{{"componentType":5126,"count":' || CAST(m2.cnt AS VARCHAR)
+            || ',"type":"VEC3","bufferView":' || CAST(m2.mi * 2 AS VARCHAR)
+            || ',"min":[' || {_f6('m2.cx')} || ',' || {_f6('m2.h')} || ','
+            || {_f6('-(m2.cz + 1.0)')} || '],"max":[' || {_f6('m2.cx + m2.ntris')}
+            || ',' || {_f6('m2.h')} || ',' || {_f6('-m2.cz')} || ']}}'
+          || ',' ||
+          '{{"componentType":5126,"count":' || CAST(m2.cnt AS VARCHAR)
+            || ',"type":"VEC3","bufferView":' || CAST(m2.mi * 2 + 1 AS VARCHAR)
+            || ',"min":[0.000000,'
+            || CASE WHEN m2.ntris >= 2 THEN '-1.000000' ELSE '1.000000' END
+            || ',0.000000],"max":[0.000000,1.000000,0.000000]}}' AS accf,
+          '{{"buffer":' || CAST(m2.mi * 2 AS VARCHAR) || ',"byteLength":'
+            || CAST(m2.blen AS VARCHAR) || ',"target":34962}},'
+            || '{{"buffer":' || CAST(m2.mi * 2 + 1 AS VARCHAR) || ',"byteLength":'
+            || CAST(m2.blen AS VARCHAR) || ',"target":34962}}' AS bvf,
+          '{{"byteLength":' || CAST(m2.blen AS VARCHAR) || ',"uri":"' || m2.tile
+            || '_' || CAST(m2.mi * 2 AS VARCHAR) || '.bin"}},'
+            || '{{"byteLength":' || CAST(m2.blen AS VARCHAR) || ',"uri":"' || m2.tile
+            || '_' || CAST(m2.mi * 2 + 1 AS VARCHAR) || '.bin"}}' AS buff
+         FROM m2 JOIN mats2 ON m2.tile = mats2.tile AND m2.mat = mats2.mat),
+        agg AS (SELECT tile, count(*) AS n,
+          string_agg(nodef, ',' ORDER BY mi) AS nodes_json,
+          string_agg(meshf, ',' ORDER BY mi) AS meshes_json,
+          string_agg(accf, ',' ORDER BY mi) AS acc_json,
+          string_agg(bvf, ',' ORDER BY mi) AS bv_json,
+          string_agg(buff, ',' ORDER BY mi) AS buf_json
+         FROM frag GROUP BY tile),
+        mjson AS (SELECT tile, string_agg(
+            '{{"name":"' || mat || '","alphaMode":"OPAQUE","doubleSided":false,'
+            || '"pbrMetallicRoughness":{{"baseColorFactor":['
+            || {_f6('CAST(r AS DOUBLE) / 255.0')} || ','
+            || {_f6('CAST(g AS DOUBLE) / 255.0')} || ','
+            || {_f6('CAST(bb AS DOUBLE) / 255.0')} || ',1.000000]}}}}',
+            ',' ORDER BY fk) AS materials_json
+         FROM mats2 GROUP BY tile)
+        SELECT agg.tile,
+          '{{"asset":{{"version":"2.0","generator":"osm2world_spark S8 sink"}},'
+          || '"scene":0,"scenes":[{{"nodes":[0]}}],'
+          || '"nodes":[{{"name":"OSM2World scene","children":['
+          || array_to_string(list_transform(generate_series(1, CAST(agg.n AS INT)),
+               i -> CAST(i AS VARCHAR)), ',')
+          || ']}},' || agg.nodes_json
+          || '],"meshes":[' || agg.meshes_json
+          || '],"accessors":[' || agg.acc_json
+          || '],"bufferViews":[' || agg.bv_json
+          || '],"buffers":[' || agg.buf_json
+          || '],"materials":[' || mjson.materials_json || ']}}' AS gltf_json
+        FROM agg JOIN mjson USING (tile)
     """
 
     sql["srtm_decode"] = """
