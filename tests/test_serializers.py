@@ -236,6 +236,52 @@ class TestGltf:
             assert marker not in plan
 
 
+class TestFileWrites:
+    def test_text_tree_roundtrip(self, spark, tmp_path):
+        from osm2world_spark.sinks.write import write_text_models
+
+        rows = [
+            Row(tile="t0", mesh_order=0, material="M0",
+                triangles=[[V(0, 0, 0), V(1, 0, 0), V(1, 2, 1)]]),
+            Row(tile="t1", mesh_order=0, material="M1",
+                triangles=[[V(1, 0, 0), V(2, 0, 0), V(2, 0, 1)]]),
+        ]
+        povs = pov_per_tile(spark.createDataFrame(rows))
+        out = str(tmp_path / "pov")
+        write_text_models(povs, out, "pov_text")
+        expected = {r["tile"]: r["pov_text"] for r in povs.collect()}
+        for tile, txt in expected.items():
+            d = tmp_path / "pov" / f"tile={tile}"
+            parts = [p for p in d.iterdir() if p.name.startswith("part-")]
+            assert len(parts) == 1
+            assert parts[0].read_text() == txt + "\n"
+
+    def test_gltf_tileset_roundtrip(self, spark, gltf_scene, tmp_path):
+        from osm2world_spark.sinks.write import write_gltf_tileset
+
+        out = tmp_path / "gltf"
+        write_gltf_tileset(gltf_scene, str(out))
+        part = next(p for p in (out / "json" / "tile=g0").iterdir()
+                    if p.name.startswith("part-"))
+        doc = json.loads(part.read_text())
+        # every buffer URI the JSON references exists with the declared
+        # byteLength, and its floats are finite
+        for buf in doc["buffers"]:
+            b = (out / "buffers" / buf["uri"]).read_bytes()
+            assert len(b) == buf["byteLength"]
+            vals = struct.unpack(f"<{len(b) // 4}f", b)
+            assert all(v == v for v in vals)
+
+    def test_binary_files_glb(self, spark, gltf_scene, tmp_path):
+        from osm2world_spark.sinks.write import write_binary_files
+
+        glbs = glb_per_tile(gltf_scene)
+        write_binary_files(glbs, str(tmp_path / "glb"), "tile", "glb", ".glb")
+        b = (tmp_path / "glb" / "g0.glb").read_bytes()
+        assert b[:4] == b"glTF"
+        assert struct.unpack("<I", b[8:12])[0] == len(b)
+
+
 class TestFixedFormat:
     def test_spark_duckdb_parity_on_awkward_doubles(self, spark):
         import duckdb
