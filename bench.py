@@ -109,6 +109,9 @@ def main() -> None:
         "token_stats",
         "ngram_jaccard",
         "cosine_topk",
+        # S8 serializer (NEW key in r5, additive — older series unaffected):
+        # full OBJ+MTL assembly incl. the first-seen dedup windows
+        "obj_export",
     )
     qs = entry.queries() if names else {}
     if names:

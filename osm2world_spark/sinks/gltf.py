@@ -105,6 +105,13 @@ def gltf_json_per_tile(meshes: DataFrame, flavor: str = "gltf") -> DataFrame:
     if flavor not in ("gltf", "glb"):
         raise ValueError(f"unknown flavor {flavor!r}")
 
+    # the meshes relation feeds the per-mesh fragments AND the material
+    # dedup; persist so a computed input isn't evaluated per branch
+    # (same terminal-sink rationale as obj.obj_per_tile)
+    from pyspark import StorageLevel
+
+    meshes = meshes.persist(StorageLevel.MEMORY_AND_DISK)
+
     wm = Window.partitionBy("tile").orderBy("mesh_order")
     tris = F.col("triangles")
     ntris = F.size(tris)

@@ -106,16 +106,33 @@ def _ambient(c: Column) -> Column:
     )
 
 
-def obj_per_tile(faces: DataFrame) -> DataFrame:
+def obj_per_tile(faces: DataFrame, persist: bool = True) -> DataFrame:
     """Serialize a faces DataFrame to one (tile, obj_text, mtl_text)
-    row per tile. See the module docstring for the input contract."""
+    row per tile. See the module docstring for the input contract.
+
+    The assembled plan references the faces relation from several
+    branches (state lines, three first-seen index maps, face lines,
+    materials). Spark re-evaluates unshared subtrees per reference, so
+    by default the normalized input is persisted (MEMORY_AND_DISK) —
+    serialization is a terminal sink step, and its input is exactly the
+    data being written, so caching it for the job's duration is the
+    intended trade. Pass persist=False to keep the plan fully lazy
+    (e.g. when the caller already persisted upstream).
+    """
     spark_cols = [
         "tile", "face_order", "group_name", "object_name", "material",
         "r", "g", "b", "vertices", "normals", "texcoords",
     ]
     faces = faces.select(*spark_cols)
+    if persist:
+        from pyspark import StorageLevel
+
+        faces = faces.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- change-triggered lines (g / o / usemtl) --------------------
+    # one window pass + one explode produces all three line kinds, so
+    # the (possibly expensive) faces subtree is evaluated once here
+    # instead of once per kind
     wf = Window.partitionBy("tile").orderBy("face_order")
     marks = faces.select(
         "tile", "face_order", "group_name", "object_name", "material",
@@ -123,19 +140,34 @@ def obj_per_tile(faces: DataFrame) -> DataFrame:
         F.lag("object_name").over(wf).alias("_po"),
         F.lag("material").over(wf).alias("_pm"),
     )
-    fo = F.col("face_order")
-    g_lines = marks.where(
-        F.col("_pg").isNull() | (F.col("_pg") != F.col("group_name"))
-    ).select(*_line(F.col("tile"), fo, 0, F.lit(0),
-                    F.concat(F.lit("g "), F.col("group_name"))))
-    o_lines = marks.where(
-        F.col("_po").isNull() | (F.col("_po") != F.col("object_name"))
-    ).select(*_line(F.col("tile"), fo, 1, F.lit(0),
-                    F.concat(F.lit("o "), F.col("object_name"))))
-    m_lines = marks.where(
-        F.col("_pm").isNull() | (F.col("_pm") != F.col("material"))
-    ).select(*_line(F.col("tile"), fo, 3, F.lit(0),
-                    F.concat(F.lit("usemtl "), F.col("material"), F.lit("_0"))))
+
+    def _changed(prev: str, cur: str):
+        return F.col(prev).isNull() | (F.col(prev) != F.col(cur))
+
+    state = F.filter(
+        F.array(
+            F.when(_changed("_pg", "group_name"), F.struct(
+                F.lit(0).alias("k2"),
+                F.concat(F.lit("g "), F.col("group_name")).alias("text"))),
+            F.when(_changed("_po", "object_name"), F.struct(
+                F.lit(1).alias("k2"),
+                F.concat(F.lit("o "), F.col("object_name")).alias("text"))),
+            F.when(_changed("_pm", "material"), F.struct(
+                F.lit(3).alias("k2"),
+                F.concat(F.lit("usemtl "), F.col("material"),
+                         F.lit("_0")).alias("text"))),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    state_lines = marks.select(
+        "tile", "face_order", F.explode(state).alias("s")
+    ).select(
+        F.col("tile"),
+        F.col("face_order").cast("bigint").alias("k1"),
+        F.col("s.k2").cast("int").alias("k2"),
+        F.lit(0).cast("bigint").alias("k3"),
+        F.col("s.text").alias("text"),
+    )
 
     # --- corners with packed emission keys --------------------------
     zipped = faces.select(
@@ -200,28 +232,23 @@ def obj_per_tile(faces: DataFrame) -> DataFrame:
         ))
     )
 
-    # --- fixed header ------------------------------------------------
-    hdr_texts = F.array(
-        F.lit(_HEADER[0]), F.lit(_HEADER[1]),
-        F.concat(F.lit("mtllib "), F.col("tile"), F.lit(".obj.mtl")),
-        F.lit(""),
-    )
-    hdr = (
-        faces.select("tile").distinct()
-        .select("tile", F.posexplode(hdr_texts).alias("pos", "text"))
-        .select(*_line(F.col("tile"), F.lit(-1), 0, F.col("pos"),
-                       F.col("text")))
-    )
-
-    lines = hdr.unionByName(g_lines).unionByName(o_lines) \
-        .unionByName(m_lines).unionByName(n_lines).unionByName(t_lines) \
+    # --- assembly: the fixed header is a prefix of every file, so it
+    # concatenates onto the joined body instead of costing a distinct
+    # scan + union branch -----------------------------------------------
+    lines = state_lines.unionByName(n_lines).unionByName(t_lines) \
         .unionByName(v_lines).unionByName(f_lines)
     obj = (
         lines.groupBy("tile")
-        .agg(F.array_join(F.transform(
-            F.array_sort(F.collect_list(F.struct("k1", "k2", "k3", "text"))),
-            lambda s: s["text"],
-        ), "\n").alias("obj_text"))
+        .agg(F.concat(
+            F.lit(_HEADER[0] + "\n" + _HEADER[1] + "\n"),
+            F.concat(F.lit("mtllib "), F.col("tile"),
+                     F.lit(".obj.mtl\n\n")),
+            F.array_join(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("k1", "k2", "k3", "text"))),
+                lambda s: s["text"],
+            ), "\n"),
+        ).alias("obj_text"))
     )
 
     # --- MTL: one block per material, first-seen order ---------------
