@@ -2412,6 +2412,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gltf_json"] = gltf_json
 
+    def _fpbf_rows(spark, sf_dir):
+        m = _mesh_rows(spark, sf_dir, "f")
+        k = F.col("mesh_order")
+        return m.select(
+            "*",
+            F.concat(F.lit("w"), k.cast("string")).alias("osm_id"),
+            F.when(k % 2 == 0, F.lit("Building"))
+            .otherwise(F.lit("Road")).alias("type_name"),
+        )
+
+    def fpbf_blocks_q(spark, sf_dir):
+        # S8 frontend-PBF sink, block half (FrontendPbfOutput.java
+        # :761-800): the tile's shared dedup blocks — Vector3dBlock as
+        # packed mm sint64s in first-seen insertion order, StringBlock
+        # with its "" seed (:262), MaterialBlock color triples — all as
+        # one relational plan. The wire bytes are pytest-round-tripped
+        # through the independent proto reader in sources/osmpbf.py.
+        from osm2world_spark.sinks.frontend_pbf import fpbf_blocks
+
+        return fpbf_blocks(_fpbf_rows(spark, sf_dir))
+
+    q["fpbf_blocks"] = fpbf_blocks_q
+
+    def fpbf_objects_q(spark, sf_dir):
+        # S8 frontend-PBF sink, object half (buildTriangleGeometry
+        # :616-652): per WorldObject, the triangle corners as 0-based
+        # INDEX references into the tile's vector block, plus the
+        # string/material block references.
+        from osm2world_spark.sinks.frontend_pbf import fpbf_objects
+
+        return fpbf_objects(_fpbf_rows(spark, sf_dir))
+
+    q["fpbf_objects"] = fpbf_objects_q
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -3433,14 +3467,13 @@ _WINDOW_FIRST = [
     # -- round-5 additions --
     "mbtiles_tiles", "mbtiles_metadata", "jpeg_progressive",
     "bpe_batched_round", "osm_pbf_elements", "mbtiles_pbf_decode",
-    # -- S8 serializer sinks (OBJ+MTL / POV-Ray / glTF), new this round:
-    #    byte-level hash checks of the serialized model files --
-    "obj_export", "pov_export", "gltf_json",
-    # -- re-confirmation block: oldest (r1) green rows on the flagship
-    #    path, so the hard signal on the headline plans stays fresh --
-    "spatial_overlaps", "minhash_near_dups",
+    # -- S8 serializer sinks (OBJ+MTL / POV-Ray / glTF / frontend-PBF),
+    #    new this round: byte/index-level hash checks of the serialized
+    #    model files. These displace the flagship re-confirmations —
+    #    never-checked coverage outranks re-confirmation (VERDICT r3/r4);
+    #    spatial_overlaps and minhash_near_dups hold r1+r3 green rows. --
+    "obj_export", "pov_export", "gltf_json", "fpbf_blocks", "fpbf_objects",
     "pbf_way_geometry", "pbf_tile_assign",
-    # (osm_xml_elements takes the last slot over a 3rd re-confirmation)
     "osm_xml_elements",
 ]
 
@@ -6925,6 +6958,83 @@ def oracle_sql() -> dict[str, str]:
           || '],"buffers":[' || agg.buf_json
           || '],"materials":[' || mjson.materials_json || ']}}' AS gltf_json
         FROM agg JOIN mjson USING (tile)
+    """
+
+    # frontend-PBF blocks/objects: rebuild the first-seen dedup blocks
+    # and index references with the same window technique; corner
+    # coordinates come from the closed-form triangle derivation
+    # (t = ci//3, j = ci%3, +1 offsets per the parity-alternating fan)
+    _fpbf_corners = """
+        corners AS (
+          SELECT tile, mesh_order, ci,
+            mesh_order * 1048576 + ci AS ok,
+            cx + (ci // 3) + CASE WHEN ((ci // 3) % 2 = 0 AND ci % 3 = 1)
+                                    OR ((ci // 3) % 2 = 1 AND ci % 3 = 2)
+                                  THEN 1.0 ELSE 0.0 END AS vx,
+            h AS vy,
+            cz + CASE WHEN ((ci // 3) % 2 = 0 AND ci % 3 = 2)
+                        OR ((ci // 3) % 2 = 1 AND ci % 3 = 1)
+                      THEN 1.0 ELSE 0.0 END AS vz
+          FROM m2, LATERAL (SELECT unnest(generate_series(0, 3 * ntris - 1)) AS ci) ii),
+        vtab AS (SELECT tile, vx, vy, vz, min(ok) AS fk
+                 FROM corners GROUP BY 1, 2, 3, 4),
+        vtab2 AS (SELECT *,
+          row_number() OVER (PARTITION BY tile ORDER BY fk) - 1 AS vidx
+         FROM vtab)"""
+
+    _fpbf_m2 = """
+        m2 AS (SELECT *, 'w' || CAST(k AS VARCHAR) AS osm_id,
+          CASE WHEN k % 2 = 0 THEN 'Building' ELSE 'Road' END AS type_name
+         FROM m)"""
+
+    sql["fpbf_blocks"] = f"""
+        WITH {_mesh_cte.format(prefix="f")},
+        {_fpbf_m2},
+        {_fpbf_corners},
+        coords AS (SELECT tile,
+            flatten(list([CAST(floor(vx * 1000.0 + 0.5) AS BIGINT),
+                          CAST(floor(vy * 1000.0 + 0.5) AS BIGINT),
+                          CAST(floor(vz * 1000.0 + 0.5) AS BIGINT)]
+                    ORDER BY fk)) AS coords
+          FROM vtab2 GROUP BY tile),
+        strs AS (SELECT tile,
+            [''] || list(type_name ORDER BY fk) AS strings
+          FROM (SELECT tile, type_name, min(mesh_order) AS fk
+                FROM m2 GROUP BY 1, 2) GROUP BY tile),
+        matsb AS (SELECT tile,
+            flatten(list([CAST(r AS BIGINT), CAST(g AS BIGINT),
+                          CAST(bb AS BIGINT)] ORDER BY fk)) AS mat_rgb
+          FROM (SELECT tile, mat, r, g, bb, min(mesh_order) AS fk
+                FROM m2 GROUP BY 1, 2, 3, 4, 5) GROUP BY tile)
+        SELECT coords.tile, coords.coords, strs.strings, matsb.mat_rgb
+        FROM coords JOIN strs USING (tile) JOIN matsb USING (tile)
+    """
+
+    sql["fpbf_objects"] = f"""
+        WITH {_mesh_cte.format(prefix="f")},
+        {_fpbf_m2},
+        {_fpbf_corners},
+        verts AS (
+          SELECT c.tile, c.mesh_order,
+            list(CAST(v.vidx AS BIGINT) ORDER BY c.ci) AS vertices
+          FROM corners c
+          JOIN vtab2 v ON c.tile = v.tile AND c.vx = v.vx
+                      AND c.vy = v.vy AND c.vz = v.vz
+          GROUP BY c.tile, c.mesh_order),
+        stab AS (SELECT tile, type_name,
+            CAST(row_number() OVER (PARTITION BY tile ORDER BY fk) AS INT) AS type_idx
+          FROM (SELECT tile, type_name, min(mesh_order) AS fk
+                FROM m2 GROUP BY 1, 2)),
+        mtab AS (SELECT tile, mat,
+            CAST(row_number() OVER (PARTITION BY tile ORDER BY fk) - 1 AS INT) AS material_idx
+          FROM (SELECT tile, mat, min(mesh_order) AS fk
+                FROM m2 GROUP BY 1, 2))
+        SELECT m2.tile, m2.mesh_order, m2.osm_id,
+               stab.type_idx, mtab.material_idx, verts.vertices
+        FROM m2
+        JOIN stab ON m2.tile = stab.tile AND m2.type_name = stab.type_name
+        JOIN mtab ON m2.tile = mtab.tile AND m2.mat = mtab.mat
+        JOIN verts ON m2.tile = verts.tile AND m2.mesh_order = verts.mesh_order
     """
 
     sql["srtm_decode"] = """

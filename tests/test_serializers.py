@@ -236,6 +236,94 @@ class TestGltf:
             assert marker not in plan
 
 
+@pytest.fixture(scope="module")
+def fpbf_scene(spark):
+    rows = [
+        Row(tile="f0", mesh_order=0, osm_id="w100", type_name="Building",
+            material="M0", r=200, g=100, b=50,
+            triangles=[[V(0, 0, 0), V(1, 0, 0), V(1, 2, 1)],
+                       [V(0, 0, 0), V(1, 2, 1), V(0, 2, 1)]]),
+        Row(tile="f0", mesh_order=1, osm_id="w200", type_name="Road",
+            material="M1", r=30, g=30, b=30,
+            triangles=[[V(1, 0, 0), V(2, 0, -0.0625), V(2, 0, 1)]]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestFrontendPbf:
+    def test_blocks(self, fpbf_scene):
+        from osm2world_spark.sinks.frontend_pbf import fpbf_blocks
+
+        b = fpbf_blocks(fpbf_scene).collect()[0]
+        # first-seen dedup across objects: 6 unique vectors (w200
+        # reuses (1,0,0)), mm precision, Math.round = floor(x+0.5)
+        # including for the negative coord (-0.0625 -> -62, not -63)
+        assert len(b["coords"]) == 18
+        assert b["coords"][:6] == [0, 0, 0, 1000, 0, 0]
+        assert -62 in b["coords"]
+        # StringBlock seeded with "" at index 0 (FrontendPbfOutput:262)
+        assert b["strings"] == ["", "Building", "Road"]
+        assert b["mat_rgb"] == [200, 100, 50, 30, 30, 30]
+
+    def test_objects_reference_blocks(self, fpbf_scene):
+        from osm2world_spark.sinks.frontend_pbf import (
+            fpbf_blocks,
+            fpbf_objects,
+        )
+
+        b = fpbf_blocks(fpbf_scene).collect()[0]
+        objs = {r["osm_id"]: r
+                for r in fpbf_objects(fpbf_scene).collect()}
+        # shared corner dedup inside one object
+        assert objs["w100"]["vertices"] == [0, 1, 2, 0, 2, 3]
+        # cross-object vertex reuse: w200's first corner is block idx 1
+        assert objs["w200"]["vertices"][0] == 1
+        # indices resolve inside the coords block
+        n_vectors = len(b["coords"]) // 3
+        for o in objs.values():
+            assert all(0 <= v < n_vectors for v in o["vertices"])
+        assert objs["w100"]["type_idx"] == 1  # "" occupies index 0
+        assert objs["w200"]["material_idx"] == 1
+
+    def test_wire_roundtrip_through_independent_reader(self, fpbf_scene):
+        from osm2world_spark.sinks.frontend_pbf import (
+            encode_frontend_pbf,
+            fpbf_blocks,
+            fpbf_objects,
+        )
+        from osm2world_spark.sources.osmpbf import _fields, _packed_varints
+
+        pbf = bytes(encode_frontend_pbf(fpbf_scene).collect()[0]["pbf"])
+        fields = list(_fields(pbf))
+        # Tile: required blocks 1-6 present exactly once, objects = 7
+        assert [f[0] for f in fields][:6] == [1, 2, 3, 4, 5, 6]
+        b = fpbf_blocks(fpbf_scene).collect()[0]
+        v3 = next(f[2] for f in fields if f[0] == 1)
+        got = _packed_varints(next(_fields(v3))[2], signed=True)
+        assert got == list(b["coords"])
+        strs = [x[2].decode() for x in _fields(
+            next(f[2] for f in fields if f[0] == 3))]
+        assert strs == list(b["strings"])
+        objs = {r["osm_id"]: r for r in fpbf_objects(fpbf_scene).collect()}
+        for ob in (f[2] for f in fields if f[0] == 7):
+            fs = list(_fields(ob))
+            osm = next(x[2] for x in fs if x[0] == 1).decode()
+            geom = list(_fields(next(x[2] for x in fs if x[0] == 3)))
+            verts = _packed_varints(next(x[2] for x in geom if x[0] == 2))
+            assert verts == list(objs[osm]["vertices"])
+            assert next(x[2] for x in geom if x[0] == 1) == \
+                objs[osm]["material_idx"]
+
+    def test_zigzag_negative(self):
+        from osm2world_spark.sinks.frontend_pbf import _varint, _zigzag
+        from osm2world_spark.sources.osmpbf import _rd_varint, _zigzag as unzz
+
+        for v in (0, -1, 1, -62, 12345, -2**40):
+            enc = _varint(_zigzag(v))
+            raw, _ = _rd_varint(enc, 0)
+            assert unzz(raw) == v
+
+
 class TestFileWrites:
     def test_text_tree_roundtrip(self, spark, tmp_path):
         from osm2world_spark.sinks.write import write_text_models
