@@ -124,6 +124,37 @@ class Engine:
 
         return extract_features(media, real_codecs=True)
 
+    # ---------------------------------------------------------- serializers
+
+    def serialize_obj(self, faces: DataFrame) -> DataFrame:
+        """Faces -> (tile, obj_text, mtl_text): Wavefront OBJ+MTL
+        (ObjOutput semantics; sinks/obj.py for the input contract)."""
+        from .sinks.obj import obj_per_tile
+
+        return obj_per_tile(faces)
+
+    def serialize_pov(self, meshes: DataFrame) -> DataFrame:
+        """Meshes -> (tile, pov_text): POV-Ray scene blocks
+        (POVRayOutput semantics)."""
+        from .sinks.povray import pov_per_tile
+
+        return pov_per_tile(meshes)
+
+    def serialize_gltf(self, meshes: DataFrame, binary: bool = False) -> DataFrame:
+        """Meshes -> glTF: (tile, gltf_json) with sidecar-.bin buffer
+        URIs, or the full (tile, glb) binary container when binary=True
+        (GltfOutput semantics)."""
+        from .sinks.gltf import glb_per_tile, gltf_json_per_tile
+
+        return glb_per_tile(meshes) if binary else gltf_json_per_tile(meshes)
+
+    def serialize_frontend_pbf(self, meshes: DataFrame) -> DataFrame:
+        """Meshes -> (tile, pbf): frontend.proto Tile messages
+        (FrontendPbfOutput semantics)."""
+        from .sinks.frontend_pbf import encode_frontend_pbf
+
+        return encode_frontend_pbf(meshes)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",

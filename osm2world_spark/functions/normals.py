@@ -36,13 +36,21 @@ def _sub(a: Column, b: Column) -> Column:
 
 def cross_normalized(a: Column, b: Column) -> Column:
     """VectorXYZ.crossNormalized (VectorXYZ.java:105-116): cross product
-    components divided by the cross length (NaN for parallel inputs,
-    like the Java 0/0)."""
+    components divided by the cross length. Parallel/degenerate inputs
+    give NaN components like the Java 0d/0d — guarded explicitly because
+    Spark's ANSI mode would otherwise raise DIVIDE_BY_ZERO on them
+    instead of propagating NaN (the when() branch keeps the division
+    untaken for ln == 0, so non-degenerate values are bit-identical)."""
     x = a["y"] * b["z"] - a["z"] * b["y"]
     y = a["z"] * b["x"] - a["x"] * b["z"]
     z = a["x"] * b["y"] - a["y"] * b["x"]
     ln = F.sqrt(x * x + y * y + z * z)
-    return vec3(x / ln, y / ln, z / ln)
+    nan = F.lit(float("nan"))
+
+    def div(c: Column) -> Column:
+        return F.when(ln != 0.0, c / ln).otherwise(nan)
+
+    return vec3(div(x), div(y), div(z))
 
 
 def triangle_normal(v1: Column, v2: Column, v3: Column) -> Column:

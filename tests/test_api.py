@@ -105,3 +105,38 @@ def test_engine_round4_surfaces(spark, tmp_path):
     )
     feats = eng.media_features(media).collect()
     assert len(feats) == 1 and len(feats[0].feature) == 16
+
+
+def test_engine_serializer_facade(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.api import Engine
+
+    eng = Engine(spark)
+    V = lambda x, y, z: Row(x=float(x), y=float(y), z=float(z))  # noqa: E731
+    meshes = spark.createDataFrame([
+        Row(tile="t0", mesh_order=0, osm_id="w1", type_name="Building",
+            material="M0", r=10, g=20, b=30,
+            triangles=[[V(0, 0, 0), V(1, 0, 0), V(0, 1, 0)]]),
+    ])
+    pov = eng.serialize_pov(meshes).collect()[0]["pov_text"]
+    assert "triangle {" in pov
+    gltf = eng.serialize_gltf(meshes).collect()[0]["gltf_json"]
+    assert '"asset"' in gltf
+    glb = bytes(eng.serialize_gltf(meshes, binary=True).collect()[0]["glb"])
+    assert glb[:4] == b"glTF"
+    pbf = bytes(eng.serialize_frontend_pbf(meshes).collect()[0]["pbf"])
+    assert len(pbf) > 20
+    faces = meshes.select(
+        "tile", F.col("mesh_order").alias("face_order"),
+        F.lit("G").alias("group_name"), F.col("osm_id").alias("object_name"),
+        "material", "r", "g", "b",
+        F.element_at("triangles", 1).alias("vertices"),
+        F.lit(None).cast(
+            "array<struct<x:double,y:double,z:double>>").alias("normals"),
+        F.lit(None).cast(
+            "array<struct<u:double,v:double>>").alias("texcoords"),
+    )
+    obj = eng.serialize_obj(faces).collect()[0]
+    assert "f 1 2 3" in obj["obj_text"] and "newmtl M0_0" in obj["mtl_text"]

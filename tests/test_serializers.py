@@ -370,6 +370,31 @@ class TestFileWrites:
         assert struct.unpack("<I", b[8:12])[0] == len(b)
 
 
+class TestDegenerateTriangles:
+    def test_normal_is_nan_not_ansi_error(self, spark):
+        # VectorXYZ.crossNormalized on a zero-area triangle is 0d/0d =
+        # NaN in Java; Spark ANSI mode would raise DIVIDE_BY_ZERO
+        # without the guard (found driving the serializer facade over
+        # data containing collapsed triangles)
+        import math
+
+        from osm2world_spark.functions.normals import triangle_normal
+
+        df = spark.createDataFrame(
+            [((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
+             ((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0))],
+            "v1 struct<x:double,y:double,z:double>, "
+            "v2 struct<x:double,y:double,z:double>, "
+            "v3 struct<x:double,y:double,z:double>")
+        rows = df.select(
+            triangle_normal(F.col("v1"), F.col("v2"), F.col("v3")).alias("n")
+        ).collect()
+        degen = [r["n"] for r in rows if math.isnan(r["n"]["x"])]
+        ok = [r["n"] for r in rows if not math.isnan(r["n"]["x"])]
+        assert len(degen) == 1 and len(ok) == 1
+        assert ok[0]["z"] == -1.0  # (v2-v1) x (v2-v3) convention intact
+
+
 class TestFixedFormat:
     def test_spark_duckdb_parity_on_awkward_doubles(self, spark):
         import duckdb
