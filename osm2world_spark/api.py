@@ -158,14 +158,18 @@ class Engine:
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",
-                with_overlaps: bool = True) -> dict:
+                with_overlaps: bool = True,
+                with_models: str | None = None) -> dict:
         """Full resumable pipeline: docs -> per-tile tile_assignments +
         overlaps parquet with commit manifest and lineage (the `tileset`
-        bulk flow, TilesetCommand.java:99-137)."""
+        bulk flow, TilesetCommand.java:99-137). with_models adds the S8
+        serialize tail — triangulated area meshes written per tile as
+        "obj" / "pov" / "gltf" / "fpbf" under <out_dir>/models."""
         from .plans.pipeline import TilePipeline
 
         return TilePipeline(self.spark, out_dir, self._origin()).run(
-            docs, run_ts=run_ts, with_overlaps=with_overlaps
+            docs, run_ts=run_ts, with_overlaps=with_overlaps,
+            with_models=with_models,
         )
 
 

@@ -394,6 +394,7 @@ class TilePipeline:
         run_ts: str = "run0",
         with_overlaps: bool = True,
         with_tileset: bool = False,
+        with_models: str | None = None,
     ) -> dict:
         """Execute the pipeline; safe to re-run after a kill — committed
         tiles are skipped, partially written tiles are overwritten.
@@ -485,5 +486,94 @@ class TilePipeline:
                 docs.sparkSession.read.text(os.path.join(self.out_dir, "tileset")).count()
             )
 
+        if with_models:
+            # S8 model sinks: the reference's convert-and-serialize tail
+            # (map data -> triangulated world geometry -> model files per
+            # tile). Areas are ear-clipped (operators/triangulate.py) into
+            # ground-plane meshes keyed by their z12 tile, then serialized
+            # through the requested sink into <out_dir>/models.
+            report["model_tiles"] = self._write_models(elements, with_models)
+
         elements.unpersist()
         return report
+
+    def _write_models(self, elements: DataFrame, fmt: str) -> int:
+        from pyspark.sql import Window
+
+        from ..operators.triangulate import triangulate
+        from ..sinks.write import write_binary_files, write_text_models
+
+        out = os.path.join(self.out_dir, "models")
+        tris = triangulate(elements)
+        keyed = tris.join(
+            elements.select(
+                F.concat_ws("#", "doc_id", "span_idx").alias("eid"),
+                F.col("tile_z12").cast("string").alias("tile"),
+            ).dropDuplicates(["eid"]),
+            "eid",
+        )
+        tri_array = F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "tri_idx", "ax", "az", "bx", "bz", "cx", "cz"))),
+            lambda s: F.array(
+                F.struct(s["ax"].alias("x"), F.lit(0.0).alias("y"),
+                         s["az"].alias("z")),
+                F.struct(s["bx"].alias("x"), F.lit(0.0).alias("y"),
+                         s["bz"].alias("z")),
+                F.struct(s["cx"].alias("x"), F.lit(0.0).alias("y"),
+                         s["cz"].alias("z")),
+            ),
+        )
+        w = Window.partitionBy("tile").orderBy("eid")
+        meshes = (
+            keyed.groupBy("tile", "eid").agg(tri_array.alias("triangles"))
+            .select(
+                "tile", F.col("eid").alias("osm_id"),
+                F.row_number().over(w).cast("bigint").alias("mesh_order"),
+                F.lit("Area").alias("type_name"),
+                F.lit("TERRAIN_DEFAULT").alias("material"),
+                F.lit(147).alias("r"), F.lit(171).alias("g"),
+                F.lit(132).alias("b"), "triangles",
+            )
+        )
+        if fmt == "obj":
+            from ..sinks.obj import obj_per_tile
+
+            faces = meshes.select(
+                "tile",
+                (F.col("mesh_order") * 4096).alias("face_order"),
+                F.col("type_name").alias("group_name"),
+                F.col("osm_id").alias("object_name"),
+                "material", "r", "g", "b",
+                F.posexplode("triangles").alias("ti", "vertices"),
+            ).select(
+                "tile", (F.col("face_order") + F.col("ti")).alias("face_order"),
+                "group_name", "object_name", "material", "r", "g", "b",
+                "vertices",
+                F.lit(None).cast(
+                    "array<struct<x:double,y:double,z:double>>"
+                ).alias("normals"),
+                F.lit(None).cast(
+                    "array<struct<u:double,v:double>>").alias("texcoords"),
+            )
+            docs_df = obj_per_tile(faces)
+            write_text_models(docs_df, os.path.join(out, "obj"), "obj_text")
+            write_text_models(docs_df, os.path.join(out, "mtl"), "mtl_text")
+        elif fmt == "pov":
+            from ..sinks.povray import pov_per_tile
+
+            write_text_models(pov_per_tile(meshes), os.path.join(out, "pov"),
+                              "pov_text")
+        elif fmt == "gltf":
+            from ..sinks.write import write_gltf_tileset
+
+            write_gltf_tileset(meshes, os.path.join(out, "gltf"))
+        elif fmt == "fpbf":
+            from ..sinks.frontend_pbf import encode_frontend_pbf
+
+            write_binary_files(encode_frontend_pbf(meshes),
+                               os.path.join(out, "fpbf"), "tile", "pbf",
+                               ".pbf")
+        else:
+            raise ValueError(f"unknown model format {fmt!r}")
+        return meshes.select("tile").distinct().count()

@@ -370,6 +370,37 @@ class TestFileWrites:
         assert struct.unpack("<I", b[8:12])[0] == len(b)
 
 
+class TestPipelineModels:
+    def test_pipeline_writes_obj_tree(self, spark, tmp_path):
+        from osm2world_spark.plans.pipeline import TilePipeline
+        from osm2world_spark.sources.documents import synthetic_documents
+
+        docs = synthetic_documents(spark, 40, seed=3)
+        report = TilePipeline(spark, str(tmp_path / "out")).run(
+            docs, with_overlaps=False, with_models="obj")
+        assert report["model_tiles"] > 0
+        objs = list((tmp_path / "out" / "models" / "obj").rglob("part-*"))
+        assert objs
+        txt = objs[0].read_text()
+        assert txt.startswith("# OBJ export") and "\nf " in txt
+        mtls = list((tmp_path / "out" / "models" / "mtl").rglob("part-*"))
+        assert mtls and "newmtl TERRAIN_DEFAULT_0" in mtls[0].read_text()
+
+    def test_pipeline_writes_fpbf_tiles(self, spark, tmp_path):
+        from osm2world_spark.plans.pipeline import TilePipeline
+        from osm2world_spark.sources.documents import synthetic_documents
+        from osm2world_spark.sources.osmpbf import _fields
+
+        docs = synthetic_documents(spark, 40, seed=3)
+        report = TilePipeline(spark, str(tmp_path / "out")).run(
+            docs, with_overlaps=False, with_models="fpbf")
+        pbfs = list((tmp_path / "out" / "models" / "fpbf").glob("*.pbf"))
+        assert len(pbfs) == report["model_tiles"]
+        fields = list(_fields(pbfs[0].read_bytes()))
+        assert [f[0] for f in fields][:6] == [1, 2, 3, 4, 5, 6]
+        assert any(f[0] == 7 for f in fields)  # at least one WorldObject
+
+
 class TestDegenerateTriangles:
     def test_normal_is_nan_not_ansi_error(self, spark):
         # VectorXYZ.crossNormalized on a zero-area triangle is 0d/0d =
