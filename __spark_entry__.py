@@ -2446,6 +2446,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fpbf_objects"] = fpbf_objects_q
 
+    def render_pixels(spark, sf_dir):
+        # S8 PNG render sink (ImageExporter.java, opengl module): the
+        # orthographic top-down rasterizer over per-tile meshes. Scene:
+        # axis-aligned integer rectangles (two CCW triangles each) whose
+        # closed-triangle coverage reduces EXACTLY to interval tests, so
+        # the oracle re-derives every pixel: winner = max mesh_order
+        # among covering rects, background (0,0,0). All coordinates are
+        # small integers and the viewport/raster ratio is integral (4),
+        # so every comparison is exact IEEE double on both engines. The
+        # PNG byte layer over this pixel table is pinned byte-level in
+        # tests/test_image.py (stdlib codec round-trip).
+        from osm2world_spark.sinks.image import rasterize_tiles
+
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("bigint").alias("k"))
+        d = lambda col: col.cast("double")  # noqa: E731
+        x0 = d((F.col("k") * 13) % 160)
+        z0 = d((F.col("k") * 29) % 160)
+        x1 = x0 + d(8 + (F.col("k") % 5) * 6)
+        z1 = z0 + d(8 + (F.col("k") % 7) * 4)
+
+        def P(x, z):
+            return F.struct(x.alias("x"), F.lit(0.0).alias("y"), z.alias("z"))
+
+        meshes = c.select(
+            (F.col("k") % 4).cast("string").alias("tile"),
+            F.col("k").alias("mesh_order"),
+            (F.col("k") % 256).cast("int").alias("r"),
+            ((F.col("k") * 7) % 256).cast("int").alias("g"),
+            ((F.col("k") * 13) % 256).cast("int").alias("b"),
+            F.array(
+                F.array(P(x0, z0), P(x1, z0), P(x1, z1)),
+                F.array(P(x0, z0), P(x1, z1), P(x0, z1)),
+            ).alias("triangles"),
+        )
+        return rasterize_tiles(
+            meshes, 48, 48, viewport=(0.0, 0.0, 192.0, 192.0))
+
+    q["render_pixels"] = render_pixels
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7035,6 +7075,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN stab ON m2.tile = stab.tile AND m2.type_name = stab.type_name
         JOIN mtab ON m2.tile = mtab.tile AND m2.mat = mtab.mat
         JOIN verts ON m2.tile = verts.tile AND m2.mesh_order = verts.mesh_order
+    """
+
+    # PNG render sink: every pixel re-derived from the rect scene —
+    # pixel centers cx = 4*px+2, cz = 190-4*py; closed-interval coverage
+    # (exactly the two-CCW-triangle test for axis-aligned rects); winner
+    # = max c_custkey among covering rects; background (0,0,0).
+    sql["render_pixels"] = """
+        WITH rect AS (
+          SELECT CAST(c_custkey % 4 AS VARCHAR) AS tile, c_custkey AS ord,
+                 CAST(c_custkey % 256 AS INT) AS cr,
+                 CAST((c_custkey * 7) % 256 AS INT) AS cg,
+                 CAST((c_custkey * 13) % 256 AS INT) AS cb,
+                 CAST((c_custkey * 13) % 160 AS DOUBLE) AS x0,
+                 CAST((c_custkey * 29) % 160 AS DOUBLE) AS z0,
+                 CAST((c_custkey * 13) % 160 + 8 + (c_custkey % 5) * 6 AS DOUBLE) AS x1,
+                 CAST((c_custkey * 29) % 160 + 8 + (c_custkey % 7) * 4 AS DOUBLE) AS z1
+          FROM customer
+        ),
+        grid AS (
+          SELECT t.tile, pxs.px, pys.py,
+                 0.0 + (pxs.px + 0.5) * 4.0 AS cx,
+                 192.0 - (pys.py + 0.5) * 4.0 AS cz
+          FROM (SELECT DISTINCT tile FROM rect) t
+          CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS px) pxs
+          CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS py) pys
+        ),
+        winner AS (
+          SELECT g.tile, g.px, g.py, max(r.ord) AS word
+          FROM grid g
+          JOIN rect r ON r.tile = g.tile
+           AND g.cx >= r.x0 AND g.cx <= r.x1
+           AND g.cz >= r.z0 AND g.cz <= r.z1
+          GROUP BY 1, 2, 3
+        )
+        SELECT g.tile, CAST(g.px AS INT) AS px, CAST(g.py AS INT) AS py,
+               COALESCE(r.cr, 0) AS r,
+               COALESCE(r.cg, 0) AS g,
+               COALESCE(r.cb, 0) AS b
+        FROM grid g
+        LEFT JOIN winner w ON w.tile = g.tile AND w.px = g.px AND w.py = g.py
+        LEFT JOIN rect r ON r.tile = g.tile AND r.ord = w.word
     """
 
     sql["srtm_decode"] = """

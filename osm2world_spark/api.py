@@ -164,7 +164,7 @@ class Engine:
         overlaps parquet with commit manifest and lineage (the `tileset`
         bulk flow, TilesetCommand.java:99-137). with_models adds the S8
         serialize tail — triangulated area meshes written per tile as
-        "obj" / "pov" / "gltf" / "fpbf" under <out_dir>/models."""
+        "obj" / "pov" / "gltf" / "fpbf" / "png" under <out_dir>/models."""
         from .plans.pipeline import TilePipeline
 
         return TilePipeline(self.spark, out_dir, self._origin()).run(

@@ -574,6 +574,12 @@ class TilePipeline:
             write_binary_files(encode_frontend_pbf(meshes),
                                os.path.join(out, "fpbf"), "tile", "pbf",
                                ".pbf")
+        elif fmt == "png":
+            from ..sinks.image import write_png_tiles
+
+            # per-tile auto viewport (the reference's ortho camera over
+            # the tile's data bbox, ImageExporter.java)
+            write_png_tiles(meshes, os.path.join(out, "png"))
         else:
             raise ValueError(f"unknown model format {fmt!r}")
         return meshes.select("tile").distinct().count()

@@ -1,0 +1,212 @@
+"""PNG render sink: orthographic top-down rasterization of tile meshes.
+
+Reference: ImageExporter (/root/reference/opengl/src/main/java/org/
+osm2world/output/image/ImageExporter.java) renders each scene through an
+offscreen OpenGL context (JOGL pbuffer, orthographic camera over the data
+bbox, `writeImageFile` -> PNG rows) — the reference's PNG output format
+(`ImageOutputFormat.java`). The GPU pipeline itself is out of sandbox
+scope; what this module reproduces is the *output semantics*: an
+orthographic, north-up projection of the tile's triangles onto a W x H
+pixel grid, meshes drawn in deterministic order, PNG-encoded — over the
+same per-tile meshes DataFrame the other S8 sinks (OBJ / POV / glTF /
+frontend-PBF) consume, so `TilePipeline.run(with_models="png")` completes
+the S8 format family.
+
+Spark shape: ONE `applyInPandas` per tile produces the pixel table
+(vectorized numpy half-plane coverage, painter's compositing); the PNG
+byte layer is a second per-tile Arrow pass over that table through the
+pure-stdlib encoder in `functions/png.py`. No per-row Python UDFs; the
+hot loop is per-TRIANGLE numpy over the triangle's pixel-bbox subgrid,
+bounded work per task because tiles bound their mesh lists.
+
+Determinism contract (what the DuckDB oracle re-derives):
+
+* pixel centers:  cx = minx + (px + 0.5) * (maxx - minx) / W
+                  cz = maxz - (py + 0.5) * (maxz - minz) / H
+  (north-up: py = 0 is the max-z row, matching PNG row order).
+* coverage: closed-triangle test — all three cross products >= 0 after
+  CCW orientation (negative signed area reorients, zero-area triangles
+  cover nothing). For an axis-aligned rectangle split into two CCW
+  triangles this reduces EXACTLY to the closed interval test
+  x0 <= cx <= x1 AND z0 <= cz <= z1, which is how the oracle states it.
+* compositing: ascending (mesh_order, triangle index) painter's order —
+  the last covering triangle wins the pixel (the reference draws meshes
+  in scene order; for the coplanar top-down ground view draw order IS
+  the depth rule). Background pixels keep the `background` color.
+
+Arithmetic: each cross product is one subtraction of two double products
+of coordinate differences — for integer-valued scene coordinates and an
+integer viewport/raster ratio every comparison is exact in IEEE double,
+so the Spark kernel and the SQL oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+PIXELS_SCHEMA = "tile string, px int, py int, r int, g int, b int"
+PNG_SCHEMA = "tile string, png binary"
+
+
+def _viewport_of(pdf: pd.DataFrame) -> tuple[float, float, float, float]:
+    """Per-tile auto viewport: bbox of every vertex, degenerate axes
+    padded to unit extent (a point scene still renders)."""
+    xs: list[float] = []
+    zs: list[float] = []
+    for tris in pdf["triangles"]:
+        for tri in tris:
+            for v in tri:
+                xs.append(v["x"])
+                zs.append(v["z"])
+    if not xs:
+        return (0.0, 0.0, 1.0, 1.0)
+    minx, maxx = min(xs), max(xs)
+    minz, maxz = min(zs), max(zs)
+    if maxx <= minx:
+        maxx = minx + 1.0
+    if maxz <= minz:
+        maxz = minz + 1.0
+    return (minx, minz, maxx, maxz)
+
+
+def _raster_kernel(
+    pdf: pd.DataFrame,
+    width: int,
+    height: int,
+    viewport: tuple[float, float, float, float] | None,
+    background: tuple[int, int, int],
+) -> pd.DataFrame:
+    tile = str(pdf["tile"].iloc[0])
+    vp = viewport if viewport is not None else _viewport_of(pdf)
+    minx, minz, maxx, maxz = (float(v) for v in vp)
+    # pixel-center axes; zc is DESCENDING (north-up image rows)
+    xc = minx + (np.arange(width, dtype=np.float64) + 0.5) * (maxx - minx) / width
+    zc = maxz - (np.arange(height, dtype=np.float64) + 0.5) * (maxz - minz) / height
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    img[..., 0] = background[0]
+    img[..., 1] = background[1]
+    img[..., 2] = background[2]
+
+    # flatten to per-triangle arrays in ascending painter's order
+    pdf = pdf.sort_values("mesh_order", kind="mergesort")
+    for row in pdf.itertuples(index=False):
+        color = np.array([row.r & 255, row.g & 255, row.b & 255], dtype=np.uint8)
+        for tri in row.triangles:
+            ax, az = float(tri[0]["x"]), float(tri[0]["z"])
+            bx, bz = float(tri[1]["x"]), float(tri[1]["z"])
+            cx_, cz_ = float(tri[2]["x"]), float(tri[2]["z"])
+            area2 = (bx - ax) * (cz_ - az) - (bz - az) * (cx_ - ax)
+            if area2 == 0.0:
+                continue  # degenerate: covers nothing
+            if area2 < 0.0:  # reorient to CCW so >=0 means inside
+                bx, bz, cx_, cz_ = cx_, cz_, bx, bz
+            # clip to the triangle's pixel bbox (inclusive on centers)
+            tminx, tmaxx = min(ax, bx, cx_), max(ax, bx, cx_)
+            tminz, tmaxz = min(az, bz, cz_), max(az, bz, cz_)
+            x0i = int(np.searchsorted(xc, tminx, "left"))
+            x1i = int(np.searchsorted(xc, tmaxx, "right"))
+            z0i = int(np.searchsorted(-zc, -tmaxz, "left"))
+            z1i = int(np.searchsorted(-zc, -tminz, "right"))
+            if x0i >= x1i or z0i >= z1i:
+                continue
+            X = xc[x0i:x1i][None, :]
+            Z = zc[z0i:z1i][:, None]
+            d1 = (bx - ax) * (Z - az) - (bz - az) * (X - ax)
+            d2 = (cx_ - bx) * (Z - bz) - (cz_ - bz) * (X - bx)
+            d3 = (ax - cx_) * (Z - cz_) - (az - cz_) * (X - cx_)
+            mask = (d1 >= 0) & (d2 >= 0) & (d3 >= 0)
+            img[z0i:z1i, x0i:x1i][mask] = color
+
+    py, px = np.mgrid[0:height, 0:width]
+    return pd.DataFrame(
+        {
+            "tile": tile,
+            "px": px.ravel().astype(np.int32),
+            "py": py.ravel().astype(np.int32),
+            "r": img[..., 0].ravel().astype(np.int32),
+            "g": img[..., 1].ravel().astype(np.int32),
+            "b": img[..., 2].ravel().astype(np.int32),
+        }
+    )
+
+
+def rasterize_tiles(
+    meshes: DataFrame,
+    width: int = 256,
+    height: int = 256,
+    viewport: tuple[float, float, float, float] | None = None,
+    background: tuple[int, int, int] = (0, 0, 0),
+) -> DataFrame:
+    """Rasterize per-tile meshes to the full W x H pixel table.
+
+    Input contract (the `_write_models` meshes shape): ``tile: string,
+    mesh_order: bigint, r/g/b: int, triangles:
+    array<array<struct<x,y,z:double>>>`` — inner arrays are vertex
+    triples; the y component is ignored (top-down view). ``viewport`` is
+    a shared ``(minx, minz, maxx, maxz)`` window; ``None`` uses each
+    tile's own vertex bbox (the reference's ortho-camera-over-data-bbox
+    default, ImageExporter.java).
+
+    Output: one row per (tile, px, py) — W*H rows per tile — with the
+    composited color. This is the hash-verified evidence surface; the
+    PNG byte layer (`render_png_tiles`) is a pure re-encoding of it.
+    """
+    w, h = int(width), int(height)
+    bg = tuple(int(v) & 255 for v in background)
+    vp = None if viewport is None else tuple(float(v) for v in viewport)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _raster_kernel(pdf, w, h, vp, bg)
+
+    cols = ["tile", "mesh_order", "r", "g", "b", "triangles"]
+    return meshes.select(*cols).groupBy("tile").applyInPandas(kernel, PIXELS_SCHEMA)
+
+
+def render_png_tiles(pixels: DataFrame, width: int, height: int) -> DataFrame:
+    """Encode the pixel table to one PNG per tile (RGB8, stdlib codec).
+
+    The bytes are a pure function of the pixel table: rows in (py, px)
+    order become image rows — so the PNG layer inherits the pixel
+    table's oracle, and `decode_png(png)` round-trips to it exactly
+    (pinned in tests/test_image.py)."""
+    from ..functions.png import encode_png
+
+    w, h = int(width), int(height)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = str(pdf["tile"].iloc[0])
+        if len(pdf) != w * h:
+            raise ValueError(
+                f"tile {tile}: expected {w * h} pixel rows, got {len(pdf)}"
+            )
+        pdf = pdf.sort_values(["py", "px"], kind="mergesort")
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[..., 0] = pdf["r"].to_numpy().reshape(h, w)
+        img[..., 1] = pdf["g"].to_numpy().reshape(h, w)
+        img[..., 2] = pdf["b"].to_numpy().reshape(h, w)
+        return pd.DataFrame({"tile": [tile], "png": [encode_png(img)]})
+
+    return pixels.groupBy("tile").applyInPandas(kernel, PNG_SCHEMA)
+
+
+def write_png_tiles(
+    meshes: DataFrame,
+    path: str,
+    width: int = 256,
+    height: int = 256,
+    viewport: tuple[float, float, float, float] | None = None,
+    background: tuple[int, int, int] = (0, 0, 0),
+) -> None:
+    """Materialize one ``<tile>.png`` per tile under ``path`` (the
+    reference's per-tile image files), via the executor-side binary
+    writer — bytes never pass the driver."""
+    from .write import write_binary_files
+
+    pngs = render_png_tiles(
+        rasterize_tiles(meshes, width, height, viewport, background),
+        width,
+        height,
+    )
+    write_binary_files(pngs, path, "tile", "png", ".png")
