@@ -2486,6 +2486,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["render_pixels"] = render_pixels
 
+    def classify_docs(spark, sf_dir):
+        # fastText-style hashed linear classifier INFERENCE (the
+        # model-based quality-filter pass, CCNet/DCLM/FineWeb-Edu):
+        # explode tokens -> md5 bucket -> broadcast weight join -> one
+        # groupBy(doc) -> argmax. Weights/biases are closed-form
+        # integers over 64 buckets x 3 classes so the oracle rebuilds
+        # the entire model and every exact-bigint score.
+        from osm2world_spark.operators.classify import hashed_linear_scores
+
+        wv = spark.range(64).select(
+            F.col("id").alias("bucket"),
+            F.array(
+                *[
+                    ((F.col("id") * 2654435761 + c * 40503) % 2001 - 1000)
+                    .cast("bigint")
+                    for c in range(3)
+                ]
+            ).alias("ws"),
+        )
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        scored = hashed_linear_scores(
+            docs, wv, [-25, 12, -1], 64, key="md5")
+        return scored.select(
+            "doc_id",
+            "n_tokens",
+            F.element_at("scores", 1).alias("s0"),
+            F.element_at("scores", 2).alias("s1"),
+            F.element_at("scores", 3).alias("s2"),
+            "label",
+        )
+
+    q["classify_docs"] = classify_docs
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7116,6 +7149,45 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN winner w ON w.tile = g.tile AND w.px = g.px AND w.py = g.py
         LEFT JOIN rect r ON r.tile = g.tile AND r.ord = w.word
+    """
+
+    # Hashed linear classifier: the full model (64 buckets x 3 classes,
+    # closed-form integer weights) and every score re-derived — token
+    # buckets via the portable md5-prefix family, per-class sums exact
+    # bigints, argmax with lowest-index tie-break, common-denominator
+    # bias form s_c = sum_w + n_tokens * b_c.
+    sql["classify_docs"] = """
+        WITH wv AS (
+          SELECT b,
+                 ((b * 2654435761) % 2001) - 1000 AS w0,
+                 ((b * 2654435761 + 40503) % 2001) - 1000 AS w1,
+                 ((b * 2654435761 + 81006) % 2001) - 1000 AS w2
+          FROM (SELECT unnest(generate_series(0, 63)) AS b)
+        ),
+        tok AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(t.tok), 1, 8))::BIGINT) % 64 AS b
+          FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+          WHERE t.tok != ''
+        ),
+        s AS (
+          SELECT tok.doc_id, count(*) AS n_tokens,
+                 CAST(sum(wv.w0) AS BIGINT) AS r0,
+                 CAST(sum(wv.w1) AS BIGINT) AS r1,
+                 CAST(sum(wv.w2) AS BIGINT) AS r2
+          FROM tok JOIN wv ON wv.b = tok.b
+          GROUP BY tok.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(r0 + n_tokens * (-25) AS BIGINT) AS s0,
+               CAST(r1 + n_tokens * 12 AS BIGINT) AS s1,
+               CAST(r2 + n_tokens * (-1) AS BIGINT) AS s2,
+               CAST(CASE
+                 WHEN r0 + n_tokens * (-25) >= r1 + n_tokens * 12
+                  AND r0 + n_tokens * (-25) >= r2 + n_tokens * (-1) THEN 0
+                 WHEN r1 + n_tokens * 12 >= r2 + n_tokens * (-1) THEN 1
+                 ELSE 2 END AS INT) AS label
+        FROM s
     """
 
     sql["srtm_decode"] = """
