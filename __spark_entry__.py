@@ -2519,6 +2519,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classify_docs"] = classify_docs
 
+    def normalized_dedup(spark, sf_dir):
+        # CCNet-style normalized-key exact dedup (Wenzek 2020): two
+        # synthesized variants per document — accented-prefix original
+        # vs uppercased/digit-equivalent/extra-whitespace copy — must
+        # collapse to one group under the normalization pipeline
+        # (accents -> lower -> digit fold -> whitespace collapse). The
+        # oracle replays the exact same Column pipeline in SQL.
+        from osm2world_spark.operators.normalize import normalized_dup_groups
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        t = F.col("text")
+        v1 = d.select(
+            F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("vid"),
+            F.concat(F.lit("héllo "), t).alias("text"),
+        )
+        v2 = d.select(
+            F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("vid"),
+            F.concat(
+                F.lit("HÉLLO "),
+                F.upper(F.regexp_replace(t, " ", "   ")),
+                F.lit("  "),
+            ).alias("text"),
+        )
+        groups = normalized_dup_groups(v1.unionAll(v2), id_col="vid")
+        return groups.select(
+            "norm_md5",
+            "n_docs",
+            F.concat_ws(",", "doc_ids").alias("doc_ids_str"),
+            "survivor",
+        )
+
+    q["normalized_dedup"] = normalized_dedup
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7188,6 +7221,37 @@ def oracle_sql() -> dict[str, str]:
                  WHEN r1 + n_tokens * 12 >= r2 + n_tokens * (-1) THEN 1
                  ELSE 2 END AS INT) AS label
         FROM s
+    """
+
+    # Normalized-key dedup: the oracle replays the full normalization
+    # pipeline (accent translate -> lower -> digit fold -> whitespace
+    # collapse with the 'g' flag -> trim) on both synthesized variants
+    # and groups by md5 of the normalized form.
+    _acc_src = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+    _acc_dst = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+    _norm = (
+        "trim(regexp_replace(translate(lower(translate({x}, "
+        f"'{_acc_src}', '{_acc_dst}')), '123456789', '000000000'), "
+        "'[ \\t\\r\\n]+', ' ', 'g'))"
+    )
+    sql["normalized_dedup"] = f"""
+        WITH variants AS (
+          SELECT 'a' || doc_id::VARCHAR AS vid,
+                 'héllo ' || text AS text
+          FROM documents
+          UNION ALL
+          SELECT 'b' || doc_id::VARCHAR,
+                 'HÉLLO ' || upper(replace(text, ' ', '   ')) || '  '
+          FROM documents
+        ),
+        norm AS (
+          SELECT vid, md5({_norm.format(x="text")}) AS norm_md5
+          FROM variants
+        )
+        SELECT norm_md5, count(*) AS n_docs,
+               array_to_string(list(vid ORDER BY vid), ',') AS doc_ids_str,
+               min(vid) AS survivor
+        FROM norm GROUP BY norm_md5 HAVING count(*) > 1
     """
 
     sql["srtm_decode"] = """
