@@ -2552,6 +2552,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["normalized_dedup"] = normalized_dedup
 
+    def shard_corpus_q(spark, sf_dir):
+        # Global deterministic shuffle + shard assignment (the training
+        # data-loader layout): shard and within-shard position are pure
+        # functions of the id via the portable md5 family — the oracle
+        # replays hash, pmod, and the rank window exactly.
+        from osm2world_spark.operators.packing import shard_corpus
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        return shard_corpus(d, 8, key="md5")
+
+    q["shard_corpus"] = shard_corpus_q
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7252,6 +7264,17 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list(vid ORDER BY vid), ',') AS doc_ids_str,
                min(vid) AS survivor
         FROM norm GROUP BY norm_md5 HAVING count(*) > 1
+    """
+
+    sql["shard_corpus"] = f"""
+        WITH h AS (
+          SELECT doc_id, {_u32.format(c="doc_id")} AS hv FROM documents
+        )
+        SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT
+               ) AS shard_pos
+        FROM h
     """
 
     sql["srtm_decode"] = """

@@ -302,3 +302,42 @@ def weighted_sample_topk(
         .where(F.col("samp_rank") <= k)
         .select(*cols, "samp_rank")
     )
+
+
+def shard_corpus(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    key: str = "hash",
+) -> DataFrame:
+    """Global deterministic shuffle + shard assignment for training.
+
+    The last step before a training run: every document (or packed
+    sequence) gets a shard in [0, n_shards) and a position within it,
+    both pure functions of the id — the "global shuffle" data loaders
+    rely on, without an actual random permutation pass. Hash order is
+    uncorrelated with source order (crawl order, tile order), so each
+    shard is an unbiased sample and within-shard order is already
+    shuffled; re-running on the same corpus yields byte-identical
+    shards (resumable, seedless — the sample_split discipline).
+
+    Shape: ONE window exchange (rank within shard by the same hash,
+    ties by id). Write with ``.write.partitionBy("shard")`` after
+    ``sortWithinPartitions("shard_pos")`` for sequential-read shards.
+
+    key="hash" = xxhash64 (production); key="md5" = the portable
+    md5-prefix family (the oracle mode, driver query ``shard_corpus``).
+    """
+    if key == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+    else:
+        h = F.xxhash64(F.col(id_col))
+    out = docs.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return out.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("_h")

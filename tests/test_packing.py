@@ -136,3 +136,41 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     top = weighted_sample_topk(df, 10, "w").collect()
     heavy = sum(1 for r in top if r["w"] == 1000.0)
     assert heavy >= 8, heavy
+
+
+def test_shard_corpus_md5_matches_scalar_and_is_dense(spark):
+    import hashlib
+
+    from osm2world_spark.operators.packing import shard_corpus
+
+    ids = [f"doc{i:03d}" for i in range(97)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    rows = shard_corpus(docs, 8, key="md5").collect()
+    got = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in rows}
+
+    hv = {i: int(hashlib.md5(i.encode()).hexdigest()[:8], 16) for i in ids}
+    want = {}
+    for s in range(8):
+        members = sorted((hv[i], i) for i in ids if hv[i] % 8 == s)
+        for pos, (_, i) in enumerate(members):
+            want[i] = (s, pos)
+    assert got == want
+    # every shard's positions are dense 0..k-1
+    by_shard = {}
+    for s, p in got.values():
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_shard_corpus_partitioning_invariant_and_hash_mode(spark):
+    from osm2world_spark.operators.packing import shard_corpus
+
+    docs = spark.range(500).select(F.col("id").cast("string").alias("doc_id"))
+    a = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in shard_corpus(docs, 16).collect()}
+    b = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in shard_corpus(docs.repartition(13), 16).collect()}
+    assert a == b
+    shards = {s for _, s, _ in a}
+    assert shards == set(range(16))  # xxhash64 mode: all shards occupied

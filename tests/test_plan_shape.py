@@ -255,3 +255,46 @@ def test_stage_files_are_morton_clustered(spark, tmp_path):
     for f, rows in by_file.items():
         ms = [m for _, m in sorted(rows)]
         assert ms == sorted(ms), f"file {f} not morton-clustered"
+
+
+def test_round5_classifier_and_normalize_plan_shape(spark):
+    """The new training-pipeline ops keep the claimed 100-TB shapes:
+    classifier = broadcast model join + ONE doc aggregation exchange,
+    zero Python; normalized dedup = ONE exchange, normalization inlined
+    in the codegen Project; rasterizer evidence stays Arrow-batched
+    (FlatMapGroupsInPandas, no row-at-a-time EvalPython)."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.operators.classify import hashed_linear_scores
+    from osm2world_spark.operators.normalize import normalized_dup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    wv = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        F.array(*[(F.col("id") * (c + 1)).cast("bigint") for c in range(3)]
+                ).alias("ws"),
+    )
+    cls_plan = _plan(hashed_linear_scores(docs, wv, [0, 0, 0], 64))
+    assert "BroadcastHashJoin" in cls_plan, cls_plan
+    assert cls_plan.count("Exchange hashpartitioning") == 1, cls_plan
+    assert "EvalPython" not in cls_plan
+
+    norm_plan = _plan(normalized_dup_groups(docs))
+    assert norm_plan.count("Exchange hashpartitioning") == 1, norm_plan
+    assert "EvalPython" not in norm_plan
+    assert "translate" in norm_plan  # normalization folded into the plan
+
+    from osm2world_spark.sinks.image import rasterize_tiles
+
+    meshes = spark.createDataFrame(
+        [("t", 1, 1, 2, 3,
+          [[{"x": 0.0, "y": 0.0, "z": 0.0},
+            {"x": 1.0, "y": 0.0, "z": 0.0},
+            {"x": 0.0, "y": 0.0, "z": 1.0}]])],
+        "tile string, mesh_order bigint, r int, g int, b int, "
+        "triangles array<array<struct<x double, y double, z double>>>",
+    )
+    px_plan = _plan(rasterize_tiles(meshes, 8, 8, viewport=(0, 0, 1, 1)))
+    assert "FlatMapGroupsInPandas" in px_plan, px_plan
+    assert "BatchEvalPython" not in px_plan
