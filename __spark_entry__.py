@@ -2564,6 +2564,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_corpus"] = shard_corpus_q
 
+    def video_frames(spark, sf_dir):
+        # Video decode + frame sampling (functions/avi.py): real
+        # RIFF/AVI payloads with closed-form gradient DIB frames are
+        # decoded and every-2nd-frame-sampled; the per-frame channel
+        # sums AND coordinate-weighted sums (which pin the bottom-up
+        # row flip, BGR order and row padding) are exact integers the
+        # oracle re-derives arithmetically.
+        from osm2world_spark.operators.multimodal import (
+            synthetic_avi_media,
+            video_frame_evidence,
+        )
+
+        keys = _t(spark, sf_dir, "documents").select("doc_id")
+        return video_frame_evidence(
+            synthetic_avi_media(keys, "doc_id"), every=2)
+
+    q["video_frames"] = video_frames
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7264,6 +7282,37 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list(vid ORDER BY vid), ',') AS doc_ids_str,
                min(vid) AS survivor
         FROM norm GROUP BY norm_md5 HAVING count(*) > 1
+    """
+
+    # Video frame evidence: frame f of doc k has channel gradients
+    # r(x)=(k+f+x)%256, g(y)=(k*3+f*7+y)%256, b=(k*5+f*11)%256 over a
+    # 15x13 raster; sums and coordinate-weighted sums re-derived per
+    # sampled frame (0, 2, 4 of 6).
+    sql["video_frames"] = """
+        WITH fr(frame) AS (VALUES (0), (2), (4)),
+        xs AS (SELECT unnest(generate_series(0, 14)) AS x),
+        ys AS (SELECT unnest(generate_series(0, 12)) AS y),
+        rx AS (
+          SELECT d.doc_id AS k, fr.frame,
+                 CAST(sum((d.doc_id + fr.frame + xs.x) % 256) AS BIGINT) AS sr,
+                 CAST(sum(xs.x * ((d.doc_id + fr.frame + xs.x) % 256)) AS BIGINT) AS wr
+          FROM documents d, fr, xs GROUP BY 1, 2
+        ),
+        gy AS (
+          SELECT d.doc_id AS k, fr.frame,
+                 CAST(sum((d.doc_id * 3 + fr.frame * 7 + ys.y) % 256) AS BIGINT) AS sg,
+                 CAST(sum(ys.y * ((d.doc_id * 3 + fr.frame * 7 + ys.y) % 256)) AS BIGINT) AS wg
+          FROM documents d, fr, ys GROUP BY 1, 2
+        )
+        SELECT rx.k::VARCHAR AS doc_id, CAST(rx.frame AS INT) AS frame,
+               CAST(6 AS INT) AS n_frames, CAST(15 AS INT) AS w,
+               CAST(13 AS INT) AS h,
+               CAST(13 * rx.sr AS BIGINT) AS sum_r,
+               CAST(15 * gy.sg AS BIGINT) AS sum_g,
+               CAST(15 * 13 * ((rx.k * 5 + rx.frame * 11) % 256) AS BIGINT) AS sum_b,
+               CAST(13 * rx.wr AS BIGINT) AS wx_r,
+               CAST(15 * gy.wg AS BIGINT) AS wy_g
+        FROM rx JOIN gy ON rx.k = gy.k AND rx.frame = gy.frame
     """
 
     sql["shard_corpus"] = f"""

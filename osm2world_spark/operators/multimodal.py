@@ -1,15 +1,17 @@
-"""Multimodal (image/audio) span plumbing.
+"""Multimodal (image/audio/video) span plumbing.
 
 Media payloads are opaque `binary` columns + typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over `mapInPandas`. The image decode path is REAL for PNG
-(functions/png.py, stdlib zlib + numpy scanline filters) AND baseline
-JPEG (functions/jpeg.py, pure-stdlib ITU-T T.81 Huffman + DCT) — no
-PIL/libav in this sandbox: `extract_features(real_codecs=True)`
-dispatches on magic bytes, reconstructs actual pixels, and reduces them
-to a 4x4 block-luminance feature grid. Audio/video would dispatch at the
-same one-function seam; the deterministic hash stub (`_fake_decode`)
-remains for synthetic payloads that are not image bytes.
+over `mapInPandas`. Every media_type in MEDIA_SCHEMA has a REAL decode
+path — PNG (functions/png.py, stdlib zlib + numpy scanline filters),
+baseline+progressive JPEG (functions/jpeg.py, pure-stdlib ITU-T T.81),
+RIFF/WAVE PCM audio (functions/wav.py), and RIFF/AVI uncompressed video
+(functions/avi.py, bottom-up BGR DIB frames + every-k-th frame
+sampling) — no PIL/libav in this sandbox:
+`extract_features(real_codecs=True)` dispatches on magic bytes,
+reconstructs actual pixels/samples/frames, and reduces them to a 16-dim
+feature. The deterministic hash stub (`_fake_decode`) remains for
+synthetic payloads that are not real media bytes.
 """
 
 from __future__ import annotations
@@ -160,10 +162,13 @@ def synthetic_jpeg_media(
 
 def _real_decode_features(payload: bytes) -> np.ndarray:
     """REAL decode path: dispatch on magic bytes — PNG (functions/png.py),
-    baseline JPEG (functions/jpeg.py), or RIFF/WAVE PCM audio
-    (functions/wav.py), all pure-stdlib codecs. Images reduce to the 4x4
-    block mean-luminance grid; audio reduces to 8 windows x (abs-sum,
-    sign-change count) — both 16-dim."""
+    baseline/progressive JPEG (functions/jpeg.py), RIFF/WAVE PCM audio
+    (functions/wav.py), or RIFF/AVI uncompressed video (functions/avi.py;
+    the RIFF form type at bytes 8:12 splits the two RIFF families), all
+    pure-stdlib codecs. Images reduce to the 4x4 block mean-luminance
+    grid; audio reduces to 8 windows x (abs-sum, sign-change count);
+    video reduces to the MEAN over every-2nd-frame samples of the
+    per-frame 4x4 block-luma grid — all 16-dim."""
     from osm2world_spark.functions.png import block_mean_features, decode_png
 
     payload = bytes(payload)
@@ -172,6 +177,13 @@ def _real_decode_features(payload: bytes) -> np.ndarray:
 
         return block_mean_features(decode_jpeg(payload), grid=4)
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            from osm2world_spark.functions.avi import decode_avi, sample_frames
+
+            frames = sample_frames(decode_avi(payload)[0], 2)
+            grids = np.stack(
+                [block_mean_features(f, grid=4) for f in frames])
+            return grids.mean(axis=0).astype(np.float32)
         from osm2world_spark.functions.wav import audio_window_features, decode_wav
 
         return audio_window_features(decode_wav(payload)[0], windows=8)
@@ -241,3 +253,85 @@ def synthetic_wav_media(keys: DataFrame, key_col: str, n_samples: int = 1024) ->
             )
 
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_avi_media(
+    keys: DataFrame, key_col: str, n_frames: int = 6, w: int = 15, h: int = 13
+) -> DataFrame:
+    """One REAL RIFF/AVI payload per key (functions/avi.py): uncompressed
+    24-bit DIB frames whose channels are closed-form gradients —
+    r(x) = (k + f + x) % 256, g(y) = (k*3 + f*7 + y) % 256,
+    b = (k*5 + f*11) % 256 for frame f — so the decoded per-frame sums
+    AND coordinate-weighted sums the driver oracle recomputes pin the
+    row order (bottom-up flip), channel order (BGR swap) and row padding
+    (w=15 -> 45-byte rows padded to 48). Width/height odd on purpose."""
+    from osm2world_spark.functions.avi import encode_avi
+
+    base = keys.select(F.col(key_col).cast("bigint").alias("k"))
+    xs = np.arange(w, dtype=np.int64)[None, None, :]
+    ys = np.arange(h, dtype=np.int64)[None, :, None]
+    fs = np.arange(n_frames, dtype=np.int64)[:, None, None]
+
+    def gen(batches):
+        for pdf in batches:
+            ks = pdf["k"].to_numpy(np.int64)
+            payloads = []
+            for k in ks:
+                frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+                frames[..., 0] = (int(k) + fs + xs) % 256
+                frames[..., 1] = (int(k) * 3 + fs * 7 + ys) % 256
+                frames[..., 2] = ((int(k) * 5 + fs * 11) % 256)
+                payloads.append(encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(k) for k in ks],
+                    "span_idx": np.zeros(len(ks), np.int32),
+                    "media_ref": [str(k) for k in ks],
+                    "media_type": ["video"] * len(ks),
+                    "payload": payloads,
+                    "width": np.full(len(ks), w, np.int32),
+                    "height": np.full(len(ks), h, np.int32),
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def video_frame_evidence(media: DataFrame, every: int = 2) -> DataFrame:
+    """Decode AVI payloads, sample every-k-th frame, and emit the exact
+    integer evidence per (doc, frame): channel sums and coordinate-
+    weighted sums — the hash-verification surface of the video path
+    (driver query `video_frames`)."""
+    schema = (
+        "doc_id string, frame int, n_frames int, w int, h int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, "
+        "wx_r bigint, wy_g bigint"
+    )
+
+    def kernel(batches):
+        from osm2world_spark.functions.avi import decode_avi, sample_frames
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame", "n_frames", "w", "h",
+                "sum_r", "sum_g", "sum_b", "wx_r", "wy_g")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _ = decode_avi(bytes(payload))
+                n, h, w, _c = frames.shape
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                for fi in range(0, n, max(1, every)):
+                    f = frames[fi].astype(np.int64)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame"].append(fi)
+                    rows["n_frames"].append(n)
+                    rows["w"].append(w)
+                    rows["h"].append(h)
+                    rows["sum_r"].append(int(f[..., 0].sum()))
+                    rows["sum_g"].append(int(f[..., 1].sum()))
+                    rows["sum_b"].append(int(f[..., 2].sum()))
+                    rows["wx_r"].append(int((f[..., 0] * xs[None, :]).sum()))
+                    rows["wy_g"].append(int((f[..., 1] * ys[:, None]).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=schema)
