@@ -2582,6 +2582,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_frames"] = video_frames
 
+    def image_resize(spark, sf_dir):
+        # Exact box-downsample resize (operators/multimodal.py): decode
+        # the gradient PNG fixtures, reduce 16x16 -> 4x4 by integer
+        # block sums / floor means; every output pixel's sum and value
+        # re-derived arithmetically by the oracle.
+        from osm2world_spark.operators.multimodal import (
+            resized_pixel_evidence,
+            synthetic_png_media,
+        )
+
+        keys = _t(spark, sf_dir, "documents").select("doc_id")
+        return resized_pixel_evidence(
+            synthetic_png_media(keys, "doc_id", size=16), factor=4)
+
+    q["image_resize"] = image_resize
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7313,6 +7329,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(13 * rx.wr AS BIGINT) AS wx_r,
                CAST(15 * gy.wg AS BIGINT) AS wy_g
         FROM rx JOIN gy ON rx.k = gy.k AND rx.frame = gy.frame
+    """
+
+    # Image resize: block sums of the 16x16 gradient fixture
+    # img[y,x] = (y*16 + x + k) % 256 reduced 4x4 per output pixel.
+    sql["image_resize"] = """
+        WITH s AS (
+          SELECT d.doc_id AS k, ys.y, xs.x,
+                 CAST(sum(((4 * ys.y + dys.dy) * 16 + 4 * xs.x + dxs.dx
+                           + d.doc_id) % 256) AS BIGINT) AS bsum
+          FROM documents d,
+               (SELECT unnest(generate_series(0, 3)) AS y) ys,
+               (SELECT unnest(generate_series(0, 3)) AS x) xs,
+               (SELECT unnest(generate_series(0, 3)) AS dy) dys,
+               (SELECT unnest(generate_series(0, 3)) AS dx) dxs
+          GROUP BY 1, 2, 3
+        )
+        SELECT k::VARCHAR AS doc_id, CAST(y AS INT) AS y,
+               CAST(x AS INT) AS x, bsum,
+               CAST(bsum // 16 AS INT) AS v
+        FROM s
     """
 
     sql["shard_corpus"] = f"""

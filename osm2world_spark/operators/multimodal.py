@@ -335,3 +335,91 @@ def video_frame_evidence(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Image payload -> (h, w, c) uint8 via the magic-byte dispatch
+    (PNG or JPEG); greyscale normalizes to c=1."""
+    payload = bytes(payload)
+    if payload[:2] == b"\xff\xd8":
+        from osm2world_spark.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+    else:
+        from osm2world_spark.functions.png import decode_png
+
+        img = decode_png(payload)
+    return img[..., None] if img.ndim == 2 else img
+
+
+def _box_reduce(img: np.ndarray, factor: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact box downsample: crop to factor multiples, then per output
+    pixel the integer block SUM over factor x factor x channels and the
+    floor-mean value sum // (factor^2 * c). Returns (sums int64 (H, W),
+    values uint8 (H, W, c) with per-channel floor means)."""
+    f = int(factor)
+    h, w, c = img.shape
+    hh, ww = (h // f) * f, (w // f) * f
+    img = img[:hh, :ww].astype(np.int64)
+    blocks = img.reshape(hh // f, f, ww // f, f, c)
+    ch_sums = blocks.sum(axis=(1, 3))            # (H, W, c)
+    sums = ch_sums.sum(axis=2)                   # (H, W) all-channel sum
+    vals = (ch_sums // (f * f)).astype(np.uint8)  # per-channel floor mean
+    return sums, vals
+
+
+def resize_images(media: DataFrame, factor: int) -> DataFrame:
+    """The resize step of the multimodal pipeline: exact integer box
+    downsample by ``factor`` (output pixel = floor mean of the
+    factor x factor block, trailing rows/cols cropped to multiples),
+    re-encoded as PNG — deterministic by construction (no float filter
+    kernels, so no engine/library skew). Arrow-batched `mapInPandas`,
+    same MEDIA_SCHEMA out (payload/width/height replaced)."""
+    from osm2world_spark.functions.png import encode_png
+
+    f = int(factor)
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for p in pdf["payload"]:
+                _, vals = _box_reduce(_decode_image(p), f)
+                img = vals[..., 0] if vals.shape[2] == 1 else vals
+                payloads.append(encode_png(img))
+                heights.append(vals.shape[0])
+                widths.append(vals.shape[1])
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = np.asarray(widths, np.int32)
+            out["height"] = np.asarray(heights, np.int32)
+            yield out
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def resized_pixel_evidence(media: DataFrame, factor: int) -> DataFrame:
+    """Hash-verification surface of the resize: one row per output
+    pixel with the exact all-channel block sum and the floor-mean value
+    (driver query `image_resize`) — shares `_box_reduce` with
+    `resize_images`, so the evidence certifies the production kernel."""
+    f = int(factor)
+    schema = "doc_id string, y int, x int, bsum bigint, v int"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "y", "x", "bsum", "v")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = _decode_image(p)
+                sums, vals = _box_reduce(img, f)
+                c = img.shape[2]
+                hh, ww = sums.shape
+                ys, xs = np.mgrid[0:hh, 0:ww]
+                rows["doc_id"].extend([doc_id] * (hh * ww))
+                rows["y"].extend(ys.ravel().tolist())
+                rows["x"].extend(xs.ravel().tolist())
+                rows["bsum"].extend(sums.ravel().tolist())
+                rows["v"].extend(
+                    (sums // (f * f * c)).ravel().tolist())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=schema)

@@ -174,3 +174,65 @@ def test_audio_dispatch_in_extract_features(spark):
         assert feat[0] == float(np.abs(seg).sum())
         sign = seg >= 0
         assert feat[1] == float(np.count_nonzero(sign[1:] != sign[:-1]))
+
+
+def test_resize_box_floor_mean_gray_and_rgb(spark):
+    import numpy as np
+
+    from osm2world_spark.functions.png import decode_png, encode_png
+    from osm2world_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (17, 18, 3)).astype(np.uint8)  # crops to 16x16
+    media = spark.createDataFrame(
+        [("g", 0, "g", "image", bytearray(encode_png(gray)), 16, 16),
+         ("c", 0, "c", "image", bytearray(encode_png(rgb)), 18, 17)],
+        "doc_id string, span_idx int, media_ref string, media_type string, "
+        "payload binary, width int, height int",
+    )
+    out = {r["doc_id"]: r for r in resize_images(media, 4).collect()}
+    assert (out["g"]["height"], out["g"]["width"]) == (4, 4)
+    assert (out["c"]["height"], out["c"]["width"]) == (4, 4)
+
+    got_g = decode_png(bytes(out["g"]["payload"]))
+    want_g = gray.astype(np.int64).reshape(4, 4, 4, 4).transpose(
+        0, 2, 1, 3).reshape(4, 4, 16).sum(axis=2) // 16
+    assert np.array_equal(got_g.astype(np.int64), want_g)
+
+    got_c = decode_png(bytes(out["c"]["payload"]))
+    crop = rgb[:16, :16].astype(np.int64)
+    want_c = np.stack(
+        [crop[..., ch].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+         .reshape(4, 4, 16).sum(axis=2) // 16 for ch in range(3)], axis=2)
+    assert np.array_equal(got_c.astype(np.int64), want_c)
+
+
+def test_resized_evidence_matches_closed_form_and_resize(spark):
+    import numpy as np
+
+    from osm2world_spark.functions.png import decode_png
+    from osm2world_spark.operators.multimodal import (
+        resize_images,
+        resized_pixel_evidence,
+        synthetic_png_media,
+    )
+
+    keys = spark.createDataFrame([(5,), (300,)], "k bigint")
+    media = synthetic_png_media(keys, "k", size=16)
+    rows = resized_pixel_evidence(media, 4).collect()
+    assert len(rows) == 2 * 16
+    resized = {
+        r["doc_id"]: decode_png(bytes(r["payload"]))
+        for r in resize_images(media, 4).collect()
+    }
+    for r in rows:
+        k = int(r["doc_id"])
+        block = [
+            ((4 * r["y"] + dy) * 16 + 4 * r["x"] + dx + k) % 256
+            for dy in range(4) for dx in range(4)
+        ]
+        assert r["bsum"] == sum(block)
+        assert r["v"] == sum(block) // 16
+        # evidence value IS the production resize output pixel
+        assert r["v"] == int(resized[r["doc_id"]][r["y"], r["x"]])
