@@ -2598,6 +2598,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_resize"] = image_resize
 
+    def audio_resample(spark, sf_dir):
+        # Integer-decimation audio resample: each output sample is the
+        # floor mean of 8 consecutive PCM samples of the closed-form WAV
+        # fixtures; sums and floor means re-derived by the oracle
+        # (floor through float on both sides — negative sums floor
+        # toward -inf identically).
+        from osm2world_spark.operators.multimodal import (
+            resampled_audio_evidence,
+            synthetic_wav_media,
+        )
+
+        keys = _t(spark, sf_dir, "documents").select("doc_id")
+        return resampled_audio_evidence(
+            synthetic_wav_media(keys, "doc_id"), factor=8)
+
+    q["audio_resample"] = audio_resample
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7348,6 +7365,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT k::VARCHAR AS doc_id, CAST(y AS INT) AS y,
                CAST(x AS INT) AS x, bsum,
                CAST(bsum // 16 AS INT) AS v
+        FROM s
+    """
+
+    # Audio resample: sample i of doc k is ((i*(k%31+3)+k)%2048)-1024
+    # (synthetic_wav_media); 8-sample block sums + floor means.
+    sql["audio_resample"] = """
+        WITH s AS (
+          SELECT d.doc_id AS k, idx.i,
+                 CAST(sum((((8 * idx.i + js.j) * (d.doc_id % 31 + 3)
+                            + d.doc_id) % 2048) - 1024) AS BIGINT) AS ssum
+          FROM documents d,
+               (SELECT unnest(generate_series(0, 127)) AS i) idx,
+               (SELECT unnest(generate_series(0, 7)) AS j) js
+          GROUP BY 1, 2
+        )
+        SELECT k::VARCHAR AS doc_id, CAST(i AS INT) AS i, ssum,
+               CAST(floor(ssum / 8.0) AS INT) AS v
         FROM s
     """
 

@@ -423,3 +423,63 @@ def resized_pixel_evidence(media: DataFrame, factor: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+def resample_audio(media: DataFrame, factor: int) -> DataFrame:
+    """Audio downsample by an integer factor: each output sample is the
+    floor mean of ``factor`` consecutive input samples (exact integer
+    box filter — the anti-aliased decimation a training pipeline applies
+    before audio featurization; trailing remainder samples cropped).
+    Decodes RIFF/WAVE PCM, re-encodes at sample_rate // factor. Same
+    MEDIA_SCHEMA out (width = new sample count)."""
+    from osm2world_spark.functions.wav import decode_wav, encode_wav
+
+    f = int(factor)
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads, widths = [], []
+            for p in pdf["payload"]:
+                samples, rate = decode_wav(bytes(p))
+                s = samples.reshape(len(samples), -1).astype(np.int64)
+                n = (s.shape[0] // f) * f
+                out = s[:n].reshape(n // f, f, s.shape[1])
+                means = np.floor_divide(out.sum(axis=1), f)
+                flat = means.astype(np.int16)
+                if samples.ndim == 1:
+                    flat = flat[:, 0]
+                payloads.append(encode_wav(flat, sample_rate=max(1, rate // f)))
+                widths.append(n // f)
+            out_pdf = pdf.copy()
+            out_pdf["payload"] = payloads
+            out_pdf["width"] = np.asarray(widths, np.int32)
+            yield out_pdf
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def resampled_audio_evidence(media: DataFrame, factor: int) -> DataFrame:
+    """Hash surface of the resample: per output sample index the exact
+    block sum and floor mean (driver query `audio_resample`); mono
+    16-bit payloads."""
+    from osm2world_spark.functions.wav import decode_wav
+
+    f = int(factor)
+    schema = "doc_id string, i int, ssum bigint, v int"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "i", "ssum", "v")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _ = decode_wav(bytes(p))
+                s = samples.astype(np.int64)
+                n = (len(s) // f) * f
+                blocks = s[:n].reshape(n // f, f)
+                sums = blocks.sum(axis=1)
+                rows["doc_id"].extend([doc_id] * len(sums))
+                rows["i"].extend(range(len(sums)))
+                rows["ssum"].extend(sums.tolist())
+                rows["v"].extend(np.floor_divide(sums, f).tolist())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=schema)

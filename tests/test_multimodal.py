@@ -236,3 +236,46 @@ def test_resized_evidence_matches_closed_form_and_resize(spark):
         assert r["v"] == sum(block) // 16
         # evidence value IS the production resize output pixel
         assert r["v"] == int(resized[r["doc_id"]][r["y"], r["x"]])
+
+
+def test_resample_audio_mono_stereo_and_evidence(spark):
+    import numpy as np
+
+    from osm2world_spark.functions.wav import decode_wav, encode_wav
+    from osm2world_spark.operators.multimodal import (
+        resample_audio,
+        resampled_audio_evidence,
+        synthetic_wav_media,
+    )
+
+    rng = np.random.RandomState(11)
+    mono = rng.randint(-1024, 1024, 103).astype(np.int16)  # crops to 100
+    stereo = rng.randint(-1024, 1024, (40, 2)).astype(np.int16)
+    media = spark.createDataFrame(
+        [("m", 0, "m", "audio", bytearray(encode_wav(mono, 8000)), 103, 1),
+         ("s", 0, "s", "audio", bytearray(encode_wav(stereo, 4000)), 40, 1)],
+        "doc_id string, span_idx int, media_ref string, media_type string, "
+        "payload binary, width int, height int",
+    )
+    out = {r["doc_id"]: r for r in resample_audio(media, 4).collect()}
+    got_m, rate_m = decode_wav(bytes(out["m"]["payload"]))
+    assert rate_m == 2000 and out["m"]["width"] == 25
+    want_m = np.floor_divide(
+        mono[:100].astype(np.int64).reshape(25, 4).sum(axis=1), 4)
+    assert np.array_equal(got_m.astype(np.int64), want_m)
+    got_s, rate_s = decode_wav(bytes(out["s"]["payload"]))
+    assert rate_s == 1000 and got_s.shape == (10, 2)
+    want_s = np.floor_divide(
+        stereo.astype(np.int64).reshape(10, 4, 2).sum(axis=1), 4)
+    assert np.array_equal(got_s.astype(np.int64), want_s)
+
+    # evidence values == production resample output (mono fixtures)
+    keys = spark.createDataFrame([(9,)], "k bigint")
+    fx = synthetic_wav_media(keys, "k")
+    ev = {r["i"]: (r["ssum"], r["v"])
+          for r in resampled_audio_evidence(fx, 8).collect()}
+    prod, _ = decode_wav(bytes(resample_audio(fx, 8).first()["payload"]))
+    assert len(ev) == 128 == len(prod)
+    for i, (ssum, v) in ev.items():
+        assert v == int(prod[i])
+        assert v == ssum // 8  # python floor div == numpy floor_divide
