@@ -2615,6 +2615,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_resample"] = audio_resample
 
+    def osm_change_parse(spark, sf_dir):
+        # osmChange (.osc) diff source (sources/osmxml.py): the
+        # minutely-diff format OSM deployments consume — create/modify/
+        # delete blocks parsed to action-tagged element rows (the input
+        # of TilePipeline.invalidate). Payloads synthesized from orders
+        # as XML strings; every parsed field re-derived by the oracle.
+        from osm2world_spark.sources.osmxml import decode_osm_change
+
+        o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+        k = F.col("o_orderkey")
+        xml = F.concat(
+            F.lit('<osmChange version="0.6"><create>'),
+            F.format_string('<node id="%d" lat="', k),
+            (k % 170 - 85).cast("string"),
+            F.lit('" lon="'),
+            (k % 360 - 180).cast("string"),
+            F.lit('"><tag k="amenity" v="cafe"/></node></create><modify>'),
+            F.format_string(
+                '<way id="%d"><nd ref="%d"/><nd ref="%d"/><nd ref="%d"/></way>',
+                k + 1, k, k * 2, k * 3,
+            ),
+            F.lit('</modify><delete><node id="'),
+            (k + 2).cast("string"),
+            F.lit('"/></delete></osmChange>'),
+        )
+        ch = decode_osm_change(o.select(xml.alias("xml")))
+        return ch.select(
+            "action",
+            "element_type",
+            F.col("id").cast("bigint").alias("id"),
+            F.coalesce(
+                F.round(F.col("lat") * 1e7).cast("bigint"), F.lit(-1)
+            ).alias("lat_u7"),
+            F.coalesce(
+                F.round(F.col("lon") * 1e7).cast("bigint"), F.lit(-1)
+            ).alias("lon_u7"),
+            F.size(F.map_keys("tags")).alias("n_tags"),
+            F.coalesce(F.size("refs"), F.lit(-1)).alias("n_refs"),
+            F.coalesce(
+                F.aggregate("refs", F.lit(0).cast("bigint"), lambda a, x: a + x),
+                F.lit(0).cast("bigint"),
+            ).alias("refs_sum"),
+        )
+
+    q["osm_change_parse"] = osm_change_parse
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7383,6 +7429,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT k::VARCHAR AS doc_id, CAST(i AS INT) AS i, ssum,
                CAST(floor(ssum / 8.0) AS INT) AS v
         FROM s
+    """
+
+    sql["osm_change_parse"] = """
+        WITH base AS (
+          SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT 'create' AS action, 'node' AS element_type, k AS id,
+               CAST((k % 170 - 85) * 10000000 AS BIGINT) AS lat_u7,
+               CAST((k % 360 - 180) * 10000000 AS BIGINT) AS lon_u7,
+               CAST(1 AS INT) AS n_tags, CAST(-1 AS INT) AS n_refs,
+               CAST(0 AS BIGINT) AS refs_sum
+        FROM base
+        UNION ALL
+        SELECT 'modify', 'way', k + 1, -1, -1, 0, 3, CAST(6 * k AS BIGINT)
+        FROM base
+        UNION ALL
+        SELECT 'delete', 'node', k + 2, -1, -1, 0, -1, CAST(0 AS BIGINT)
+        FROM base
     """
 
     sql["shard_corpus"] = f"""

@@ -40,6 +40,33 @@ def _open_stream(path: str):
     return open(path, "rb")
 
 
+def _element_row(el) -> tuple:
+    """One parsed <node|way|relation> element -> ELEMENTS_SCHEMA tuple.
+    Shared by the plain-.osm and osmChange parsers."""
+    kind = el.tag
+    eid = int(el.get("id"))
+    tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+    if kind == "node":
+        # delete stubs may omit coordinates (osmChange minimal form)
+        lat, lon = el.get("lat"), el.get("lon")
+        return (
+            "node", eid,
+            float(lat) if lat is not None else None,
+            float(lon) if lon is not None else None,
+            tags, None, None, None,
+        )
+    if kind == "way":
+        refs = [int(nd.get("ref")) for nd in el.findall("nd")]
+        return ("way", eid, None, None, tags, refs, None, None)
+    members = el.findall("member")
+    return (
+        "relation", eid, None, None, tags,
+        [int(m.get("ref")) for m in members],
+        [m.get("type") for m in members],
+        [m.get("role") or "" for m in members],
+    )
+
+
 def parse_osm_xml(stream, josm_workaround: bool = False) -> list[tuple]:
     """OSM XML byte stream -> rows shaped like ELEMENTS_SCHEMA, via
     incremental parsing (constant memory in file size). With
@@ -51,32 +78,104 @@ def parse_osm_xml(stream, josm_workaround: bool = False) -> list[tuple]:
         stream = io.BytesIO(stream)
     rows: list[tuple] = []
     for _, el in iterparse(stream, events=("end",)):
-        kind = el.tag
-        if kind not in ("node", "way", "relation"):
+        if el.tag not in ("node", "way", "relation"):
             continue
         if josm_workaround and el.get("action") == "delete":
             el.clear()
             continue
-        eid = int(el.get("id"))
-        tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
-        if kind == "node":
-            rows.append((
-                "node", eid, float(el.get("lat")), float(el.get("lon")),
-                tags, None, None, None,
-            ))
-        elif kind == "way":
-            refs = [int(nd.get("ref")) for nd in el.findall("nd")]
-            rows.append(("way", eid, None, None, tags, refs, None, None))
-        else:
-            members = el.findall("member")
-            rows.append((
-                "relation", eid, None, None, tags,
-                [int(m.get("ref")) for m in members],
-                [m.get("type") for m in members],
-                [m.get("role") or "" for m in members],
-            ))
+        rows.append(_element_row(el))
         el.clear()  # bounded memory: discard the subtree once consumed
     return rows
+
+
+def parse_osm_change(stream) -> list[tuple]:
+    """osmChange (.osc) byte stream -> (action, *ELEMENTS_SCHEMA) rows.
+
+    The minutely/hourly diff format real OSM deployments consume
+    (<osmChange> with <create>/<modify>/<delete> blocks wrapping plain
+    elements — public OsmChange spec; the reference reads full extracts
+    only, its update story being re-convert + OverwriteMode.OLDER).
+    Parsed incrementally: block tags set the action context on their
+    start event; elements inherit it. Feeds `TilePipeline.invalidate`:
+    create/modify rows are the changed set, delete rows the deleted-id
+    set — completing the production incremental-update path end to end.
+    """
+    from xml.etree.ElementTree import iterparse
+
+    if isinstance(stream, (bytes, bytearray)):
+        stream = io.BytesIO(stream)
+    rows: list[tuple] = []
+    action = None
+    for ev, el in iterparse(stream, events=("start", "end")):
+        if el.tag in ("create", "modify", "delete"):
+            action = el.tag if ev == "start" else None
+            continue
+        if ev != "end" or el.tag not in ("node", "way", "relation"):
+            continue
+        rows.append((action or "modify",) + _element_row(el))
+        el.clear()
+    return rows
+
+
+def _change_schema():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return StructType(
+        [StructField("action", StringType())] + list(ELEMENTS_SCHEMA.fields)
+    )
+
+
+def decode_osm_change(payloads: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """(rows carrying .osc XML strings/bytes) -> change rows
+    (action + ELEMENTS_SCHEMA), one mapInPandas — the payload-as-rows
+    seam the Overpass source uses (HTTP fetch out of sandbox scope)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["action"] + [fl.name for fl in ELEMENTS_SCHEMA]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for xml in pdf[xml_col]:
+                data = xml.encode() if isinstance(xml, str) else bytes(xml)
+                rows.extend(parse_osm_change(data))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return payloads.mapInPandas(decode, _change_schema())
+
+
+def read_osm_change(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """.osc / .osc.gz / .osc.bz2 diff files -> distributed change table
+    (action + ELEMENTS_SCHEMA); one file per task like read_osm_xml."""
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    files = files.repartition(max(1, min(len(paths), 64)))
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["action"] + [fl.name for fl in ELEMENTS_SCHEMA]
+        for pdf in batches:
+            for p in pdf["path"]:
+                with _open_stream(p) as f:
+                    rows = parse_osm_change(f)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(decode, _change_schema())
+
+
+def split_change_actions(changes: DataFrame):
+    """Change table -> (upserts, deleted_ids): the two inputs
+    `TilePipeline.invalidate(changed_docs=, deleted_doc_ids=)` takes
+    (create/modify rows keep their element payload; delete needs ids
+    only, per the osmChange minimal-stub convention)."""
+    from pyspark.sql import functions as F
+
+    upserts = changes.where(F.col("action") != "delete").drop("action")
+    deleted = changes.where(F.col("action") == "delete").select(
+        "element_type", "id")
+    return upserts, deleted
 
 
 def read_osm_xml(

@@ -87,3 +87,67 @@ def test_xml_and_pbf_paths_agree_on_shared_fixture(spark):
     for nid in nx:
         assert nx[nid]["lat"] == pytest.approx(np_[nid]["lat"], abs=1e-7)
         assert dict(nx[nid]["tags"]) == dict(np_[nid]["tags"])
+
+
+OSC = b"""<osmChange version="0.6" generator="test">
+  <create>
+    <node id="1" lat="48.5" lon="13.4"><tag k="amenity" v="cafe"/></node>
+    <way id="10"><nd ref="1"/><nd ref="2"/><tag k="highway" v="path"/></way>
+  </create>
+  <modify>
+    <node id="2" lat="48.6" lon="13.5"/>
+    <relation id="20"><member type="way" ref="10" role="outer"/></relation>
+  </modify>
+  <delete>
+    <node id="3"/>
+  </delete>
+</osmChange>"""
+
+
+def test_parse_osm_change_blocks_and_delete_stub():
+    from osm2world_spark.sources.osmxml import parse_osm_change
+
+    rows = parse_osm_change(OSC)
+    by = {(a, t, i): r for (a, t, i, *r) in [(r[0], r[1], r[2], r) for r in rows]}
+    assert len(rows) == 5
+    acts = [(r[0], r[1], r[2]) for r in rows]
+    assert acts == [
+        ("create", "node", 1), ("create", "way", 10),
+        ("modify", "node", 2), ("modify", "relation", 20),
+        ("delete", "node", 3),
+    ]
+    create_node = rows[0]
+    assert create_node[3] == 48.5 and create_node[5] == {"amenity": "cafe"}
+    delete_stub = rows[4]
+    assert delete_stub[3] is None and delete_stub[4] is None  # no coords
+
+
+def test_read_osm_change_file_and_split(spark, tmp_path):
+    import gzip
+
+    from osm2world_spark.sources.osmxml import (
+        read_osm_change,
+        split_change_actions,
+    )
+
+    p = tmp_path / "diff.osc.gz"
+    p.write_bytes(gzip.compress(OSC))
+    ch = read_osm_change(spark, [str(p)])
+    assert ch.count() == 5
+    ups, dels = split_change_actions(ch)
+    assert {r["id"] for r in ups.collect()} == {1, 10, 2, 20}
+    assert "action" not in ups.columns
+    assert [(r["element_type"], r["id"]) for r in dels.collect()] == [
+        ("node", 3)]
+
+
+def test_decode_osm_change_payload_rows(spark):
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.sources.osmxml import decode_osm_change
+
+    df = spark.createDataFrame([(OSC.decode(),)], "xml string")
+    ch = decode_osm_change(df)
+    assert ch.where(F.col("action") == "create").count() == 2
+    rel = ch.where(F.col("element_type") == "relation").first()
+    assert rel["member_roles"] == ["outer"] and rel["refs"] == [10]
