@@ -2661,6 +2661,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["osm_change_parse"] = osm_change_parse
 
+    def mojibake_fix(spark, sf_dir):
+        # UTF-8-as-Latin-1 mojibake repair (operators/normalize.py):
+        # documents get a mojibake prefix (the latin-1 mis-decode of
+        # 'héllo wörld çafé '); the bounded replace chain must restore
+        # it exactly — the oracle replays the identical chain.
+        from osm2world_spark.operators.normalize import fix_mojibake
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        broken_prefix = "héllo wörld çafé ".encode("utf-8").decode("latin-1")
+        corrupted = F.concat(F.lit(broken_prefix), F.col("text"))
+        fixed = fix_mojibake(corrupted)
+        return d.select(
+            "doc_id",
+            F.md5(corrupted).alias("broken_md5"),
+            F.md5(fixed).alias("fixed_md5"),
+            (F.length(corrupted) - F.length(fixed)).cast("int").alias(
+                "n_repaired"),
+        )
+
+    q["mojibake_fix"] = mojibake_fix
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7447,6 +7468,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'delete', 'node', k + 2, -1, -1, 0, -1, CAST(0 AS BIGINT)
         FROM base
+    """
+
+    # Mojibake repair: the oracle replays the exact replace chain (same
+    # pair table, same order) over the same corrupted construction.
+    from osm2world_spark.operators.normalize import MOJIBAKE_PAIRS as _MOJI
+
+    _broken_prefix = "héllo wörld çafé ".encode("utf-8").decode("latin-1")
+    _fix_expr = f"'{_broken_prefix}' || text"
+    for _b, _f in _MOJI:
+        _fix_expr = f"replace({_fix_expr}, '{_b}', '{_f}')"
+    sql["mojibake_fix"] = f"""
+        SELECT doc_id,
+               md5('{_broken_prefix}' || text) AS broken_md5,
+               md5({_fix_expr}) AS fixed_md5,
+               CAST(length('{_broken_prefix}' || text)
+                    - length({_fix_expr}) AS INT) AS n_repaired
+        FROM documents
     """
 
     sql["shard_corpus"] = f"""

@@ -77,3 +77,28 @@ def normalized_dup_groups(
             F.element_at("doc_ids", 1).alias("survivor"),
         )
     )
+
+
+# UTF-8-as-Latin-1 mojibake pairs for the LOWERCASE accent table: é has
+# UTF-8 bytes 0xC3 0xA9, which mis-decoded as Latin-1 render as 'Ã©'.
+# Lowercase accents (U+00E0..U+00FF) have PRINTABLE second bytes
+# (0xA0..0xBF); uppercase accents decode to C1 control characters and
+# stay out of the bounded table (documented boundary — full repair is
+# ftfy/ICU territory).
+_LOWER_ACCENTS = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+MOJIBAKE_PAIRS = [
+    (c.encode("utf-8").decode("latin-1"), c) for c in _LOWER_ACCENTS
+]
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair UTF-8-as-Latin-1 double-encoding (the classic crawled-web
+    mojibake ftfy fixes): each 2-char 'Ã?' sequence from the bounded
+    lowercase-accent table is replaced by the intended character — one
+    chained `replace` Column per pair, a single codegen Project. The
+    same chain is restatable verbatim in SQL (driver query
+    `mojibake_fix`), applied in table order on both engines."""
+    x = col
+    for broken, fixed in MOJIBAKE_PAIRS:
+        x = F.replace(x, F.lit(broken), F.lit(fixed))
+    return x

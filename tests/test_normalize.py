@@ -87,3 +87,40 @@ def test_raw_digest_misses_what_normalized_catches(spark):
     )
     assert exact_dup_groups(docs).count() == 0
     assert normalized_dup_groups(docs).count() == 1
+
+
+def test_fix_mojibake_column_and_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.operators.normalize import fix_mojibake
+
+    originals = [
+        "héllo wörld çafé",
+        "plain ascii stays put",
+        "mixed: naïve façade déjà vu",  # em dash etc. are outside the
+        # bounded table (3-byte UTF-8 -> C1 controls) and would stay
+        # broken — lowercase Latin-1 accents are the repair scope
+        "",
+    ]
+    rows = [(i, s.encode("utf-8").decode("latin-1")) for i, s in
+            enumerate(originals)]
+    df = spark.createDataFrame(rows, "i int, broken string")
+    got = {
+        r["i"]: r["fixed"]
+        for r in df.select(
+            "i", fix_mojibake(F.col("broken")).alias("fixed")).collect()
+    }
+    assert got == dict(enumerate(originals))
+
+
+def test_fix_mojibake_uppercase_out_of_scope(spark):
+    """Uppercase accents decode to C1 controls — documented boundary:
+    they pass through unchanged rather than being misrepaired."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.operators.normalize import fix_mojibake
+
+    broken = "ÀÉ".encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame([(broken,)], "b string")
+    out = df.select(fix_mojibake(F.col("b")).alias("f")).first()["f"]
+    assert out == broken
