@@ -2682,6 +2682,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mojibake_fix"] = mojibake_fix
 
+    def tile_pyramid(spark, sf_dir):
+        # Raster tile-pyramid roll-up (sinks/image.py::pyramid_pixels):
+        # the four rendered child tiles of the render_pixels scene
+        # compose into their zoom-0 parent as ONE relational hash
+        # aggregation — parent pixel = floor mean of its 2x2 child
+        # block. The oracle replays the full render arithmetic AND the
+        # mosaic/downsample mapping.
+        from osm2world_spark.sinks.image import (
+            pyramid_pixels,
+            rasterize_tiles,
+        )
+
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("bigint").alias("k"))
+        d = lambda col: col.cast("double")  # noqa: E731
+        x0 = d((F.col("k") * 13) % 160)
+        z0 = d((F.col("k") * 29) % 160)
+        x1 = x0 + d(8 + (F.col("k") % 5) * 6)
+        z1 = z0 + d(8 + (F.col("k") % 7) * 4)
+
+        def P(x, z):
+            return F.struct(x.alias("x"), F.lit(0.0).alias("y"), z.alias("z"))
+
+        meshes = c.select(
+            (F.col("k") % 4).cast("string").alias("tile"),
+            F.col("k").alias("mesh_order"),
+            (F.col("k") % 256).cast("int").alias("r"),
+            ((F.col("k") * 7) % 256).cast("int").alias("g"),
+            ((F.col("k") * 13) % 256).cast("int").alias("b"),
+            F.array(
+                F.array(P(x0, z0), P(x1, z0), P(x1, z1)),
+                F.array(P(x0, z0), P(x1, z1), P(x0, z1)),
+            ).alias("triangles"),
+        )
+        pix = rasterize_tiles(
+            meshes, 48, 48, viewport=(0.0, 0.0, 192.0, 192.0))
+        children = pix.select(
+            F.lit(1).alias("zoom"),
+            (F.col("tile").cast("int") % 2).alias("tile_x"),
+            F.floor(F.col("tile").cast("int") / 2).cast("int").alias(
+                "tile_y"),
+            "px", "py", "r", "g", "b",
+        )
+        return pyramid_pixels(children, 48, 48)
+
+    q["tile_pyramid"] = tile_pyramid
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7496,6 +7543,59 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT
                ) AS shard_pos
         FROM h
+    """
+
+    # Tile pyramid: the render_pixels oracle composed with the 2x2
+    # mosaic/downsample mapping — child tile t is quadrant
+    # (t % 2, t // 2); parent pixel = floor mean of its 4 child pixels.
+    sql["tile_pyramid"] = """
+        WITH rect AS (
+          SELECT CAST(c_custkey % 4 AS VARCHAR) AS tile, c_custkey AS ord,
+                 CAST(c_custkey % 256 AS INT) AS cr,
+                 CAST((c_custkey * 7) % 256 AS INT) AS cg,
+                 CAST((c_custkey * 13) % 256 AS INT) AS cb,
+                 CAST((c_custkey * 13) % 160 AS DOUBLE) AS x0,
+                 CAST((c_custkey * 29) % 160 AS DOUBLE) AS z0,
+                 CAST((c_custkey * 13) % 160 + 8 + (c_custkey % 5) * 6 AS DOUBLE) AS x1,
+                 CAST((c_custkey * 29) % 160 + 8 + (c_custkey % 7) * 4 AS DOUBLE) AS z1
+          FROM customer
+        ),
+        grid AS (
+          SELECT t.tile, pxs.px, pys.py,
+                 0.0 + (pxs.px + 0.5) * 4.0 AS cx,
+                 192.0 - (pys.py + 0.5) * 4.0 AS cz
+          FROM (SELECT DISTINCT tile FROM rect) t
+          CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS px) pxs
+          CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS py) pys
+        ),
+        winner AS (
+          SELECT gr.tile, gr.px, gr.py, max(r.ord) AS word
+          FROM grid gr
+          JOIN rect r ON r.tile = gr.tile
+           AND gr.cx >= r.x0 AND gr.cx <= r.x1
+           AND gr.cz >= r.z0 AND gr.cz <= r.z1
+          GROUP BY 1, 2, 3
+        ),
+        child AS (
+          SELECT CAST(gr.tile AS INT) AS t, gr.px, gr.py,
+                 COALESCE(r.cr, 0) AS cr,
+                 COALESCE(r.cg, 0) AS cg,
+                 COALESCE(r.cb, 0) AS cb
+          FROM grid gr
+          LEFT JOIN winner w
+            ON w.tile = gr.tile AND w.px = gr.px AND w.py = gr.py
+          LEFT JOIN rect r ON r.tile = gr.tile AND r.ord = w.word
+        )
+        SELECT CAST(0 AS INT) AS zoom, CAST(0 AS INT) AS tile_x,
+               CAST(0 AS INT) AS tile_y,
+               CAST(((t % 2) * 48 + px) // 2 AS INT) AS px,
+               CAST(((t // 2) * 48 + py) // 2 AS INT) AS py,
+               CAST(sum(cr) // 4 AS INT) AS r,
+               CAST(sum(cg) // 4 AS INT) AS g,
+               CAST(sum(cb) // 4 AS INT) AS b,
+               CAST(count(*) AS INT) AS n_src
+        FROM child
+        GROUP BY 1, 2, 3, 4, 5
     """
 
     sql["srtm_decode"] = """

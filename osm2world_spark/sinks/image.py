@@ -210,3 +210,50 @@ def write_png_tiles(
         height,
     )
     write_binary_files(pngs, path, "tile", "png", ".png")
+
+
+def pyramid_pixels(
+    pixels: DataFrame,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """One zoom-level roll-up of rendered tile pixels: the parent tile's
+    image is the 2x2 mosaic of its children downsampled by 2 — the
+    map-server pyramid step (the reference's tileset layout serves
+    `lod{n}/{z}/{x}/{y}`; slippy-map pyramids build coarser zooms from
+    finer ones the same way).
+
+    PURE relational form — no kernel: child pixel (px, py) of tile
+    (z, x, y) lands at parent pixel
+    ((x&1)*W + px) >> 1, ((y&1)*H + py) >> 1 of tile (z-1, x>>1, y>>1),
+    and each parent pixel is the floor mean of its (up to) 4 child
+    pixels — ONE hash aggregation, exact integer arithmetic, scales to
+    a planet of tiles like any groupBy. Absent children (ocean tiles
+    never rendered) simply contribute nothing: the mean runs over the
+    present rows and `n_src` reports how many (4 = fully covered).
+
+    Input/output schema: (zoom int, tile_x int, tile_y int, px int,
+    py int, r int, g int, b int) [+ n_src int on output]. Apply
+    repeatedly for deeper pyramids; `render_png_tiles` re-encodes any
+    level to PNGs.
+    """
+    w2, h2 = int(width), int(height)
+    px_p = F.shiftright((F.col("tile_x") % 2) * w2 + F.col("px"), 1)
+    py_p = F.shiftright((F.col("tile_y") % 2) * h2 + F.col("py"), 1)
+
+    def _mean(c: str):
+        return F.floor(F.sum(c) / F.count("*")).cast("int").alias(c)
+
+    return (
+        pixels.groupBy(
+            (F.col("zoom") - 1).alias("zoom"),
+            F.shiftright("tile_x", 1).alias("tile_x"),
+            F.shiftright("tile_y", 1).alias("tile_y"),
+            px_p.alias("px"),
+            py_p.alias("py"),
+        )
+        .agg(
+            _mean("r"), _mean("g"), _mean("b"),
+            F.count("*").cast("int").alias("n_src"),
+        )
+    )

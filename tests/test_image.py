@@ -251,3 +251,91 @@ def test_pipeline_png_models(spark, tmp_path):
     assert len(files) == report["model_tiles"] > 0
     img = decode_png(open(files[0], "rb").read())
     assert img.shape == (256, 256, 3)
+
+
+def _pixels_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "zoom int, tile_x int, tile_y int, px int, py int, "
+        "r int, g int, b int")
+
+
+def test_pyramid_rollup_matches_brute(spark):
+    from osm2world_spark.sinks.image import pyramid_pixels
+
+    rng = np.random.RandomState(21)
+    w = h = 4
+    imgs = {}
+    rows = []
+    for tx in range(2):
+        for ty in range(2):
+            img = rng.randint(0, 256, (h, w, 3))
+            imgs[(tx, ty)] = img
+            for py in range(h):
+                for px in range(w):
+                    rows.append((5, 2 + tx, 6 + ty, px, py,
+                                 *[int(v) for v in img[py, px]]))
+    got = {
+        (r["px"], r["py"]): (r["r"], r["g"], r["b"], r["n_src"],
+                             r["zoom"], r["tile_x"], r["tile_y"])
+        for r in pyramid_pixels(_pixels_df(spark, rows), w, h).collect()
+    }
+    # brute mosaic: 8x8 parent image from the 2x2 children, then 2x reduce
+    mosaic = np.zeros((2 * h, 2 * w, 3), dtype=np.int64)
+    for (tx, ty), img in imgs.items():
+        mosaic[ty * h:(ty + 1) * h, tx * w:(tx + 1) * w] = img
+    want = mosaic.reshape(h, 2, w, 2, 3).transpose(0, 2, 1, 3, 4).reshape(
+        h, w, 4, 3).sum(axis=2) // 4
+    assert len(got) == w * h
+    for (px, py), (r, g, b, n, z, x, y) in got.items():
+        assert (z, x, y, n) == (4, 1, 3, 4)
+        assert (r, g, b) == tuple(want[py, px])
+
+
+def test_pyramid_missing_child_quadrant_absent(spark):
+    from osm2world_spark.sinks.image import pyramid_pixels
+
+    w = h = 4
+    rows = [
+        (1, tx, ty, px, py, 10, 20, 30)
+        for (tx, ty) in [(0, 0), (1, 0), (0, 1)]  # child (1,1) missing
+        for py in range(h) for px in range(w)
+    ]
+    out = pyramid_pixels(_pixels_df(spark, rows), w, h).collect()
+    # 3 of 4 quadrants present; every present parent pixel fully covered
+    assert len(out) == 3 * (w // 2) * (h // 2) * 4 // 4 * 1  # 12 rows
+    assert all(r["n_src"] == 4 for r in out)
+    quads = {(r["px"] >= w // 2, r["py"] >= h // 2) for r in out}
+    assert (True, True) not in quads
+
+
+def test_pyramid_two_levels(spark):
+    from osm2world_spark.sinks.image import pyramid_pixels
+
+    rng = np.random.RandomState(9)
+    w = h = 8
+    rows = []
+    vals = {}
+    for tx in range(4):
+        for ty in range(4):
+            img = rng.randint(0, 256, (h, w, 3))
+            vals[(tx, ty)] = img
+            for py in range(h):
+                for px in range(w):
+                    rows.append((2, tx, ty, px, py,
+                                 *[int(v) for v in img[py, px]]))
+    lvl1 = pyramid_pixels(_pixels_df(spark, rows), w, h)
+    lvl0 = pyramid_pixels(lvl1.drop("n_src"), w, h)
+    out = lvl0.collect()
+    assert len(out) == w * h  # one zoom-0 tile
+    assert all(r["zoom"] == 0 and r["n_src"] == 4 for r in out)
+    # spot-check one pixel against the double floor-mean brute
+    mosaic = np.zeros((4 * h, 4 * w, 3), dtype=np.int64)
+    for (tx, ty), img in vals.items():
+        mosaic[ty * h:(ty + 1) * h, tx * w:(tx + 1) * w] = img
+    l1 = mosaic.reshape(2 * h, 2, 2 * w, 2, 3).transpose(
+        0, 2, 1, 3, 4).reshape(2 * h, 2 * w, 4, 3).sum(axis=2) // 4
+    l0 = l1.reshape(h, 2, w, 2, 3).transpose(0, 2, 1, 3, 4).reshape(
+        h, w, 4, 3).sum(axis=2) // 4
+    got = {(r["px"], r["py"]): (r["r"], r["g"], r["b"]) for r in out}
+    for (px, py), rgb in got.items():
+        assert rgb == tuple(l0[py, px])
