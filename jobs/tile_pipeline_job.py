@@ -44,7 +44,26 @@ def main() -> None:
     p.add_argument("--out", required=True, help="output root (stages + _commits + _lineage)")
     p.add_argument("--run-ts", default="run0")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    # ConvertCommand/TilesetCommand parity flags
+    p.add_argument(
+        "--tile", default=None, metavar="Z,X,Y",
+        help="restrict to documents intersecting one tile "
+             "(convert --tile semantics)")
+    p.add_argument(
+        "--bbox", default=None, metavar="MINLAT,MINLON,MAXLAT,MAXLON",
+        help="restrict to documents intersecting a bbox "
+             "(mutually exclusive with --tile)")
+    p.add_argument(
+        "--models", default=None,
+        choices=["obj", "pov", "gltf", "fpbf", "png"],
+        help="also serialize per-tile model files (S8 sinks)")
+    p.add_argument(
+        "--with-tileset", action="store_true",
+        help="also write the tileset index (TilesetOutput layout)")
     args = p.parse_args()
+    if args.tile and args.bbox:
+        p.error("--tile and --bbox are mutually exclusive "
+                "(OSMDataReaderView.java:49-52)")
 
     from osm2world_spark.session import get_spark
     from osm2world_spark.plans.pipeline import TilePipeline
@@ -66,8 +85,23 @@ def main() -> None:
     else:
         p.error("one of --input or --n-docs is required")
 
+    if args.tile or args.bbox:
+        from osm2world_spark.sources.views import bounded_docs
+
+        if args.tile:
+            z, x, y = (int(v) for v in args.tile.split(","))
+            docs = bounded_docs(docs, tile=(z, x, y))
+        else:
+            lo_lat, lo_lon, hi_lat, hi_lon = (
+                float(v) for v in args.bbox.split(","))
+            docs = bounded_docs(docs, bounds=(lo_lat, lo_lon, hi_lat, hi_lon))
+
     t0 = time.monotonic()
-    stats = TilePipeline(spark, args.out).run(docs, run_ts=args.run_ts)
+    stats = TilePipeline(spark, args.out).run(
+        docs, run_ts=args.run_ts,
+        with_tileset=args.with_tileset,
+        with_models=args.models,
+    )
     wall = time.monotonic() - t0
     print(json.dumps({"job": "tile_pipeline", "wall_sec": round(wall, 3), **stats}))
     spark.stop()

@@ -152,3 +152,34 @@ class BoundedView:
 
     def __exit__(self, *exc) -> None:
         self.release()
+
+
+def bounded_docs(
+    docs: DataFrame,
+    *,
+    bounds: GeoBounds | None = None,
+    tile: tuple[int, int, int] | None = None,
+) -> DataFrame:
+    """Restrict an interleaved-document table to documents with at least
+    one geometry element intersecting the region — the document-table
+    analogue of the reference CLI's source restriction
+    (`convert --tile z,x,y` / bbox args, ConvertCommand.java:281-312:
+    db-backed inputs REQUIRE a tile or bbox). Extraction + semi-join:
+    elements are extracted, the bbox predicate keeps intersecting ones,
+    and the surviving doc_ids semi-join the original docs — so the
+    pipeline then runs over the pruned corpus (a city tile out of a
+    planet). Documents carrying NO geometry spans have no spatial
+    footprint and are excluded by any restriction (matching a bounded
+    geodata read, which only returns elements in the region). bounds
+    and tile are mutually exclusive like BoundedView."""
+    if bounds is not None and tile is not None:
+        raise ValueError("can only use either tile or bounds")
+    b = bounds if bounds is not None else (
+        tile_bounds(*tile) if tile is not None else None)
+    if b is None:
+        return docs
+    from .documents import extract_elements
+
+    els = extract_elements(docs)
+    keep = els.where(bounds_predicate(els, b)).select("doc_id").distinct()
+    return docs.join(keep, "doc_id", "left_semi")

@@ -140,3 +140,55 @@ def test_engine_serializer_facade(spark):
     )
     obj = eng.serialize_obj(faces).collect()[0]
     assert "f 1 2 3" in obj["obj_text"] and "newmtl M0_0" in obj["mtl_text"]
+
+
+def test_bounded_docs_tile_and_bbox(spark):
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.sources.documents import (
+        extract_elements,
+        synthetic_documents,
+    )
+    from osm2world_spark.sources.views import bounded_docs, bounds_predicate
+
+    docs = synthetic_documents(spark, 200, seed=3)
+    els = extract_elements(docs)
+    # docs without geometry spans have no footprint: any restriction
+    # excludes them (bounded geodata-read semantics)
+    n_geo = els.select("doc_id").distinct().count()
+
+    # a planet-wide bbox keeps every geometry-carrying doc; an
+    # empty-ocean bbox nothing
+    assert bounded_docs(docs, bounds=(-85.0, -180.0, 85.0, 180.0)).count() == n_geo
+    assert bounded_docs(docs, bounds=(80.0, 170.0, 81.0, 171.0)).count() == 0
+
+    # a data-derived tile keeps a nonzero strict subset that matches the
+    # manual extract+predicate+semi-join recompute
+    row = els.select("minlat", "minlon").first()
+    import math
+
+    z = 12
+    lat, lon = row["minlat"], row["minlon"]
+    x = int((lon + 180.0) / 360.0 * (1 << z))
+    y = int(
+        (1.0 - math.log(math.tan(math.radians(lat))
+                        + 1.0 / math.cos(math.radians(lat))) / math.pi)
+        / 2.0 * (1 << z)
+    )
+    got = bounded_docs(docs, tile=(z, x, y))
+    n_got = got.count()
+    assert 0 < n_got < n_geo
+
+    from osm2world_spark.sources.views import tile_bounds
+
+    manual_ids = {
+        r["doc_id"]
+        for r in els.where(bounds_predicate(els, tile_bounds(z, x, y)))
+        .select("doc_id").distinct().collect()
+    }
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == manual_ids
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bounded_docs(docs, bounds=(0, 0, 1, 1), tile=(1, 0, 0))
