@@ -2729,6 +2729,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_pyramid"] = tile_pyramid
 
+    def url_dedup(spark, sf_dir):
+        # Canonical-URL dedup (operators/web.py::canonical_url): two
+        # synthesized variants per document — mixed case, default :80
+        # port, trailing slash, reordered query params — must
+        # canonicalize to one URL; the oracle states the canonical form
+        # closed-form per doc.
+        from osm2world_spark.operators.web import url_dup_groups
+
+        d = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("bigint").alias("k"))
+        k = F.col("k")
+        ua = d.select(
+            F.concat(F.lit("a"), k.cast("string")).alias("doc_id"),
+            F.format_string(
+                "http://Example%d.com:80/p%d/?b=2&a=1", k % 50, k
+            ).alias("url"),
+        )
+        ub = d.select(
+            F.concat(F.lit("b"), k.cast("string")).alias("doc_id"),
+            F.format_string(
+                "HTTP://example%d.COM/p%d?a=1&b=2#frag", k % 50, k
+            ).alias("url"),
+        )
+        g = url_dup_groups(ua.unionAll(ub))
+        return g.select(
+            "canon_url", "n_docs",
+            F.concat_ws(",", "doc_ids").alias("doc_ids_str"), "survivor",
+        )
+
+    q["url_dedup"] = url_dedup
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7596,6 +7627,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS INT) AS n_src
         FROM child
         GROUP BY 1, 2, 3, 4, 5
+    """
+
+    sql["url_dedup"] = """
+        SELECT 'http://example' || (doc_id % 50)::VARCHAR || '.com/p'
+                 || doc_id::VARCHAR || '?a=1&b=2' AS canon_url,
+               CAST(2 AS BIGINT) AS n_docs,
+               'a' || doc_id::VARCHAR || ',b' || doc_id::VARCHAR AS doc_ids_str,
+               'a' || doc_id::VARCHAR AS survivor
+        FROM documents
     """
 
     sql["srtm_decode"] = """

@@ -76,3 +76,69 @@ def domain_cap(
     ).drop("_up").withColumn(
         "kept", F.col("rank_in_domain") <= F.lit(max_per_domain)
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize an absolute URL for crawl dedup (the URL-level
+    first-pass every web pipeline runs before content dedup): scheme
+    and host lowercased, default ports stripped (:80 for http, :443
+    for https), fragment dropped, trailing slash on a bare path
+    normalized away, query parameters SORTED (split on '&',
+    array_sort, rejoin — '?b=2&a=1' and '?a=1&b=2' are the same
+    resource), empty query dropped. Pure Column ops with explicit
+    character classes; the DuckDB oracle restates every step
+    (driver query `url_dedup`).
+
+    Boundary (documented): percent-encoding is NOT normalized ('%2F'
+    vs '/' needs a decoder with exclusion rules — RFC 3986 §2.2) and
+    the host keeps its unicode form (IDNA is ICU territory)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
+    authority = F.regexp_extract(url, _AUTHORITY, 1)
+    hostport = F.regexp_extract(authority, "^(?:[^@]*@)?(.*)$", 1)
+    host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_extract(url, _PATH, 1)
+    # '/x/' -> '/x', '' -> '/', '/' -> '/'
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            path.substr(F.lit(1), F.length(path) - 1),
+        ).otherwise(path)
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_query)
+        ),
+    )
+
+
+def url_dup_groups(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups under the canonical URL (one linear hash
+    aggregation, the `exact_dup_groups` shape keyed on canonical_url):
+    (canon_url, n_docs, doc_ids sorted, survivor = lowest id)."""
+    return (
+        docs.groupBy(canonical_url(F.col(url_col)).alias("canon_url"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "canon_url", "n_docs", "doc_ids",
+            F.element_at("doc_ids", 1).alias("survivor"),
+        )
+    )
