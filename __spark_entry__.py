@@ -2446,19 +2446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fpbf_objects"] = fpbf_objects_q
 
-    def render_pixels(spark, sf_dir):
-        # S8 PNG render sink (ImageExporter.java, opengl module): the
-        # orthographic top-down rasterizer over per-tile meshes. Scene:
-        # axis-aligned integer rectangles (two CCW triangles each) whose
-        # closed-triangle coverage reduces EXACTLY to interval tests, so
-        # the oracle re-derives every pixel: winner = max mesh_order
-        # among covering rects, background (0,0,0). All coordinates are
-        # small integers and the viewport/raster ratio is integral (4),
-        # so every comparison is exact IEEE double on both engines. The
-        # PNG byte layer over this pixel table is pinned byte-level in
-        # tests/test_image.py (stdlib codec round-trip).
-        from osm2world_spark.sinks.image import rasterize_tiles
-
+    def _rect_scene_meshes(spark, sf_dir):
+        # The shared rect scene of render_pixels AND tile_pyramid (their
+        # oracles restate the same formulas): axis-aligned integer
+        # rectangles from customer keys, two CCW triangles each, four
+        # tiles, unique draw order, closed-form colors.
         c = _t(spark, sf_dir, "customer").select(
             F.col("c_custkey").cast("bigint").alias("k"))
         d = lambda col: col.cast("double")  # noqa: E731
@@ -2470,7 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def P(x, z):
             return F.struct(x.alias("x"), F.lit(0.0).alias("y"), z.alias("z"))
 
-        meshes = c.select(
+        return c.select(
             (F.col("k") % 4).cast("string").alias("tile"),
             F.col("k").alias("mesh_order"),
             (F.col("k") % 256).cast("int").alias("r"),
@@ -2481,8 +2473,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.array(P(x0, z0), P(x1, z1), P(x0, z1)),
             ).alias("triangles"),
         )
+
+    def render_pixels(spark, sf_dir):
+        # S8 PNG render sink (ImageExporter.java, opengl module): the
+        # orthographic top-down rasterizer over per-tile meshes. The
+        # rect scene's closed-triangle coverage reduces EXACTLY to
+        # interval tests, so the oracle re-derives every pixel: winner
+        # = max mesh_order among covering rects, background (0,0,0).
+        # All coordinates are small integers and the viewport/raster
+        # ratio is integral (4), so every comparison is exact IEEE
+        # double on both engines. The PNG byte layer over this pixel
+        # table is pinned byte-level in tests/test_image.py.
+        from osm2world_spark.sinks.image import rasterize_tiles
+
         return rasterize_tiles(
-            meshes, 48, 48, viewport=(0.0, 0.0, 192.0, 192.0))
+            _rect_scene_meshes(spark, sf_dir), 48, 48,
+            viewport=(0.0, 0.0, 192.0, 192.0))
 
     q["render_pixels"] = render_pixels
 
@@ -2694,30 +2700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rasterize_tiles,
         )
 
-        c = _t(spark, sf_dir, "customer").select(
-            F.col("c_custkey").cast("bigint").alias("k"))
-        d = lambda col: col.cast("double")  # noqa: E731
-        x0 = d((F.col("k") * 13) % 160)
-        z0 = d((F.col("k") * 29) % 160)
-        x1 = x0 + d(8 + (F.col("k") % 5) * 6)
-        z1 = z0 + d(8 + (F.col("k") % 7) * 4)
-
-        def P(x, z):
-            return F.struct(x.alias("x"), F.lit(0.0).alias("y"), z.alias("z"))
-
-        meshes = c.select(
-            (F.col("k") % 4).cast("string").alias("tile"),
-            F.col("k").alias("mesh_order"),
-            (F.col("k") % 256).cast("int").alias("r"),
-            ((F.col("k") * 7) % 256).cast("int").alias("g"),
-            ((F.col("k") * 13) % 256).cast("int").alias("b"),
-            F.array(
-                F.array(P(x0, z0), P(x1, z0), P(x1, z1)),
-                F.array(P(x0, z0), P(x1, z1), P(x0, z1)),
-            ).alias("triangles"),
-        )
         pix = rasterize_tiles(
-            meshes, 48, 48, viewport=(0.0, 0.0, 192.0, 192.0))
+            _rect_scene_meshes(spark, sf_dir), 48, 48,
+            viewport=(0.0, 0.0, 192.0, 192.0))
         children = pix.select(
             F.lit(1).alias("zoom"),
             (F.col("tile").cast("int") % 2).alias("tile_x"),

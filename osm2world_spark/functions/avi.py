@@ -89,11 +89,12 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/AVI payload")
 
     w = h = None
+    top_down = False
     rate, scale = 0, 1
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, rate, scale
+        nonlocal w, h, rate, scale, top_down
         while pos + 8 <= end:
             tag = buf[pos: pos + 4]
             size = struct.unpack_from("<I", buf, pos + 4)[0]
@@ -112,7 +113,9 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                     "<IiiHHI", buf, body0)
                 if bpp != 24 or comp != 0:
                     raise ValueError("only BI_RGB 24bpp DIB frames supported")
-                w, h = bw, abs(bh)
+                # negative biHeight = top-down DIB (rows already in
+                # image order); positive = the classic bottom-up form
+                w, h, top_down = bw, abs(bh), bh < 0
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(buf[body0: body0 + size])
             pos = body0 + size + (size & 1)
@@ -126,8 +129,10 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         if len(raw) < stride * h:
             raise ValueError("short frame chunk")
         rows = np.frombuffer(raw, np.uint8, stride * h).reshape(h, stride)
-        # undo bottom-up rows and BGR order
-        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        # undo bottom-up rows (unless top-down DIB) and BGR order
+        if not top_down:
+            rows = rows[::-1]
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
     fps = rate // scale if scale else 0
     return out, fps
 

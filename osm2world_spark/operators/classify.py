@@ -124,6 +124,9 @@ def classifier_filter(
         )
     )
     keep = F.element_at("scores", keep_label + 1)
-    return scored.where(
-        (F.col("label") == keep_label) & (keep - others >= F.lit(min_margin))
-    )
+    # single-class model: no "other" class exists, the margin condition
+    # is vacuously true (array_max of [] is NULL, which must not reject)
+    margin_ok = F.when(
+        F.size("scores") > 1, keep - others >= F.lit(min_margin)
+    ).otherwise(F.lit(True))
+    return scored.where((F.col("label") == keep_label) & margin_ok)

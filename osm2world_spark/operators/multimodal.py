@@ -399,9 +399,12 @@ def resize_images(media: DataFrame, factor: int) -> DataFrame:
 
 def resized_pixel_evidence(media: DataFrame, factor: int) -> DataFrame:
     """Hash-verification surface of the resize: one row per output
-    pixel with the exact all-channel block sum and the floor-mean value
+    pixel with the exact ALL-CHANNEL block sum and its floor mean
     (driver query `image_resize`) — shares `_box_reduce` with
-    `resize_images`, so the evidence certifies the production kernel."""
+    `resize_images`. Channel-summed evidence is blind to per-channel
+    ordering by construction; the per-channel floor means that
+    `resize_images` actually writes are pinned against numpy on an RGB
+    image in tests/test_multimodal.py."""
     f = int(factor)
     schema = "doc_id string, y int, x int, bsum bigint, v int"
 

@@ -110,7 +110,9 @@ def canonical_url(url: Column) -> Column:
             path.substr(F.lit(1), F.length(path) - 1),
         ).otherwise(path)
     )
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the '?' must occur BEFORE any '#': a '?' inside the fragment
+    # ('#!?page=2'-style) is fragment content, not a query
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         scheme,

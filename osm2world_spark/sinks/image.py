@@ -89,8 +89,12 @@ def _raster_kernel(
     img[..., 1] = background[1]
     img[..., 2] = background[2]
 
-    # flatten to per-triangle arrays in ascending painter's order
-    pdf = pdf.sort_values("mesh_order", kind="mergesort")
+    # flatten to per-triangle arrays in ascending painter's order.
+    # Ties on mesh_order break by color so the composite is a pure
+    # function of the INPUT SET, not Spark's group delivery order
+    # (same-order same-color meshes commute; different colors need the
+    # total order). TilePipeline meshes have unique orders per tile.
+    pdf = pdf.sort_values(["mesh_order", "r", "g", "b"], kind="mergesort")
     for row in pdf.itertuples(index=False):
         color = np.array([row.r & 255, row.g & 255, row.b & 255], dtype=np.uint8)
         for tri in row.triangles:
@@ -234,8 +238,12 @@ def pyramid_pixels(
 
     Input/output schema: (zoom int, tile_x int, tile_y int, px int,
     py int, r int, g int, b int) [+ n_src int on output]. Apply
-    repeatedly for deeper pyramids; `render_png_tiles` re-encodes any
-    level to PNGs.
+    repeatedly for deeper pyramids (drop n_src between levels). To
+    PNG-encode a level, derive the string tile key render_png_tiles
+    groups by::
+
+        lvl.select(F.concat_ws("_", "zoom", "tile_x", "tile_y")
+                    .alias("tile"), "px", "py", "r", "g", "b")
     """
     w2, h2 = int(width), int(height)
     px_p = F.shiftright((F.col("tile_x") % 2) * w2 + F.col("px"), 1)

@@ -40,15 +40,19 @@ def _open_stream(path: str):
     return open(path, "rb")
 
 
-def _element_row(el) -> tuple:
+def _element_row(el, allow_missing_coords: bool = False) -> tuple:
     """One parsed <node|way|relation> element -> ELEMENTS_SCHEMA tuple.
-    Shared by the plain-.osm and osmChange parsers."""
+    Shared by the plain-.osm and osmChange parsers. Only the osmChange
+    path passes allow_missing_coords (delete stubs legitimately omit
+    lat/lon); a plain-.osm node without coordinates is corrupt input
+    and fails loudly here rather than flowing NULLs downstream."""
     kind = el.tag
     eid = int(el.get("id"))
     tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
     if kind == "node":
-        # delete stubs may omit coordinates (osmChange minimal form)
         lat, lon = el.get("lat"), el.get("lon")
+        if not allow_missing_coords and (lat is None or lon is None):
+            raise ValueError(f"node {eid} is missing lat/lon")
         return (
             "node", eid,
             float(lat) if lat is not None else None,
@@ -112,7 +116,10 @@ def parse_osm_change(stream) -> list[tuple]:
             continue
         if ev != "end" or el.tag not in ("node", "way", "relation"):
             continue
-        rows.append((action or "modify",) + _element_row(el))
+        rows.append(
+            (action or "modify",)
+            + _element_row(el, allow_missing_coords=True)
+        )
         el.clear()
     return rows
 

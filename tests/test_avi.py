@@ -114,3 +114,18 @@ def test_real_codec_dispatch_routes_all_four_formats(spark):
     rows = feats.select("doc_id", F.size("feature").alias("d")).collect()
     assert len(rows) == 8
     assert all(r["d"] == 16 for r in rows)
+
+
+def test_top_down_dib_decodes_unflipped():
+    """Negative biHeight = top-down DIB: rows are already in image
+    order and must NOT be flipped."""
+    frames = np.arange(2 * 3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 2, 3)
+    data = bytearray(encode_avi(frames, fps=5))
+    i = data.index(b"strf")
+    # biHeight sits at offset 8 of BITMAPINFOHEADER (after the chunk tag
+    # + size header)
+    h = struct.unpack_from("<i", data, i + 8 + 8)[0]
+    struct.pack_into("<i", data, i + 8 + 8, -h)
+    out, _ = decode_avi(bytes(data))
+    # encoder wrote bottom-up; claiming top-down must yield the V-flip
+    assert np.array_equal(out, frames[:, ::-1])

@@ -177,3 +177,18 @@ def test_classifier_filter_margin(spark):
         if lbl == 0 and sc[0] - max(sc[1:]) >= m
     }
     assert kept_m == want_m
+
+
+def test_classifier_filter_single_class_model(spark):
+    """One-class model: the margin condition is vacuously true — every
+    labeled doc passes instead of being rejected by a NULL compare."""
+    from osm2world_spark.operators.classify import (
+        classifier_filter,
+        hashed_linear_scores,
+    )
+
+    docs = spark.createDataFrame([("d", "x y z")], "doc_id string, text string")
+    w = {b: [1] for b in range(B)}
+    scored = hashed_linear_scores(docs, _weights_df(spark, w), [0], B,
+                                  key="md5")
+    assert classifier_filter(scored, 0, min_margin=100).count() == 1

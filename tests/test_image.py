@@ -339,3 +339,23 @@ def test_pyramid_two_levels(spark):
     got = {(r["px"], r["py"]): (r["r"], r["g"], r["b"]) for r in out}
     for (px, py), rgb in got.items():
         assert rgb == tuple(l0[py, px])
+
+
+def test_equal_mesh_order_ties_break_by_color(spark):
+    """Two meshes sharing a mesh_order composite deterministically
+    (color tie-break), independent of input row order."""
+    from osm2world_spark.sinks.image import rasterize_tiles
+
+    rects = [
+        ("t", 1, (200, 0, 0), 0, 0, 8, 8),
+        ("t", 1, (0, 200, 0), 0, 0, 8, 8),  # same order, same area
+    ]
+    vp = (0.0, 0.0, 8.0, 8.0)
+    imgs = []
+    for order in (rects, rects[::-1]):
+        df = rasterize_tiles(
+            _rect_meshes(spark, order).repartition(3), 8, 8, viewport=vp)
+        imgs.append(_pixels_to_img(df.toPandas(), 8, 8))
+    assert np.array_equal(imgs[0], imgs[1])
+    # the higher color tuple paints last
+    assert tuple(imgs[0][4, 4]) == (200, 0, 0)

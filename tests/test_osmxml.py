@@ -151,3 +151,15 @@ def test_decode_osm_change_payload_rows(spark):
     assert ch.where(F.col("action") == "create").count() == 2
     rel = ch.where(F.col("element_type") == "relation").first()
     assert rel["member_roles"] == ["outer"] and rel["refs"] == [10]
+
+
+def test_plain_osm_node_without_coords_fails_loudly():
+    """A plain-.osm node missing lat/lon is corrupt input (the
+    osmChange delete-stub allowance must not leak into this path)."""
+    import pytest
+
+    from osm2world_spark.sources.osmxml import parse_osm_xml
+
+    bad = b'<osm version="0.6"><node id="7"/></osm>'
+    with pytest.raises(ValueError, match="missing lat/lon"):
+        parse_osm_xml(bad)

@@ -43,3 +43,20 @@ def test_url_dup_groups(spark):
     assert rows[0]["canon_url"] == "http://a.com/x?a=1&b=2"
     assert list(rows[0]["doc_ids"]) == ["d1", "d2"]
     assert rows[0]["survivor"] == "d1"
+
+
+def test_canonical_url_question_mark_inside_fragment(spark):
+    """A '?' that appears only inside the fragment is fragment content
+    — both URLs canonicalize to the bare resource."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame(
+        [("http://x.com/p#a?b=1",), ("http://x.com/p",),
+         ("http://x.com/p?b=1#frag",)],
+        "url string",
+    )
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == ["http://x.com/p", "http://x.com/p", "http://x.com/p?b=1"]
