@@ -2745,6 +2745,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_dedup"] = url_dedup
 
+    def render_strips(spark, sf_dir):
+        # Multi-pass distributed render (ImageExporter.java:145-147
+        # semantics): the SAME scene as render_pixels rendered as 4
+        # independent strip tasks per tile, global-formula pixel
+        # centers — the pixel table must be row-identical to the
+        # single-pass render, so it shares render_pixels' oracle.
+        from osm2world_spark.sinks.image import rasterize_strips
+
+        return rasterize_strips(
+            _rect_scene_meshes(spark, sf_dir), 48, 48,
+            viewport=(0.0, 0.0, 192.0, 192.0), n_strips=4)
+
+    q["render_strips"] = render_strips
+
     # CAG piece GEOMETRY (J13 completion): subtract a rectangle that
     # strictly overlaps each base rectangle's lower-left corner — the face
     # decomposition must return exactly the L-shaped hexagon, whose six
@@ -7613,6 +7627,10 @@ def oracle_sql() -> dict[str, str]:
         FROM child
         GROUP BY 1, 2, 3, 4, 5
     """
+
+    # render_strips is the SAME image as render_pixels by contract —
+    # the strip decomposition must be invisible in the pixel table
+    sql["render_strips"] = sql["render_pixels"]
 
     sql["url_dedup"] = """
         SELECT 'http://example' || (doc_id % 50)::VARCHAR || '.com/p'

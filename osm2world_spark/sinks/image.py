@@ -77,12 +77,20 @@ def _raster_kernel(
     height: int,
     viewport: tuple[float, float, float, float] | None,
     background: tuple[int, int, int],
+    x_window: tuple[int, int] | None = None,
 ) -> pd.DataFrame:
+    """x_window=(total_width, x0): render only columns [x0, x0+width) of
+    a total_width-wide image, with pixel centers computed from the
+    GLOBAL formula — bit-identical to the single-pass centers, which a
+    locally-derived sub-viewport could miss by an ulp."""
     tile = str(pdf["tile"].iloc[0])
     vp = viewport if viewport is not None else _viewport_of(pdf)
     minx, minz, maxx, maxz = (float(v) for v in vp)
+    total_w, x0 = x_window if x_window is not None else (width, 0)
     # pixel-center axes; zc is DESCENDING (north-up image rows)
-    xc = minx + (np.arange(width, dtype=np.float64) + 0.5) * (maxx - minx) / width
+    xc = minx + (
+        np.arange(x0, x0 + width, dtype=np.float64) + 0.5
+    ) * (maxx - minx) / total_w
     zc = maxz - (np.arange(height, dtype=np.float64) + 0.5) * (maxz - minz) / height
     img = np.empty((height, width, 3), dtype=np.uint8)
     img[..., 0] = background[0]
@@ -265,3 +273,55 @@ def pyramid_pixels(
             F.count("*").cast("int").alias("n_src"),
         )
     )
+
+
+def rasterize_strips(
+    meshes: DataFrame,
+    width: int,
+    height: int,
+    viewport: tuple[float, float, float, float],
+    n_strips: int,
+    background: tuple[int, int, int] = (0, 0, 0),
+) -> DataFrame:
+    """Multi-pass rendering of ONE large image per tile, distributed:
+    the reference's ImageExporter splits orthographic renders whose
+    resolution exceeds the GPU canvas into multiple passes
+    (ImageExporter.java:145-147, "Images with an orthographic
+    projection can be automatically split and rendered in multiple
+    passes"); here each pass is a SEPARATE Spark task. The W x H image
+    is cut into ``n_strips`` vertical strips; meshes replicate to every
+    strip (an explode by the strip-id array — strip count is small),
+    each (tile, strip) group rasterizes its own sub-viewport with the
+    SAME pixel centers the single-pass render would use (strip
+    boundaries land exactly on pixel columns because strip width is
+    required integral), and strips re-emit GLOBAL pixel coordinates —
+    so the output pixel table is row-identical to `rasterize_tiles`
+    (pinned by pytest) while per-task memory is W/n * H. A z8 overview
+    at 16k x 16k renders as 64 independent 256-column tasks.
+    """
+    w, h = int(width), int(height)
+    k = int(n_strips)
+    if w % k != 0:
+        raise ValueError(f"width {w} not divisible into {k} strips")
+    sw = w // k
+    vp = tuple(float(v) for v in viewport)
+    bg = tuple(int(v) & 255 for v in background)
+
+    strips = meshes.select(
+        "tile", "mesh_order", "r", "g", "b", "triangles",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("strip"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["strip"].iloc[0])
+        # global-formula pixel centers for columns [s*sw, (s+1)*sw):
+        # bit-identical to the single-pass render's centers
+        out = _raster_kernel(
+            pdf.drop(columns=["strip"]), sw, h, vp, bg,
+            x_window=(w, s * sw),
+        )
+        out["px"] = (out["px"] + s * sw).astype(out["px"].dtype)
+        return out
+
+    return strips.groupBy("tile", "strip").applyInPandas(
+        kernel, PIXELS_SCHEMA)

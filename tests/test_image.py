@@ -359,3 +359,33 @@ def test_equal_mesh_order_ties_break_by_color(spark):
     assert np.array_equal(imgs[0], imgs[1])
     # the higher color tuple paints last
     assert tuple(imgs[0][4, 4]) == (200, 0, 0)
+
+
+def test_strip_render_identical_to_single_pass(spark):
+    """Distributed multi-pass render == single-pass, row for row — on an
+    awkward float viewport where a locally-derived sub-viewport could
+    drift by an ulp."""
+    from osm2world_spark.sinks.image import rasterize_strips, rasterize_tiles
+
+    rng = np.random.RandomState(13)
+    rects = []
+    for i in range(25):
+        x0 = float(rng.uniform(0.0, 7.0))
+        z0 = float(rng.uniform(0.0, 7.0))
+        color = tuple(int(v) for v in rng.randint(0, 256, 3))
+        rects.append(
+            ("t", i + 1, color, x0, z0,
+             x0 + float(rng.uniform(0.3, 2.0)),
+             z0 + float(rng.uniform(0.3, 2.0))))
+    meshes = _rect_meshes(spark, rects)
+    vp = (0.1, 0.2, 9.7, 8.9)  # non-integral extent / width ratio
+    single = rasterize_tiles(meshes, 48, 24, viewport=vp)
+    strips = rasterize_strips(meshes, 48, 24, viewport=vp, n_strips=6)
+    a = sorted(map(tuple, single.collect()))
+    b = sorted(map(tuple, strips.collect()))
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rasterize_strips(meshes, 50, 24, viewport=vp, n_strips=7)
