@@ -118,11 +118,75 @@ class Engine:
         return parse_osm_json(responses)
 
     def media_features(self, media: DataFrame) -> DataFrame:
-        """Decode media payloads (PNG / baseline JPEG / WAV PCM, by magic
-        bytes) into fixed 16-dim feature rows."""
+        """Decode media payloads (PNG / JPEG incl. progressive / WAV PCM
+        / AVI video, by magic bytes + RIFF form type) into fixed 16-dim
+        feature rows."""
         from .operators.multimodal import extract_features
 
         return extract_features(media, real_codecs=True)
+
+    def resize_media(self, media: DataFrame, factor: int) -> DataFrame:
+        """Exact box-downsample images by an integer factor (re-encoded
+        PNG); see operators/multimodal.py::resize_images."""
+        from .operators.multimodal import resize_images
+
+        return resize_images(media, factor)
+
+    def resample_media(self, media: DataFrame, factor: int) -> DataFrame:
+        """Integer-decimation audio resample (floor means, rate/factor);
+        see operators/multimodal.py::resample_audio."""
+        from .operators.multimodal import resample_audio
+
+        return resample_audio(media, factor)
+
+    # ------------------------------------------------- training pipeline
+
+    def classify(self, docs: DataFrame, weights: DataFrame,
+                 biases: list[int], n_buckets: int) -> DataFrame:
+        """fastText-style hashed linear classifier inference (model-based
+        quality filtering); operators/classify.py for the contract."""
+        from .operators.classify import hashed_linear_scores
+
+        return hashed_linear_scores(docs, weights, biases, n_buckets)
+
+    def dedup_normalized(self, docs: DataFrame) -> DataFrame:
+        """Exact dedup groups under the CCNet-style normalized key
+        (accents/case/digits/whitespace folded)."""
+        from .operators.normalize import normalized_dup_groups
+
+        return normalized_dup_groups(docs)
+
+    def dedup_urls(self, docs: DataFrame, url_col: str = "url") -> DataFrame:
+        """Dedup groups under the canonical URL (crawl-level first
+        pass); operators/web.py::canonical_url for the normalization."""
+        from .operators.web import url_dup_groups
+
+        return url_dup_groups(docs, url_col=url_col)
+
+    def fix_text(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Repair UTF-8-as-Latin-1 mojibake in the text column (bounded
+        lowercase-accent table; operators/normalize.py)."""
+        from pyspark.sql import functions as F
+
+        from .operators.normalize import fix_mojibake
+
+        return docs.withColumn(text_col, fix_mojibake(F.col(text_col)))
+
+    def shard(self, docs: DataFrame, n_shards: int,
+              id_col: str = "doc_id") -> DataFrame:
+        """Deterministic global shuffle + training-shard assignment
+        (operators/packing.py::shard_corpus)."""
+        from .operators.packing import shard_corpus
+
+        return shard_corpus(docs, n_shards, id_col=id_col)
+
+    def apply_changes(self, changes: DataFrame):
+        """Split an osmChange table (sources/osmxml.py::read_osm_change)
+        into the (upserts, deleted_ids) pair `convert`'s invalidation
+        step consumes."""
+        from .sources.osmxml import split_change_actions
+
+        return split_change_actions(changes)
 
     # ---------------------------------------------------------- serializers
 
@@ -154,6 +218,28 @@ class Engine:
         from .sinks.frontend_pbf import encode_frontend_pbf
 
         return encode_frontend_pbf(meshes)
+
+    def render(self, meshes: DataFrame, width: int = 256, height: int = 256,
+               viewport: tuple | None = None,
+               n_strips: int = 1) -> DataFrame:
+        """Meshes -> per-tile pixel table (orthographic north-up render,
+        ImageExporter semantics); n_strips > 1 renders each tile as
+        independent strip tasks (multi-pass, pixel-identical — needs an
+        explicit viewport). `render_png` encodes the result."""
+        from .sinks.image import rasterize_strips, rasterize_tiles
+
+        if n_strips > 1:
+            if viewport is None:
+                raise ValueError("strip rendering needs an explicit viewport")
+            return rasterize_strips(meshes, width, height, viewport, n_strips)
+        return rasterize_tiles(meshes, width, height, viewport)
+
+    def render_png(self, pixels: DataFrame, width: int,
+                   height: int) -> DataFrame:
+        """Pixel table -> one (tile, png) row per tile (stdlib codec)."""
+        from .sinks.image import render_png_tiles
+
+        return render_png_tiles(pixels, width, height)
 
     # ------------------------------------------------------------- convert
 

@@ -192,3 +192,68 @@ def test_bounded_docs_tile_and_bbox(spark):
 
     with pytest.raises(ValueError):
         bounded_docs(docs, bounds=(0, 0, 1, 1), tile=(1, 0, 0))
+
+
+def test_engine_round5_facade(spark):
+    """The Engine facade exposes the round-5 surface: render/render_png,
+    classify, normalized/url dedup, mojibake fix, sharding, resize/
+    resample, osmChange splitting — each delegating to the tested op."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.api import Engine
+    from osm2world_spark.functions.png import decode_png
+
+    e = Engine(spark)
+    docs = spark.createDataFrame(
+        [("d1", "Héllo Wörld 2024"), ("d2", "héllo wörld 0000")],
+        "doc_id string, text string",
+    )
+    assert e.dedup_normalized(docs).count() == 1
+
+    broken = docs.select(
+        "doc_id",
+        F.lit("hÃ©llo ").alias("text"),  # 'Ã©' mojibake
+    )
+    fixed = e.fix_text(broken)
+    assert fixed.first()["text"] == "héllo "
+
+    urls = spark.createDataFrame(
+        [("a", "http://X.com:80/p/"), ("b", "http://x.com/p")],
+        "doc_id string, url string",
+    )
+    assert e.dedup_urls(urls).first()["survivor"] == "a"
+
+    sh = e.shard(docs, 4)
+    assert {"shard", "shard_pos"} <= set(sh.columns)
+
+    wv = spark.range(16).select(
+        F.col("id").alias("bucket"),
+        F.array(F.lit(1).cast("bigint"), F.lit(2).cast("bigint")).alias("ws"),
+    )
+    scored = e.classify(docs, wv, [0, 0], 16)
+    assert scored.count() == 2 and set(scored.columns) >= {"scores", "label"}
+
+    meshes = spark.createDataFrame(
+        [("t", 1, 9, 9, 9,
+          [[{"x": 0.0, "y": 0.0, "z": 0.0},
+            {"x": 4.0, "y": 0.0, "z": 0.0},
+            {"x": 4.0, "y": 0.0, "z": 4.0}]])],
+        "tile string, mesh_order bigint, r int, g int, b int, "
+        "triangles array<array<struct<x double, y double, z double>>>",
+    )
+    pix1 = e.render(meshes, 8, 8, viewport=(0.0, 0.0, 4.0, 4.0))
+    pix2 = e.render(meshes, 8, 8, viewport=(0.0, 0.0, 4.0, 4.0), n_strips=2)
+    assert sorted(map(tuple, pix1.collect())) == sorted(
+        map(tuple, pix2.collect()))
+    png = e.render_png(pix1, 8, 8).first()
+    assert decode_png(bytes(png["png"])).shape == (8, 8, 3)
+
+    from osm2world_spark.sources.osmxml import decode_osm_change
+
+    osc = spark.createDataFrame(
+        [('<osmChange><create><node id="1" lat="1" lon="2"/></create>'
+          '<delete><node id="9"/></delete></osmChange>',)],
+        "xml string",
+    )
+    ups, dels = e.apply_changes(decode_osm_change(osc))
+    assert ups.count() == 1 and dels.first()["id"] == 9
