@@ -3750,6 +3750,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["parse_values"] = parse_values
 
+    def perceptron_step(spark, sf_dir):
+        # Distributed batch-perceptron TRAINING epoch over the same
+        # closed-form 64x3 hashed model as classify_docs: labels are
+        # length(text) % 3, lr=1, md5 hash family. Output packs the
+        # full updated weight table (buckets 0..63), the bias update
+        # as bucket=-1, and (n_scored, n_wrong, 0) as bucket=-2, so
+        # the oracle re-derives the entire epoch in exact bigints.
+        from osm2world_spark.operators.classify import perceptron_epoch
+
+        wv = spark.range(64).select(
+            F.col("id").alias("bucket"),
+            F.array(
+                *[
+                    ((F.col("id") * 2654435761 + c * 40503) % 2001 - 1000)
+                    .cast("bigint")
+                    for c in range(3)
+                ]
+            ).alias("ws"),
+        )
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        labels = docs.select(
+            "doc_id", (F.length("text") % 3).cast("int").alias("y")
+        )
+        nw, stats = perceptron_epoch(
+            docs, labels, wv, [-25, 12, -1], 64, lr=1, key="md5"
+        )
+        unpack = lambda df: df.select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.element_at("ws", 1).cast("bigint").alias("w0"),
+            F.element_at("ws", 2).cast("bigint").alias("w1"),
+            F.element_at("ws", 3).cast("bigint").alias("w2"),
+        )
+        extra = stats.select(
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.element_at("db", 1).cast("bigint").alias("w0"),
+            F.element_at("db", 2).cast("bigint").alias("w1"),
+            F.element_at("db", 3).cast("bigint").alias("w2"),
+        ).unionAll(
+            stats.select(
+                F.lit(-2).cast("bigint").alias("bucket"),
+                F.col("n_scored").cast("bigint").alias("w0"),
+                F.col("n_wrong").cast("bigint").alias("w1"),
+                F.lit(0).cast("bigint").alias("w2"),
+            )
+        )
+        return unpack(nw).unionAll(extra)
+
+    q["perceptron_step"] = perceptron_step
+
+    def backoff_lm(spark, sf_dir):
+        # Stupid-backoff bigram LM (Brants 2007 §4) trained and applied
+        # in-plan with the paper's count cutoff (min_count=2): exact
+        # integer evidence only — hit/backoff counts and the frequency
+        # masses of both branches; the float logscore stays under the
+        # pytest oracle, mirroring ngram_lm's evidence/score split.
+        from osm2world_spark.operators.text import stupid_backoff_score
+
+        d = _t(spark, sf_dir, "documents")
+        return stupid_backoff_score(d, min_count=2).select(
+            "doc_id", "n_bigrams", "n_hits", "n_backoffs",
+            "sum_hit_num", "sum_hit_den", "sum_backoff_num",
+        )
+
+    q["backoff_lm"] = backoff_lm
+
+    def ccnet_buckets(spark, sf_dir):
+        # CCNet head/middle/tail corpus split (Wenzek 2020 §4.4): the
+        # corpus bigram-LM familiarity statistic (sum_freq/n_ngrams,
+        # an exact-rational double) compared against FIXED calibration
+        # cutoffs — a shuffle-free projection, never a global ntile.
+        from osm2world_spark.operators.quality import perplexity_buckets
+        from osm2world_spark.operators.text import ngram_lm_score
+
+        scored = ngram_lm_score(_t(spark, sf_dir, "documents"), n=2)
+        return perplexity_buckets(scored, (31.5, 30.0)).select(
+            "doc_id", "sum_freq", "n_ngrams", "familiarity", "bucket"
+        )
+
+    q["ccnet_buckets"] = ccnet_buckets
+
     return _driver_window_order(q)
 
 
@@ -8219,6 +8299,129 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(incline * 1000000.0 + 0.5) AS BIGINT) AS incline_pct_u,
                CAST(FLOOR(angle * 1000000.0 + 0.5) AS BIGINT) AS angle_deg_u
         FROM o
+    """
+
+    # perceptron_step: the full batch-perceptron epoch re-derived in
+    # exact bigints — same wv model and md5 buckets as classify_docs,
+    # labels length(text) % 3, +gold/-pred token-count update over the
+    # misclassified set, bias deltas as bucket=-1, counts as bucket=-2.
+    sql["perceptron_step"] = """
+        WITH wv AS (
+          SELECT b,
+                 ((b * 2654435761) % 2001) - 1000 AS w0,
+                 ((b * 2654435761 + 40503) % 2001) - 1000 AS w1,
+                 ((b * 2654435761 + 81006) % 2001) - 1000 AS w2
+          FROM (SELECT unnest(generate_series(0, 63)) AS b)
+        ),
+        tok AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(t.tok), 1, 8))::BIGINT) % 64 AS b
+          FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+          WHERE t.tok != ''
+        ),
+        s AS (
+          SELECT tok.doc_id, count(*) AS n_tokens,
+                 sum(wv.w0) AS r0, sum(wv.w1) AS r1, sum(wv.w2) AS r2
+          FROM tok JOIN wv ON wv.b = tok.b
+          GROUP BY tok.doc_id
+        ),
+        pred AS (
+          SELECT doc_id, n_tokens,
+                 CASE
+                   WHEN r0 - 25 * n_tokens >= r1 + 12 * n_tokens
+                    AND r0 - 25 * n_tokens >= r2 - n_tokens THEN 0
+                   WHEN r1 + 12 * n_tokens >= r2 - n_tokens THEN 1
+                   ELSE 2 END AS p
+          FROM s
+        ),
+        wrong AS (
+          SELECT p.doc_id, p.n_tokens, length(d.text) % 3 AS y, p.p
+          FROM pred p JOIN documents d USING (doc_id)
+          WHERE p.p != length(d.text) % 3
+        ),
+        delt AS (
+          SELECT tok.b,
+                 sum((w.y = 0)::INT - (w.p = 0)::INT) AS d0,
+                 sum((w.y = 1)::INT - (w.p = 1)::INT) AS d1,
+                 sum((w.y = 2)::INT - (w.p = 2)::INT) AS d2
+          FROM tok JOIN wrong w USING (doc_id)
+          GROUP BY tok.b
+        )
+        SELECT CAST(wv.b AS BIGINT) AS bucket,
+               CAST(wv.w0 + COALESCE(d.d0, 0) AS BIGINT) AS w0,
+               CAST(wv.w1 + COALESCE(d.d1, 0) AS BIGINT) AS w1,
+               CAST(wv.w2 + COALESCE(d.d2, 0) AS BIGINT) AS w2
+        FROM wv LEFT JOIN delt d ON d.b = wv.b
+        UNION ALL
+        SELECT -1,
+               CAST(COALESCE(sum(n_tokens * ((y = 0)::INT - (p = 0)::INT)), 0) AS BIGINT),
+               CAST(COALESCE(sum(n_tokens * ((y = 1)::INT - (p = 1)::INT)), 0) AS BIGINT),
+               CAST(COALESCE(sum(n_tokens * ((y = 2)::INT - (p = 2)::INT)), 0) AS BIGINT)
+        FROM wrong
+        UNION ALL
+        SELECT -2, (SELECT count(*) FROM s), (SELECT count(*) FROM wrong), 0
+    """
+
+    # backoff_lm: Brants 2007 stupid backoff with min_count=2 pruning —
+    # unigram + pruned bigram tables from the corpus itself, per-doc
+    # fold of exact integer evidence for both branches.
+    sql["backoff_lm"] = """
+        WITH toks AS (
+          SELECT doc_id, t.tok
+          FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+          WHERE t.tok != ''
+        ),
+        uni AS (SELECT tok, count(*) AS uf FROM toks GROUP BY tok),
+        grams AS (
+          SELECT doc_id,
+                 string_split(text, ' ')[i + 1] AS prev,
+                 string_split(text, ' ')[i + 2] AS cur
+          FROM documents,
+               unnest(range(len(string_split(text, ' ')) - 1)) AS r(i)
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bi AS (
+          SELECT prev, cur, count(*) AS bf FROM grams
+          GROUP BY prev, cur HAVING count(*) >= 2
+        ),
+        j AS (
+          SELECT g.doc_id, b.bf, up.uf AS pf, uc.uf AS cf
+          FROM grams g
+          LEFT JOIN bi b ON b.prev = g.prev AND b.cur = g.cur
+          JOIN uni up ON up.tok = g.prev
+          JOIN uni uc ON uc.tok = g.cur
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum((bf IS NOT NULL)::INT) AS BIGINT) AS n_hits,
+               CAST(sum((bf IS NULL)::INT) AS BIGINT) AS n_backoffs,
+               CAST(COALESCE(sum(CASE WHEN bf IS NOT NULL THEN bf END), 0) AS BIGINT) AS sum_hit_num,
+               CAST(COALESCE(sum(CASE WHEN bf IS NOT NULL THEN pf END), 0) AS BIGINT) AS sum_hit_den,
+               CAST(COALESCE(sum(CASE WHEN bf IS NULL THEN cf END), 0) AS BIGINT) AS sum_backoff_num
+        FROM j GROUP BY doc_id
+    """
+
+    # ccnet_buckets: the ngram_lm evidence re-derived, familiarity =
+    # sum_freq / n_ngrams (exact-rational IEEE division on both
+    # engines), fixed cutoffs 31.5 / 30.0 descending.
+    sql["ccnet_buckets"] = f"""
+        WITH grams AS (
+          SELECT doc_id, unnest({bigram_list}) AS gram FROM documents
+        ), counts AS (
+          SELECT gram, count(*) AS freq FROM grams GROUP BY gram
+        ), perdoc AS (
+          SELECT g.doc_id,
+                 CAST(sum(c.freq) AS BIGINT) AS sum_freq,
+                 CAST(count(*) AS BIGINT) AS n_ngrams
+          FROM grams g JOIN counts c USING (gram)
+          GROUP BY g.doc_id
+        )
+        SELECT doc_id, sum_freq, n_ngrams,
+               sum_freq * 1.0 / n_ngrams AS familiarity,
+               CASE WHEN sum_freq * 1.0 / n_ngrams >= 31.5 THEN 'head'
+                    WHEN sum_freq * 1.0 / n_ngrams >= 30.0 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM perdoc
     """
 
     return sql

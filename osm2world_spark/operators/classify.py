@@ -106,6 +106,123 @@ def hashed_linear_scores(
     )
 
 
+def perceptron_epoch(
+    docs: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    biases: list[int],
+    n_buckets: int,
+    lr: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "hash",
+) -> tuple[DataFrame, DataFrame]:
+    """ONE synchronous batch-perceptron epoch over the corpus — the
+    distributed TRAINING step for the hashed linear model, so the
+    quality-classifier loop (label a seed set, train, filter, repeat —
+    the CCNet / FineWeb-Edu recipe) never leaves the cluster.
+
+    Multiclass perceptron update (Rosenblatt 1958; the multiclass /
+    structured form of Collins 2002): for every document the current
+    model misclassifies, add the document's feature vector to the gold
+    class row and subtract it from the predicted class row. Under this
+    engine's score form ``s_c = sum_t W[bucket(t), c] + n_tokens * b_c``
+    the features are per-token (one-hot bucket + constant bias feature),
+    so the batch update is
+
+        dW[b, c]  = lr * sum_{wrong docs} cnt(doc, b) * (1[y=c] - 1[pred=c])
+        db[c]     = lr * sum_{wrong docs} n_tokens    * (1[y=c] - 1[pred=c])
+
+    Everything is fixed-point INTEGER arithmetic, so the update is exact
+    and independent of partitioning / delivery order — the same
+    hash-verification contract as inference.
+
+    Relational shape (the scale story): scoring is ``hashed_linear_scores``
+    (one corpus shuffle); ``labels`` joins on doc_id (hash join, shards
+    with the corpus); the gradient re-explodes ONLY the misclassified
+    documents' tokens and aggregates by bucket — an exchange whose
+    distinct-key count is ``n_buckets`` (model-sized, map-side combine
+    collapses it before the wire). The weight merge is a full outer join
+    of two model-sized tables. No collect anywhere; per-epoch cost is
+    two corpus passes regardless of model size.
+
+    ``labels``: ``(doc_id, y: int)`` gold classes. Returns
+    ``(new_weights, stats)`` where ``new_weights`` has the input
+    ``WEIGHTS_COLS`` schema (buckets whose every class weight is zero are
+    kept — occupancy is monotone, which keeps epoch chaining cheap) and
+    ``stats`` is one row ``(n_scored, n_wrong, db: array<bigint>)``
+    carrying the bias update and the epoch error count.
+    """
+    n_classes = len(biases)
+    scored = hashed_linear_scores(
+        docs, weights, biases, n_buckets, text_col, id_col, key
+    )
+    wrong = (
+        scored.join(labels.select(F.col(id_col).alias("doc_id"), "y"), "doc_id")
+        .where(F.col("label") != F.col("y"))
+        .select("doc_id", "n_tokens", "y", F.col("label").alias("pred"))
+    )
+
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+        .join(wrong.select("doc_id", "y", "pred"), "doc_id")
+        .select(
+            "y", "pred", F.explode(F.split(F.col("_txt"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select("y", "pred", hash_bucket(F.col("tok"), n_buckets, key).alias("bucket"))
+    )
+    sign = [
+        (
+            F.when(F.col("y") == c, F.lit(int(lr))).otherwise(F.lit(0))
+            + F.when(F.col("pred") == c, F.lit(-int(lr))).otherwise(F.lit(0))
+        ).cast("bigint")
+        for c in range(n_classes)
+    ]
+    deltas = toks.groupBy("bucket").agg(
+        *[F.sum(sign[c]).alias(f"_d{c}") for c in range(n_classes)]
+    )
+
+    merged = weights.select(*WEIGHTS_COLS).join(deltas, "bucket", "full")
+    new_ws = F.array(
+        *[
+            (
+                F.coalesce(F.element_at("ws", c + 1), F.lit(0).cast("bigint"))
+                + F.coalesce(F.col(f"_d{c}"), F.lit(0).cast("bigint"))
+            ).cast("bigint")
+            for c in range(n_classes)
+        ]
+    )
+    new_weights = merged.select("bucket", new_ws.alias("ws"))
+
+    db = [
+        F.coalesce(
+            F.sum(
+                F.col("n_tokens")
+                * (
+                    F.when(F.col("y") == c, F.lit(int(lr))).otherwise(F.lit(0))
+                    + F.when(F.col("pred") == c, F.lit(-int(lr))).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        for c in range(n_classes)
+    ]
+    stats = (
+        scored.agg(F.count("*").alias("n_scored"))
+        .crossJoin(
+            wrong.agg(
+                F.count("*").alias("n_wrong"),
+                F.array(*db).alias("db"),
+            )
+        )
+        .select("n_scored", "n_wrong", "db")
+    )
+    return new_weights, stats
+
+
 def classifier_filter(
     scored: DataFrame, keep_label: int, min_margin: int = 0
 ) -> DataFrame:

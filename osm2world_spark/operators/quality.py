@@ -273,3 +273,65 @@ def boilerplate_line_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    cutoffs: tuple[float, float],
+    num_col: str = "sum_freq",
+    den_col: str = "n_ngrams",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020, §4.4):
+    documents are bucketed by a language-model familiarity signal against
+    FIXED calibration cutoffs — ``head`` (most familiar / lowest
+    perplexity), ``middle``, ``tail``. CCNet computes the cutoffs ONCE on
+    a small calibration corpus (Wikipedia) and then assigns buckets by
+    plain threshold comparison, which is exactly why the pass scales:
+    assignment is a shuffle-free projection, never a global sort/ntile
+    (an ``ntile`` over 10^12 docs would funnel every row through one
+    window partition).
+
+    ``scored`` is the output of a corpus LM scorer (``ngram_lm_score`` /
+    ``stupid_backoff_score``); the familiarity statistic is the exact
+    rational ``num_col / den_col`` (corpus-frequency mass per gram).
+    IEEE-754 division of two bigint-exact doubles is correctly rounded
+    on every engine, so the comparison is cross-engine deterministic.
+    Boundary rule: ``fam >= cutoffs[0]`` is head, ``>= cutoffs[1]`` is
+    middle, else tail (cutoffs descending).
+    """
+    fam = F.col(num_col).cast("double") / F.col(den_col).cast("double")
+    c1, c2 = float(cutoffs[0]), float(cutoffs[1])
+    if not c1 >= c2:
+        raise ValueError("cutoffs must be (head_min, middle_min) descending")
+    return scored.select(
+        id_col,
+        num_col,
+        den_col,
+        fam.alias("familiarity"),
+        F.when(fam >= F.lit(c1), F.lit("head"))
+        .when(fam >= F.lit(c2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def calibrate_cutoffs(
+    scored: DataFrame,
+    num_col: str = "sum_freq",
+    den_col: str = "n_ngrams",
+    fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> tuple[float, float]:
+    """Derive ``perplexity_buckets`` cutoffs from a CALIBRATION corpus —
+    the small, trusted set CCNet uses (its Wikipedia sample), never the
+    full corpus. Exact percentiles of the familiarity statistic at the
+    requested fractions; the aggregate materializes the calibration
+    set's values on the executors, which is safe precisely because the
+    calibration corpus is bounded by construction (document the bound at
+    call sites). Returns ``(head_min, middle_min)`` descending."""
+    fam = F.col(num_col).cast("double") / F.col(den_col).cast("double")
+    row = scored.agg(
+        F.percentile(fam, F.lit(1.0 - float(fractions[0]))).alias("c1"),
+        F.percentile(fam, F.lit(1.0 - float(fractions[1]))).alias("c2"),
+    ).collect()[0]
+    return float(row["c1"]), float(row["c2"])

@@ -239,6 +239,100 @@ def ngram_lm_score(
     )
 
 
+def stupid_backoff_score(
+    docs: DataFrame,
+    min_count: int = 2,
+    alpha_u6: int = 400000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid-backoff bigram language-model score (Brants et al. 2007,
+    "Large Language Models in Machine Translation", §4) — the
+    perplexity-grade corpus-LM quality signal (what CCNet computes with
+    a KenLM model), trained and applied entirely in-plan:
+
+        S(w_i | w_{i-1}) = f(w_{i-1} w_i) / f(w_{i-1})   if bigram kept
+                         = alpha * f(w_i) / N             otherwise
+
+    with the count cutoff Brants applies at scale: bigrams seen fewer
+    than ``min_count`` times are pruned from the model, so rare
+    continuations genuinely back off (a corpus scored under its own
+    unpruned counts would never back off). ``alpha_u6`` is the backoff
+    penalty in millionths (default 0.4, the paper's constant).
+
+    Relational shape (100 TB): pass 1 builds the unigram and pruned
+    bigram count tables (two explode+groupBy exchanges with map-side
+    combine — count rows per DISTINCT gram, not per occurrence); pass 2
+    joins each doc's bigrams to the model on the gram / prefix / last
+    keys (plain hash joins that shard with the corpus; the head of the
+    Zipf curve is exactly what the combine collapses) and folds per
+    document. Nothing collects; the model never leaves the cluster.
+
+    Returns one row per document with at least two tokens:
+    ``(doc_id, n_bigrams, n_hits, n_backoffs, sum_hit_num, sum_hit_den,
+    sum_backoff_num, logscore)`` — the integer columns are exact
+    (hash-verifiable on any engine); ``logscore`` is the float
+    sum of ln S with ln left to the pytest oracle, mirroring
+    ``ngram_lm_score``'s evidence/score split.
+    """
+    from .dedup import _shingles
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count("*").alias("uf"))
+    totals = uni.agg(F.sum("uf").alias("n_total"))
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col, 2)).alias("gram"),
+    ).where(F.size(F.split(F.col(text_col), " ")) >= 2)
+    bi = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("bf"))
+        .where(F.col("bf") >= int(min_count))
+    )
+
+    parts = grams.select(
+        "doc_id",
+        "gram",
+        F.split(F.col("gram"), " ")[0].alias("_prev"),
+        F.split(F.col("gram"), " ")[1].alias("_cur"),
+    )
+    j = (
+        parts.join(bi, "gram", "left")
+        .join(uni.select(F.col("tok").alias("_prev"), F.col("uf").alias("pf")), "_prev")
+        .join(uni.select(F.col("tok").alias("_cur"), F.col("uf").alias("cf")), "_cur")
+    )
+    hit = F.col("bf").isNotNull()
+    alpha = F.lit(int(alpha_u6)) / F.lit(1000000.0)
+    per_doc = j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        F.sum(F.when(hit, 0).otherwise(1)).cast("bigint").alias("n_backoffs"),
+        F.sum(F.when(hit, F.col("bf")).otherwise(0)).cast("bigint").alias("sum_hit_num"),
+        F.sum(F.when(hit, F.col("pf")).otherwise(0)).cast("bigint").alias("sum_hit_den"),
+        F.sum(F.when(hit, 0).otherwise(F.col("cf"))).cast("bigint").alias("sum_backoff_num"),
+        F.sum(
+            F.when(
+                hit, F.log(F.col("bf").cast("double") / F.col("pf"))
+            ).otherwise(F.log(alpha * F.col("cf")))
+        ).alias("_lg"),
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_bigrams",
+        "n_hits",
+        "n_backoffs",
+        "sum_hit_num",
+        "sum_hit_den",
+        "sum_backoff_num",
+        (F.col("_lg") - F.col("n_backoffs") * F.log(F.col("n_total").cast("double")))
+        .alias("logscore"),
+    )
+
+
 # conservative patterns (explicit character classes only, so the Java-regex
 # engine in Spark and RE2 in DuckDB agree symbol for symbol)
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
