@@ -298,3 +298,47 @@ def test_round5_classifier_and_normalize_plan_shape(spark):
     px_plan = _plan(rasterize_tiles(meshes, 8, 8, viewport=(0, 0, 1, 1)))
     assert "FlatMapGroupsInPandas" in px_plan, px_plan
     assert "BatchEvalPython" not in px_plan
+
+
+def test_round5_training_and_lm_plan_shape(spark):
+    """Plan audits for the training-loop / LM additions: the perceptron
+    epoch's model-side work stays model-keyed (the delta aggregation
+    exchanges on `bucket`, never on doc rows) with zero Python; the
+    stupid-backoff scorer's only nested-loop join is the 1-row totals
+    broadcast; the CCNet bucket assignment is a shuffle-free projection."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.operators.classify import perceptron_epoch
+    from osm2world_spark.operators.quality import perplexity_buckets
+    from osm2world_spark.operators.text import stupid_backoff_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    labels = docs.select("doc_id", (F.length("text") % 3).cast("int").alias("y"))
+    wv = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        F.array(*[(F.col("id") * (c + 1)).cast("bigint") for c in range(3)]
+                ).alias("ws"),
+    )
+    nw, stats = perceptron_epoch(docs, labels, wv, [0, 0, 0], 64)
+    nw_plan = _plan(nw)
+    assert "EvalPython" not in nw_plan
+    # the gradient exchange is keyed on the model bucket — the corpus
+    # never re-shuffles on anything but doc_id / bucket
+    assert "hashpartitioning(bucket" in nw_plan, nw_plan
+    assert "CartesianProduct" not in nw_plan
+    st_plan = _plan(stats)
+    assert "EvalPython" not in st_plan
+
+    lm_plan = _plan(stupid_backoff_score(docs))
+    assert "EvalPython" not in lm_plan
+    assert "CartesianProduct" not in lm_plan
+    # the only nested-loop join is the broadcast of the 1-row totals
+    assert lm_plan.count("BroadcastNestedLoopJoin") <= 1, lm_plan
+
+    scored = spark.createDataFrame(
+        [("a", 10, 2)], "doc_id string, sum_freq bigint, n_ngrams bigint"
+    )
+    pb_plan = _plan(perplexity_buckets(scored, (4.0, 2.0)))
+    assert "Exchange" not in pb_plan, "bucket assignment must not shuffle"
+    assert "EvalPython" not in pb_plan
