@@ -3830,6 +3830,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ccnet_buckets"] = ccnet_buckets
 
+    def dedup_span_removal(spark, sf_dir):
+        # The Lee 2022 ExactSubstr DELIVERABLE: the cleaned corpus.
+        # Same k=4/min_count=2 span semantics as dup_spans (its oracle
+        # CTE chain is the prefix of this one), then token surgery —
+        # covered positions anti-joined away, text reassembled in
+        # order. Row count preserved (untouched docs included).
+        from osm2world_spark.operators.dedup import remove_dup_spans
+
+        d = _t(spark, sf_dir, "documents")
+        return remove_dup_spans(d, k=4, min_count=2, gram_key="exact")
+
+    q["dedup_span_removal"] = dedup_span_removal
+
+    def incremental_dedup(spark, sf_dir):
+        # Streaming-ingest dedup: a synthesized NEW batch scanned
+        # against the OLD corpus's persisted minhash index (portable
+        # md5 family, k=8, 4 bands of 2). Per old doc_id d the batch
+        # holds one of: an exact clone (d%3==0), a one-token-appended
+        # near-dup (d%3==1), or a fully novel doc (d%3==2, an insert —
+        # absent from the output by contract).
+        from osm2world_spark.operators.dedup import (
+            incremental_near_dups,
+            lsh_index,
+        )
+
+        old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        key = F.col("doc_id").cast("bigint")
+        new = old.select(
+            F.concat(F.lit("n"), F.col("doc_id")).alias("doc_id"),
+            F.when(key % 3 == 0, F.col("text"))
+            .when(key % 3 == 1, F.concat(F.col("text"), F.lit(" zz"), F.col("doc_id")))
+            .otherwise(
+                F.concat(
+                    F.lit("novel"), F.col("doc_id"),
+                    F.lit(" entirely fresh content "), F.col("doc_id"),
+                )
+            )
+            .alias("text"),
+        )
+        idx = lsh_index(old, k=8, n=3, portable=True)
+        return incremental_near_dups(
+            new, idx, bands=4, min_matches=4, k=8, n=3, portable=True
+        )
+
+    q["incremental_dedup"] = incremental_dedup
+
     return _driver_window_order(q)
 
 
@@ -8422,6 +8468,120 @@ def oracle_sql() -> dict[str, str]:
                     WHEN sum_freq * 1.0 / n_ngrams >= 30.0 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM perdoc
+    """
+
+    # dedup_span_removal: the dup_spans CTE chain (k=4, min_count=2)
+    # extended with coverage explode -> anti join -> ordered reassembly;
+    # untouched docs come back whole via the left join, fully-duplicated
+    # docs as ''.
+    sql["dedup_span_removal"] = """
+        WITH toks0 AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(range(len(t) - 3)) AS pos, t
+          FROM toks0 WHERE len(t) - 3 >= 1
+        ), g2 AS (
+          SELECT doc_id, pos,
+                 array_to_string(list_slice(t, pos + 1, pos + 4), ' ') AS gk
+          FROM g
+        ), d AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gk) AS cnt FROM g2
+          ) WHERE cnt >= 2
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev IS NULL OR pos > prev + 4 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM d
+          )
+        ), sp AS (
+          SELECT doc_id, min(pos) AS tok_start, max(pos) + 4 AS tok_end
+          FROM isl GROUP BY doc_id, island
+        ), cov AS (
+          SELECT DISTINCT doc_id, unnest(range(tok_start, tok_end)) AS pos
+          FROM sp
+        ), tp AS (
+          SELECT doc_id, unnest(range(len(t))) AS pos, t FROM toks0
+        ), kept AS (
+          SELECT tp.doc_id, tp.pos, tp.t[tp.pos + 1] AS tok
+          FROM tp ANTI JOIN cov USING (doc_id, pos)
+        ), cl AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS text_clean
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t0.doc_id,
+               CAST(len(t0.t) AS BIGINT) AS n_tokens,
+               CAST(len(t0.t) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(cl.text_clean, '') AS text_clean
+        FROM toks0 t0 LEFT JOIN cl USING (doc_id)
+    """
+
+    # incremental_dedup: md5-prefix minhash signatures (k=8) for the old
+    # corpus and the synthesized batch, 4 bands of 2, candidate = any
+    # equal band slice, verify = agreeing positions, best old match per
+    # new doc (ties to the smallest old_id).
+    _sh3 = (
+        "CASE WHEN len(string_split(text, ' ')) - 2 >= 1 THEN "
+        "list_transform(range(len(string_split(text, ' ')) - 2), "
+        "i -> string_split(text, ' ')[i+1] || ' ' || "
+        "string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]) "
+        "ELSE [text] END"
+    )
+    sql["incremental_dedup"] = f"""
+        WITH newdocs AS (
+          SELECT 'n' || doc_id AS doc_id,
+                 CASE WHEN doc_id::BIGINT % 3 = 0 THEN text
+                      WHEN doc_id::BIGINT % 3 = 1 THEN text || ' zz' || doc_id
+                      ELSE 'novel' || doc_id ||
+                           ' entirely fresh content ' || doc_id
+                 END AS text
+          FROM documents
+        ),
+        osh AS (
+          SELECT DISTINCT doc_id, unnest({_sh3}) AS shingle FROM documents
+        ),
+        nsh AS (
+          SELECT DISTINCT doc_id, unnest({_sh3}) AS shingle FROM newdocs
+        ),
+        osig AS (
+          SELECT doc_id, s,
+                 min(('0x' || substr(md5(s::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS h
+          FROM osh, (SELECT unnest(range(8)) AS s) GROUP BY doc_id, s
+        ),
+        nsig AS (
+          SELECT doc_id, s,
+                 min(('0x' || substr(md5(s::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS h
+          FROM nsh, (SELECT unnest(range(8)) AS s) GROUP BY doc_id, s
+        ),
+        ol AS (SELECT doc_id AS old_id, list(h ORDER BY s) AS sig FROM osig GROUP BY doc_id),
+        nl AS (SELECT doc_id AS new_id, list(h ORDER BY s) AS sig FROM nsig GROUP BY doc_id),
+        pairs AS (
+          SELECT nl.new_id, ol.old_id,
+                 (SELECT count(*) FROM (SELECT unnest(range(8)) AS i)
+                  WHERE nl.sig[i + 1] = ol.sig[i + 1]) AS n_matches
+          FROM nl, ol
+          WHERE EXISTS (
+            SELECT 1 FROM (SELECT unnest(range(4)) AS b)
+            WHERE nl.sig[b * 2 + 1] = ol.sig[b * 2 + 1]
+              AND nl.sig[b * 2 + 2] = ol.sig[b * 2 + 2]
+          )
+        ),
+        hits AS (
+          SELECT new_id, old_id, n_matches,
+                 row_number() OVER (
+                   PARTITION BY new_id
+                   ORDER BY n_matches DESC, old_id ASC
+                 ) AS rn
+          FROM pairs WHERE n_matches >= 4
+        )
+        SELECT new_id, old_id,
+               CAST(n_matches AS INT) AS n_matches,
+               CAST(n_matches * 1000000 // 8 AS BIGINT) AS est_jaccard_u6
+        FROM hits WHERE rn = 1
     """
 
     return sql

@@ -614,3 +614,188 @@ def paragraph_dedup(
             sep,
         ).alias("text_dedup"),
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_key: str = "hash",
+) -> DataFrame:
+    """The DELIVERABLE of the Lee et al. 2022 exact-substring dedup:
+    the cleaned corpus, not just the span report — every token covered
+    by a duplicated span (``duplicated_spans`` semantics: maximal ranges
+    of corpus-frequent k-grams) is cut from the text, like the paper's
+    ExactSubstr pass which removes every occurrence of a duplicated
+    substring.
+
+    Fully relational removal (no per-doc array scans over span lists):
+    spans explode to one row per COVERED token position (linear — total
+    coverage rows are bounded by total corpus tokens), the kept tokens
+    are a left ANTI join on (doc_id, pos), and the document reassembles
+    with the same sorted-collect idiom as ``paragraph_dedup``. Documents
+    shorter than k tokens have no grams and pass through untouched;
+    documents that are one giant duplicate come back as the empty
+    string, preserving row count for downstream audits.
+
+    Returns (doc_id, n_tokens, n_removed, text_clean). Exchanges: the
+    two inside ``duplicated_spans`` plus the anti join and the per-doc
+    reassembly — all keyed on doc_id or the gram key, nothing quadratic.
+    """
+    spans = duplicated_spans(docs, k, min_count, text_col, id_col, gram_key)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("tok_start"), F.col("tok_end") - 1)
+        ).alias("pos"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def lsh_index(
+    docs: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """The persistable near-dup index of a corpus: its minhash signature
+    table ``(doc_id, sig array<bigint>)`` — k integers per document, the
+    compact artifact an ingest pipeline writes once per corpus snapshot
+    and every future batch dedups against. Band-bucket rows derive from
+    it on read (a projection), so the stored index is band-count
+    agnostic."""
+    return minhash_signatures(docs, k, n, text_col, id_col, portable)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    bands: int = 8,
+    min_matches: int = 16,
+    k: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus index — the
+    streaming-ingest case (every crawl snapshot arrives after the corpus
+    is already deduped; re-running all-pairs LSH over old+new would
+    re-shuffle the whole history every batch). ``index`` is a prior
+    ``lsh_index`` output; only the new batch's shingles are computed.
+
+    Candidates: band both signature tables and join new bands against
+    old bands on (band, band-slice) — the exchange is sized by the NEW
+    batch plus the (already bounded) index rows, never by old corpus
+    text. Verification is signature-estimated Jaccard, the standard
+    index-side verify when old text is no longer co-resident: the count
+    of agreeing minhash positions (``F.zip_with`` equality fold — an
+    exact integer, ~Jaccard * k in expectation). A pair is a near-dup
+    when ``n_matches >= min_matches``.
+
+    Returns the best old match per new doc (highest n_matches, ties to
+    the smallest old_id): ``(new_id, old_id, n_matches, est_jaccard_u6)``
+    with ``est_jaccard_u6 = floor(n_matches * 1e6 / k)`` exact integer
+    fixed-point. New docs with no candidate above the floor are absent —
+    they are the inserts; callers anti-join to route them into the
+    corpus and append their signatures to the index.
+
+    Dedup WITHIN the new batch composes separately (``minhash_near_dups``
+    on the batch); this operator is deliberately one-directional so the
+    index stays immutable during the scan. ``max_bucket`` drops
+    mega-buckets exactly like ``lsh_candidate_pairs`` (run exact dedup
+    first)."""
+    new_sigs = minhash_signatures(new_docs, k, n, text_col, id_col, portable)
+
+    def _bands(sigs: DataFrame, idc: str) -> DataFrame:
+        rows_per_band = k // bands
+        return sigs.select(
+            F.col("doc_id").alias(idc),
+            F.col("sig"),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        ).select(
+            idc,
+            "sig",
+            "band",
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
+                ),
+            ).alias("bslice"),
+        )
+
+    nb = _bands(new_sigs, "new_id")
+    ob = _bands(index, "old_id")
+    if max_bucket:
+        obsz = F.count("*").over(Window.partitionBy("band", "bslice"))
+        ob = ob.withColumn("_bsz", obsz).where(
+            F.col("_bsz") <= max_bucket
+        ).drop("_bsz")
+    cand = (
+        nb.join(
+            ob.select("old_id", "band", "bslice",
+                      F.col("sig").alias("old_sig")),
+            ["band", "bslice"],
+        )
+        .select("new_id", "old_id", "sig", "old_sig")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    n_matches = F.aggregate(
+        F.zip_with(
+            "sig", "old_sig", lambda a, b: F.when(a == b, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    hits = cand.select(
+        "new_id", "old_id", n_matches.cast("int").alias("n_matches")
+    ).where(F.col("n_matches") >= int(min_matches))
+    best = F.row_number().over(
+        Window.partitionBy("new_id").orderBy(
+            F.col("n_matches").desc(), F.col("old_id").asc()
+        )
+    )
+    return (
+        hits.withColumn("_rn", best)
+        .where(F.col("_rn") == 1)
+        .select(
+            "new_id",
+            "old_id",
+            "n_matches",
+            F.floor(F.col("n_matches") * 1000000 / k)
+            .cast("bigint")
+            .alias("est_jaccard_u6"),
+        )
+    )
