@@ -180,6 +180,61 @@ class Engine:
 
         return shard_corpus(docs, n_shards, id_col=id_col)
 
+    def train_classifier_epoch(
+        self, docs: DataFrame, labels: DataFrame, weights: DataFrame,
+        biases: list[int], n_buckets: int, lr: int = 1,
+    ) -> tuple[DataFrame, DataFrame]:
+        """One distributed batch-perceptron epoch over the hashed linear
+        model (the training side of `classify`); returns (new_weights,
+        stats) — operators/classify.py::perceptron_epoch."""
+        from .operators.classify import perceptron_epoch
+
+        return perceptron_epoch(docs, labels, weights, biases, n_buckets, lr)
+
+    def lm_score(self, docs: DataFrame, min_count: int = 2) -> DataFrame:
+        """Stupid-backoff bigram LM familiarity evidence per document
+        (Brants 2007; operators/text.py::stupid_backoff_score)."""
+        from .operators.text import stupid_backoff_score
+
+        return stupid_backoff_score(docs, min_count=min_count)
+
+    def lm_buckets(
+        self, scored: DataFrame, cutoffs: tuple[float, float],
+        num_col: str = "sum_freq", den_col: str = "n_ngrams",
+    ) -> DataFrame:
+        """CCNet head/middle/tail split by fixed calibration cutoffs
+        (operators/quality.py::perplexity_buckets)."""
+        from .operators.quality import perplexity_buckets
+
+        return perplexity_buckets(scored, cutoffs, num_col, den_col)
+
+    def remove_duplicate_spans(
+        self, docs: DataFrame, k: int = 8, min_count: int = 2
+    ) -> DataFrame:
+        """Cut every corpus-duplicated token span out of the text (Lee
+        2022 ExactSubstr; operators/dedup.py::remove_dup_spans)."""
+        from .operators.dedup import remove_dup_spans
+
+        return remove_dup_spans(docs, k, min_count)
+
+    def dedup_index(self, docs: DataFrame, k: int = 32) -> DataFrame:
+        """Persistable minhash signature index of a corpus snapshot
+        (operators/dedup.py::lsh_index)."""
+        from .operators.dedup import lsh_index
+
+        return lsh_index(docs, k)
+
+    def dedup_against_index(
+        self, new_docs: DataFrame, index: DataFrame,
+        bands: int = 8, min_matches: int = 16, k: int = 32,
+    ) -> DataFrame:
+        """Scan a new batch against a prior `dedup_index` and return the
+        best old near-match per new doc; unmatched docs are the inserts
+        (operators/dedup.py::incremental_near_dups)."""
+        from .operators.dedup import incremental_near_dups
+
+        return incremental_near_dups(new_docs, index, bands, min_matches, k)
+
     def apply_changes(self, changes: DataFrame):
         """Split an osmChange table (sources/osmxml.py::read_osm_change)
         into the (upserts, deleted_ids) pair `convert`'s invalidation

@@ -257,3 +257,44 @@ def test_engine_round5_facade(spark):
     )
     ups, dels = e.apply_changes(decode_osm_change(osc))
     assert ups.count() == 1 and dels.first()["id"] == 9
+
+
+def test_engine_training_and_incremental_facade(spark):
+    """The continuation surface: classifier training epoch, LM evidence
+    + bucket split, span removal, index-scan dedup — each facade method
+    delegating to the tested operator."""
+    from pyspark.sql import functions as F
+
+    from osm2world_spark.api import Engine
+
+    e = Engine(spark)
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta"), ("d2", "alpha beta gamma delta"),
+         ("d3", "epsilon zeta eta theta")],
+        "doc_id string, text string",
+    )
+    labels = docs.select("doc_id", (F.length("text") % 2).alias("y"))
+    wv = spark.range(16).select(
+        F.col("id").alias("bucket"),
+        F.array(F.lit(0).cast("bigint"), F.lit(0).cast("bigint")).alias("ws"),
+    )
+    nw, stats = e.train_classifier_epoch(docs, labels, wv, [0, 0], 16)
+    assert stats.first()["n_scored"] == 3
+    assert nw.count() >= 16
+
+    scored = e.lm_score(docs)
+    assert scored.count() == 3
+    buckets = e.lm_buckets(
+        scored, (2.0, 1.0), num_col="sum_hit_num", den_col="n_bigrams")
+    assert set(buckets.columns) == {
+        "doc_id", "sum_hit_num", "n_bigrams", "familiarity", "bucket"}
+
+    cleaned = e.remove_duplicate_spans(docs, k=4)
+    got = {r["doc_id"]: r["n_removed"] for r in cleaned.collect()}
+    assert got["d1"] == 4 and got["d2"] == 4 and got["d3"] == 0
+
+    idx = e.dedup_index(docs.where(F.col("doc_id") != "d3"), k=8)
+    hits = e.dedup_against_index(
+        docs.where(F.col("doc_id") == "d3"), idx, bands=4, min_matches=4, k=8
+    )
+    assert hits.count() == 0  # d3 is an insert
