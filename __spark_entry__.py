@@ -3876,6 +3876,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_dedup"] = incremental_dedup
 
+    def hillshade_raster(spark, sf_dir):
+        # Analytical hillshade over the raster_gradients synthetic DEM
+        # (NW light, 45 deg altitude, 90 m pixels). The zenith/azimuth
+        # trig constants are computed once in Python and shared with
+        # the oracle literally; per-pixel trig rounds to u3 fixed
+        # point, the established float-hash discipline.
+        from osm2world_spark.operators.rasterops import (
+            hillshade,
+            raster_gradients,
+        )
+
+        n = 200
+        grid = spark.range(n * n).select(
+            F.lit(13).alias("cell_lon"),
+            F.lit(48).alias("cell_lat"),
+            (F.col("id") % n).cast("int").alias("px"),
+            F.floor(F.col("id") / n).cast("int").alias("py"),
+        )
+        elev = F.when(
+            (F.col("px") * 31 + F.col("py") * 37) % 499 == 0, F.lit(-32768)
+        ).otherwise((F.col("px") * 7919 + F.col("py") * 104729) % 1000)
+        shaded = hillshade(raster_gradients(grid.withColumn("elev", elev.cast("int"))))
+        return shaded.select(
+            "cell_lon", "cell_lat", "px", "py", "dzdx2", "dzdy2",
+            F.floor(F.col("shade") * 1000.0 + 0.5).cast("bigint").alias("shade_u3"),
+        )
+
+    q["hillshade_raster"] = hillshade_raster
+
     return _driver_window_order(q)
 
 
@@ -8582,6 +8611,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_matches AS INT) AS n_matches,
                CAST(n_matches * 1000000 // 8 AS BIGINT) AS est_jaccard_u6
         FROM hits WHERE rn = 1
+    """
+
+    # hillshade_raster: the raster_gradients CTE chain + the
+    # Zevenbergen-Thorne hillshade formula with the IDENTICAL
+    # Python-evaluated illumination constants the operator embeds.
+    import math as _math
+
+    _zen = _math.radians(45.0)
+    _az = _math.radians(360.0 - 315.0 + 90.0)
+    sql["hillshade_raster"] = f"""
+        WITH g AS (
+          SELECT 13 AS cell_lon, 48 AS cell_lat,
+                 CAST(i % 200 AS INT) AS px, CAST(i // 200 AS INT) AS py
+          FROM range(40000) t(i)
+        ), z AS (
+          SELECT cell_lon, cell_lat, px, py,
+                 CASE WHEN NOT ((px * 31 + py * 37) % 499 = 0)
+                      THEN CAST((px * 7919 + py * 104729) % 1000 AS BIGINT) END AS zz
+          FROM g
+        ), d AS (
+          SELECT cell_lon, cell_lat, px, py,
+                 (CASE WHEN lead(px) OVER wx = px + 1 THEN lead(zz) OVER wx END
+                  - CASE WHEN lag(px) OVER wx = px - 1 THEN lag(zz) OVER wx END) AS dzdx2,
+                 (CASE WHEN lead(py) OVER wy = py + 1 THEN lead(zz) OVER wy END
+                  - CASE WHEN lag(py) OVER wy = py - 1 THEN lag(zz) OVER wy END) AS dzdy2
+          FROM z
+          WINDOW wx AS (PARTITION BY cell_lon, cell_lat, py ORDER BY px),
+                 wy AS (PARTITION BY cell_lon, cell_lat, px ORDER BY py)
+        ), s AS (
+          SELECT *,
+                 CAST(dzdx2 AS DOUBLE) / 180.0 AS p,
+                 CAST(dzdy2 AS DOUBLE) / 180.0 AS q
+          FROM d
+        ), sh AS (
+          SELECT cell_lon, cell_lat, px, py, dzdx2, dzdy2,
+                 255.0 * ({_math.cos(_zen)!r} * cos(atan(sqrt(p * p + q * q)))
+                          + {_math.sin(_zen)!r} * sin(atan(sqrt(p * p + q * q)))
+                            * cos({_az!r} - atan2(q, -p))) AS shade0
+          FROM s
+        )
+        SELECT cell_lon, cell_lat, px, py, dzdx2, dzdy2,
+               CAST(floor(CASE WHEN shade0 IS NOT NULL
+                                THEN greatest(0.0, shade0) END * 1000.0 + 0.5)
+                    AS BIGINT) AS shade_u3
+        FROM sh
     """
 
     return sql

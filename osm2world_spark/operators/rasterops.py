@@ -72,3 +72,46 @@ def slope_aspect(
     return gradients.withColumn(
         "slope_deg", F.degrees(F.atan(F.sqrt(p * p + q * q)))
     ).withColumn("aspect_deg", F.degrees(F.atan2(q, -p)))
+
+
+def hillshade(
+    gradients: DataFrame,
+    pixel_size_m: float = 90.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """Analytical hillshade over the central-difference gradients — the
+    Zevenbergen-Thorne variant of the classic terrain-rendering pass
+    (Horn 1981's formula with this module's 2-neighbor derivatives):
+
+        shade = 255 * max(0, cos(zen)*cos(slope)
+                             + sin(zen)*sin(slope)*cos(az - aspect))
+
+    with zenith = 90 - altitude and the azimuth rotated from
+    compass-from-north-clockwise into this module's from-east-CCW
+    aspect convention (GDAL's ``360 - az + 90``). Illumination default:
+    the cartographic NW / 45 degrees.
+
+    The zenith/azimuth trig is evaluated ONCE in Python at plan-build
+    time and embedded as double literals, so any engine restating the
+    formula starts from bit-identical constants; the per-pixel trig is
+    whole-stage-codegen Columns. Adds ``shade`` (0..255 double; NULL
+    exactly where the gradients are NULL — borders and no-data). The
+    plan is a pure projection over the gradient frame: hillshading a
+    planet-scale DEM costs zero shuffles beyond ``raster_gradients``."""
+    import math
+
+    p = F.col("dzdx2").cast("double") / (2.0 * pixel_size_m)
+    q = F.col("dzdy2").cast("double") / (2.0 * pixel_size_m)
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(360.0 - azimuth_deg + 90.0)
+    slope = F.atan(F.sqrt(p * p + q * q))
+    aspect = F.atan2(q, -p)
+    shade = F.lit(255.0) * (
+        F.lit(math.cos(zen)) * F.cos(slope)
+        + F.lit(math.sin(zen)) * F.sin(slope) * F.cos(F.lit(az) - aspect)
+    )
+    return gradients.withColumn(
+        "shade",
+        F.when(shade.isNotNull(), F.greatest(F.lit(0.0), shade)),
+    )

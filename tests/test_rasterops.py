@@ -71,3 +71,63 @@ def test_gradients_plan_two_exchanges(spark):
     # one exchange per window axis, nothing else (no join, no python)
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hillshade_matches_numpy(spark):
+    import math
+
+    from osm2world_spark.operators.rasterops import hillshade
+
+    df = _grid_df(spark, 6)
+    out = hillshade(
+        raster_gradients(df), pixel_size_m=30.0,
+        azimuth_deg=315.0, altitude_deg=45.0,
+    ).collect()
+    zen = math.radians(45.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    checked = 0
+    for r in out:
+        if r["dzdx2"] is None or r["dzdy2"] is None:
+            assert r["shade"] is None
+            continue
+        p, q = r["dzdx2"] / 60.0, r["dzdy2"] / 60.0
+        slope = np.arctan(np.hypot(p, q))
+        aspect = np.arctan2(q, -p)
+        want = 255.0 * (
+            math.cos(zen) * np.cos(slope)
+            + math.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+        )
+        assert abs(r["shade"] - max(0.0, want)) < 1e-9
+        checked += 1
+    assert checked > 0
+
+
+def test_hillshade_flat_terrain_is_ambient(spark):
+    """Flat ground: slope 0, shade = 255*cos(zenith) regardless of
+    azimuth — the ambient level every hillshade renderer pins."""
+    import math
+
+    from osm2world_spark.operators.rasterops import hillshade
+
+    n = 5
+    rows = [(0, 0, x, y, 100) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(
+        rows, "cell_lon int, cell_lat int, px int, py int, elev int"
+    )
+    out = hillshade(raster_gradients(df), altitude_deg=60.0).collect()
+    interior = [r for r in out if r["shade"] is not None]
+    assert len(interior) == (n - 2) * (n - 2)
+    want = 255.0 * math.cos(math.radians(30.0))
+    for r in interior:
+        assert abs(r["shade"] - want) < 1e-9
+
+
+def test_hillshade_stays_projection(spark):
+    from osm2world_spark.operators.rasterops import hillshade
+
+    grads = raster_gradients(_grid_df(spark, 6))
+    base = grads._jdf.queryExecution().executedPlan().toString()
+    shaded = hillshade(grads)._jdf.queryExecution().executedPlan().toString()
+    # no new exchange, join, or python beyond the gradient plan
+    assert shaded.count("Exchange") == base.count("Exchange")
+    assert "BatchEvalPython" not in shaded
