@@ -3905,6 +3905,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hillshade_raster"] = hillshade_raster
 
+    def jl_projection(spark, sf_dir):
+        # Achlioptas +-1 JL projection 64 -> 16 over u6 fixed-point
+        # inputs: every output component is an exact bigint dot
+        # product; the md5-derived sign matrix regenerates identically
+        # in the oracle. Flattened to (vec_id, j, y).
+        from osm2world_spark.operators.similarity import jl_project
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return jl_project(emb, 16, 64)
+
+    q["jl_projection"] = jl_projection
+
+    def embed_quantize(spark, sf_dir):
+        # Symmetric int8 scalar quantization (FAISS QT_8bit_direct
+        # shape): per-vector max-abs scale on the u6 grid, exact
+        # rational round-half-up through one IEEE division. Flattened
+        # to (vec_id, scale_u6, i, q).
+        from osm2world_spark.operators.similarity import quantize_embeddings
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return quantize_embeddings(emb)
+
+    q["embed_quantize"] = embed_quantize
+
     return _driver_window_order(q)
 
 
@@ -8656,6 +8680,55 @@ def oracle_sql() -> dict[str, str]:
                                 THEN greatest(0.0, shade0) END * 1000.0 + 0.5)
                     AS BIGINT) AS shade_u3
         FROM sh
+    """
+
+    # jl_projection: the identical md5-derived sign matrix regenerated
+    # here (jl_sign_matrix is pure hashlib), injected as a nested list
+    # literal; exact bigint dot products on the u6 grid.
+    from osm2world_spark.operators.similarity import jl_sign_matrix as _jlm
+
+    _mat = _jlm(16, 64)
+    _mat_sql = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in _mat
+    ) + "]"
+    sql["jl_projection"] = f"""
+        WITH xu AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS x
+          FROM embeddings
+        ), m AS (SELECT {_mat_sql} AS mm),
+        rows AS (
+          SELECT vec_id, j.j, i.i, mm[j.j + 1][i.i + 1] * x[i.i + 1] AS t
+          FROM xu, m,
+               (SELECT unnest(range(16)) AS j) j,
+               (SELECT unnest(range(64)) AS i) i
+        )
+        SELECT vec_id, CAST(j AS INT) AS j, CAST(sum(t) AS BIGINT) AS y
+        FROM rows GROUP BY vec_id, j
+    """
+
+    # embed_quantize: per-vector max-abs scale on the u6 grid; the
+    # round-half-up rational through the same single IEEE division.
+    sql["embed_quantize"] = """
+        WITH xu AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS x
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, x,
+                 list_max(list_transform(x, v -> abs(v))) AS scale
+          FROM xu
+        )
+        SELECT vec_id,
+               CAST(scale AS BIGINT) AS scale_u6,
+               CAST(i.i AS INT) AS i,
+               CAST(CASE WHEN scale > 0 THEN
+                      floor(CAST(x[i.i + 1] * 254 + scale AS DOUBLE)
+                            / (2.0 * CAST(scale AS DOUBLE)))
+                    END AS INT) AS q
+        FROM s, (SELECT unnest(range(64)) AS i) i
     """
 
     return sql

@@ -659,3 +659,100 @@ def semdedup(
     ).select(
         "vec_id", "cluster", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
     )
+
+
+def jl_sign_matrix(out_dim: int, in_dim: int, seed: int = 42) -> list[list[int]]:
+    """The deterministic +-1 projection matrix of ``jl_project`` —
+    Achlioptas 2003's database-friendly JL variant (entries +-1, no
+    Gaussians), generated from md5 so ANY engine or language rebuilds it
+    bit-identically: sign[j][i] = +1 iff the first md5 hex digit of
+    "<seed>:<j>,<i>" is even. Model-sized (out_dim x in_dim), computed
+    once on the driver and embedded as a literal — never shuffled."""
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}:{j},{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    return [[sign(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def jl_project(
+    vecs: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003): reduce
+    ``in_dim`` embeddings to ``out_dim`` with a +-1 sign matrix — the
+    standard cheap pre-pass before LSH/IVF when the raw dimension makes
+    bucket hashing or codebook training expensive. Distances are
+    preserved within (1 +- eps) with eps ~ sqrt(8 ln n / out_dim).
+
+    Exactness contract: inputs quantize to u6 fixed point
+    (floor(x * 1e6 + 0.5), exact bigints), the projection is a +-1
+    integer dot product, so every output component is an EXACT bigint
+    under any partitioning — the full result is hash-verifiable.
+    The plan is a pure projection (zero shuffles, zero Python): the sign
+    matrix embeds as a nested array literal evaluated by codegen.
+
+    Returns (id_col, j, y) flattened — one row per output component."""
+    m = jl_sign_matrix(out_dim, in_dim, seed)
+    mat = F.array(*[
+        F.array(*[F.lit(v).cast("bigint") for v in row]) for row in m
+    ])
+    xu = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("bigint"),
+    )
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(mat[j], xu, lambda s, x: s * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return vecs.select(
+        F.col(id_col), F.posexplode(comp).alias("j", "y")
+    )
+
+
+def quantize_embeddings(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization — the storage/bandwidth pass
+    every large vector store applies before ANN (q = round(x / scale *
+    127) with scale = max|x| per vector, the FAISS ScalarQuantizer
+    QT_8bit_direct shape). 64-dim float32 drops 4x to 64 bytes.
+
+    Exactness contract: on u6 fixed-point inputs the quantizer is the
+    exact rational round-half-up q = floor((x*254 + s) / (2s)) evaluated
+    through one IEEE double division of exact integers — deterministic
+    on any engine. Zero vectors (scale 0) quantize to all-NULL
+    components rather than dividing. Pure projection, zero shuffles.
+
+    Returns (id_col, scale_u6, i, q) flattened, q in [-127, 127]."""
+    xu = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("bigint"),
+    )
+    scale = F.array_max(F.transform(xu, lambda v: F.abs(v)))
+    q = F.transform(
+        xu,
+        lambda x: F.when(
+            scale > 0,
+            F.floor(
+                (x * 254 + scale).cast("double") / (2.0 * scale.cast("double"))
+            ).cast("int"),
+        ),
+    )
+    return vecs.select(
+        F.col(id_col),
+        scale.alias("scale_u6"),
+        F.posexplode(q).alias("i", "q"),
+    )
