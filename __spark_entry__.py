@@ -3929,6 +3929,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embed_quantize"] = embed_quantize
 
+    def geodesy_ops(spark, sf_dir):
+        # Pre-projection geodesy over the synthetic order points:
+        # forward azimuth (compass degrees), great-circle triangle
+        # perimeter (haversine fold), and Chamberlain-Duquette
+        # spherical ring area — the oracle restates each formula
+        # symbol for symbol (same d2r literal, same fold order).
+        from osm2world_spark.functions.projection import (
+            geodesic_length_m,
+            geodesic_ring_area_m2,
+            initial_bearing_deg,
+        )
+
+        o = _t(spark, sf_dir, "orders")
+        la = lambda k: F.expr(LAT.format(k=k))
+        lo = lambda k: F.expr(LON.format(k=k))
+        lats = F.array(
+            la("o_orderkey"), la("o_orderkey * 3 + 1"),
+            la("o_orderkey * 7 + 2"), la("o_orderkey"),
+        )
+        lons = F.array(
+            lo("o_orderkey"), lo("o_orderkey * 3 + 1"),
+            lo("o_orderkey * 7 + 2"), lo("o_orderkey"),
+        )
+        return o.select(
+            F.col("o_orderkey").alias("key"),
+            F.round(
+                initial_bearing_deg(
+                    la("o_orderkey"), lo("o_orderkey"),
+                    la("o_custkey"), lo("o_custkey"),
+                ), 6,
+            ).alias("bearing_deg"),
+            F.round(geodesic_length_m(lats, lons), 6).alias("perimeter_m"),
+            F.round(geodesic_ring_area_m2(lats, lons), 3).alias("area_m2"),
+        )
+
+    q["geodesy_ops"] = geodesy_ops
+
     return _driver_window_order(q)
 
 
@@ -8729,6 +8766,54 @@ def oracle_sql() -> dict[str, str]:
                             / (2.0 * CAST(scale AS DOUBLE)))
                     END AS INT) AS q
         FROM s, (SELECT unnest(range(64)) AS i) i
+    """
+
+    # geodesy_ops: bearing / haversine-fold perimeter / spherical
+    # shoelace area restated with the IDENTICAL d2r literal, fold
+    # order, and Python-evaluated R^2/2 constant.
+    _d2r = "0.017453292519943295"
+    _r2h = repr(6371008.8 * 6371008.8 / 2.0)
+
+    def _hav(la1, lo1, la2, lo2):
+        return (
+            f"(2.0 * 6371008.8) * asin(sqrt(least("
+            f"sin(({la2} * {_d2r} - {la1} * {_d2r}) / 2)"
+            f" * sin(({la2} * {_d2r} - {la1} * {_d2r}) / 2)"
+            f" + cos({la1} * {_d2r}) * cos({la2} * {_d2r})"
+            f" * sin(({lo2} * {_d2r} - {lo1} * {_d2r}) / 2)"
+            f" * sin(({lo2} * {_d2r} - {lo1} * {_d2r}) / 2), 1.0)))"
+        )
+
+    def _cd_term(la1, lo1, la2, lo2):
+        return (
+            f"({lo2} * {_d2r} - {lo1} * {_d2r})"
+            f" * (2.0 + sin({la1} * {_d2r}) + sin({la2} * {_d2r}))"
+        )
+
+    sql["geodesy_ops"] = f"""
+        WITH p AS (
+          SELECT o_orderkey AS key,
+                 {LAT.format(k="o_orderkey")} AS la1, {LON.format(k="o_orderkey")} AS lo1,
+                 {LAT.format(k="o_orderkey * 3 + 1")} AS la2, {LON.format(k="o_orderkey * 3 + 1")} AS lo2,
+                 {LAT.format(k="o_orderkey * 7 + 2")} AS la3, {LON.format(k="o_orderkey * 7 + 2")} AS lo3,
+                 {LAT.format(k="o_custkey")} AS lab, {LON.format(k="o_custkey")} AS lob
+          FROM orders
+        )
+        SELECT key,
+               round(((atan2(
+                   sin(lob * {_d2r} - lo1 * {_d2r}) * cos(lab * {_d2r}),
+                   cos(la1 * {_d2r}) * sin(lab * {_d2r})
+                   - sin(la1 * {_d2r}) * cos(lab * {_d2r})
+                     * cos(lob * {_d2r} - lo1 * {_d2r})
+                 ) / {_d2r}) % 360.0 + 360.0) % 360.0, 6) AS bearing_deg,
+               round({_hav("la1", "lo1", "la2", "lo2")}
+                     + {_hav("la2", "lo2", "la3", "lo3")}
+                     + {_hav("la3", "lo3", "la1", "lo1")}, 6) AS perimeter_m,
+               round(abs({_cd_term("la1", "lo1", "la2", "lo2")}
+                         + {_cd_term("la2", "lo2", "la3", "lo3")}
+                         + {_cd_term("la3", "lo3", "la1", "lo1")})
+                     * {_r2h}, 3) AS area_m2
+        FROM p
     """
 
     return sql

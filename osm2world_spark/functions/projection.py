@@ -248,3 +248,78 @@ def haversine_m(lat1, lon1, lat2, lon2) -> Column:
         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
     return F.lit(2.0 * 6371008.8) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def initial_bearing_deg(lat1, lon1, lat2, lon2) -> Column:
+    """Forward azimuth from point 1 toward point 2 on the great circle,
+    degrees clockwise from north in [0, 360). The navigation companion
+    to ``haversine_m`` (same d2r idiom, same cross-engine trig
+    contract): theta = atan2(sin dlon * cos lat2,
+    cos lat1 * sin lat2 - sin lat1 * cos lat2 * cos dlon)."""
+    d2r = F.lit(0.017453292519943295)
+    rlat1, rlat2 = lat1 * d2r, lat2 * d2r
+    dlon = lon2 * d2r - lon1 * d2r
+    y = F.sin(dlon) * F.cos(rlat2)
+    x = F.cos(rlat1) * F.sin(rlat2) - F.sin(rlat1) * F.cos(rlat2) * F.cos(dlon)
+    deg = F.atan2(y, x) / d2r
+    return F.pmod(deg, F.lit(360.0))
+
+
+def geodesic_length_m(lats, lons) -> Column:
+    """Great-circle length in meters of a lat/lon polyline given as two
+    aligned array Columns — the haversine fold over consecutive vertex
+    pairs (zip_with the arrays against their tails; a NULL-free exact
+    expression tree, no explode, no shuffle). Polylines with fewer than
+    two vertices have length 0."""
+    n = F.size(lats)
+    m = F.greatest(n - 1, F.lit(0))
+    seg = F.zip_with(
+        F.slice(lats, 1, m),
+        F.slice(lons, 1, m),
+        lambda la, lo: F.struct(la.alias("la"), lo.alias("lo")),
+    )
+    nxt = F.zip_with(
+        F.slice(lats, 2, m),
+        F.slice(lons, 2, m),
+        lambda la, lo: F.struct(la.alias("la"), lo.alias("lo")),
+    )
+    d = F.zip_with(
+        seg, nxt,
+        lambda a, b: haversine_m(a["la"], a["lo"], b["la"], b["lo"]),
+    )
+    total = F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(n >= 2, total).otherwise(F.lit(0.0))
+
+
+def geodesic_ring_area_m2(lats, lons) -> Column:
+    """Spherical polygon area in m^2 of a closed lat/lon ring (first
+    vertex repeated last), via the Chamberlain-Duquette 2007 spherical
+    shoelace: area = R^2/2 * |sum over edges of
+    (lon2 - lon1) * (2 + sin lat1 + sin lat2)| with everything in
+    radians — the formula GDAL/turf.js use for geodesic_area. Exact for
+    rings that do not cross the antimeridian (the engine's documented
+    boundary, like the reference's planar pipeline); orientation folds
+    away under the absolute value. Pure expression tree: one zip_with
+    against the shifted ring and a fold — zero shuffles at any corpus
+    size."""
+    d2r = F.lit(0.017453292519943295)
+    n = F.size(lats)
+    m = F.greatest(n - 1, F.lit(0))
+    cur = F.zip_with(
+        F.slice(lats, 1, m),
+        F.slice(lons, 1, m),
+        lambda la, lo: F.struct(la.alias("la"), lo.alias("lo")),
+    )
+    nxt = F.zip_with(
+        F.slice(lats, 2, m),
+        F.slice(lons, 2, m),
+        lambda la, lo: F.struct(la.alias("la"), lo.alias("lo")),
+    )
+    terms = F.zip_with(
+        cur, nxt,
+        lambda a, b: (b["lo"] * d2r - a["lo"] * d2r)
+        * (F.lit(2.0) + F.sin(a["la"] * d2r) + F.sin(b["la"] * d2r)),
+    )
+    s = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    r = 6371008.8
+    return F.when(n >= 4, F.abs(s) * F.lit(r * r / 2.0)).otherwise(F.lit(0.0))
