@@ -3966,6 +3966,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geodesy_ops"] = geodesy_ops
 
+    def curate_model_gate(spark, sf_dir):
+        # The model-gated curation capstone (plans/curation.py::
+        # curate_model): Gopher rules + hashed-classifier gate
+        # (closed-form 64x3 model, biases chosen so the gate splits
+        # the duplicate classes ~half/half) + bigram-LM bucket gate
+        # (cutoffs 1400/300 put the 'tiny.' class in tail and spread
+        # the rest over head/middle) -> dedup -> split -> pack. Same
+        # synthesized corpus as `curate`, so the two audit trails are
+        # directly comparable.
+        from osm2world_spark.plans.curation import curate_model
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        body = F.concat(
+            F.lit(
+                "the steady data rows that have to be of and with all these words here "
+            ),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" "),
+            F.repeat(F.lit("extra word here "), (F.col("doc_id") % 13).cast("int")),
+            F.lit("end."),
+        )
+        g = F.when(F.col("doc_id") % 5 == 0, F.lit("tiny.")).otherwise(body)
+        wv = spark.range(64).select(
+            F.col("id").alias("bucket"),
+            F.array(
+                *[
+                    ((F.col("id") * 2654435761 + c * 40503) % 2001 - 1000)
+                    .cast("bigint")
+                    for c in range(3)
+                ]
+            ).alias("ws"),
+        )
+        return curate_model(
+            d.select("doc_id", g.alias("text")),
+            wv,
+            [0, 197, -100000],
+            64,
+            keep_label=1,
+            lm_cutoffs=(1400.0, 300.0),
+            min_words=10,
+            budget_tokens=128,
+            n_buckets=8,
+            key="md5",
+        )
+
+    q["curate_model_gate"] = curate_model_gate
+
     return _driver_window_order(q)
 
 
@@ -8814,6 +8861,121 @@ def oracle_sql() -> dict[str, str]:
                          + {_cd_term("la3", "lo3", "la1", "lo1")})
                      * {_r2h}, 3) AS area_m2
         FROM p
+    """
+
+    # curate_model_gate: the curate oracle extended with the classifier
+    # and LM gate CTEs over the same synthesized text — keep_all =
+    # rule AND model AND not-tail, then the identical dedup / split /
+    # pack chain.
+    sql["curate_model_gate"] = f"""
+        WITH built AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN 'tiny.'
+                      ELSE 'the steady data rows that have to be of and with all these words here '
+                           || (doc_id % 7)::VARCHAR || ' '
+                           || repeat('extra word here ', CAST(doc_id % 13 AS INT))
+                           || 'end.' END AS g
+          FROM documents
+        ), m AS (
+          SELECT doc_id, g,
+                 string_split(replace(g, chr(10), ' '), ' ') AS words,
+                 string_split(g, chr(10)) AS lines,
+                 ' ' || replace(g, chr(10), ' ') || ' ' AS pad
+          FROM built
+        ), v AS (
+          SELECT doc_id, g,
+                 len(words) AS n_words,
+                 CAST(length(g) - (len(words) - 1) AS DOUBLE) / len(words) AS mean_len,
+                 CAST((length(g) - length(replace(g, '#', '')))
+                      + CAST((length(g) - length(replace(g, '...', ''))) / 3 AS BIGINT) AS DOUBLE)
+                   / len(words) AS sym_ratio,
+                 CAST(len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* '))) AS DOUBLE)
+                   / len(lines) AS bul_ratio,
+                 CAST(len(list_filter(lines, x -> ends_with(x, '...'))) AS DOUBLE)
+                   / len(lines) AS ell_ratio,
+                 CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(words) AS alpha_ratio,
+                 {_gstops} AS n_stop
+          FROM m
+        ), kq AS (
+          SELECT doc_id, g,
+                 ((n_words >= 10 AND n_words <= 100000)
+                  AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                  AND sym_ratio <= 0.1 AND bul_ratio <= 0.9 AND ell_ratio <= 0.3
+                  AND alpha_ratio >= 0.8 AND n_stop >= 2) AS keep_quality
+          FROM v
+        ), wv AS (
+          SELECT b,
+                 ((b * 2654435761) % 2001) - 1000 AS w0,
+                 ((b * 2654435761 + 40503) % 2001) - 1000 AS w1,
+                 ((b * 2654435761 + 81006) % 2001) - 1000 AS w2
+          FROM (SELECT unnest(generate_series(0, 63)) AS b)
+        ), tokc AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(t.tok), 1, 8))::BIGINT) % 64 AS b
+          FROM built, unnest(string_split(g, ' ')) AS t(tok)
+          WHERE t.tok != ''
+        ), sc AS (
+          SELECT tokc.doc_id, count(*) AS n,
+                 sum(wv.w0) AS r0, sum(wv.w1) AS r1, sum(wv.w2) AS r2
+          FROM tokc JOIN wv ON wv.b = tokc.b
+          GROUP BY tokc.doc_id
+        ), lbl AS (
+          SELECT doc_id,
+                 (NOT (r0 >= r1 + 197 * n AND r0 >= r2 - 100000 * n))
+                 AND (r1 + 197 * n >= r2 - 100000 * n) AS keep_model
+          FROM sc
+        ), gramsb AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(string_split(g, ' ')) - 1 >= 1 THEN
+                   list_transform(range(len(string_split(g, ' ')) - 1),
+                     i -> string_split(g, ' ')[i+1] || ' ' || string_split(g, ' ')[i+2])
+                   ELSE [g] END) AS gram
+          FROM built
+        ), countsb AS (
+          SELECT gram, count(*) AS freq FROM gramsb GROUP BY gram
+        ), lmb AS (
+          SELECT gb.doc_id,
+                 CASE WHEN CAST(sum(cb.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 1400.0 THEN 'head'
+                      WHEN CAST(sum(cb.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 300.0 THEN 'middle'
+                      ELSE 'tail' END AS lm_bucket
+          FROM gramsb gb JOIN countsb cb USING (gram)
+          GROUP BY gb.doc_id
+        ), gated AS (
+          SELECT kq.doc_id, kq.g, kq.keep_quality,
+                 coalesce(lbl.keep_model, false) AS keep_model,
+                 coalesce(lmb.lm_bucket, 'tail') AS lm_bucket
+          FROM kq LEFT JOIN lbl USING (doc_id) LEFT JOIN lmb USING (doc_id)
+        ), dd AS (
+          SELECT doc_id, g, keep_quality, keep_model, lm_bucket,
+                 coalesce((keep_quality AND keep_model AND lm_bucket != 'tail')
+                   AND doc_id = min(CASE WHEN keep_quality AND keep_model
+                                          AND lm_bucket != 'tail'
+                                    THEN doc_id END) OVER (PARTITION BY g),
+                   false) AS is_canonical
+          FROM gated
+        ), sp AS (
+          SELECT doc_id, g, keep_quality, keep_model, lm_bucket, is_canonical,
+                 CASE WHEN is_canonical THEN
+                   CASE WHEN {_u32.format(c="doc_id")} / 4294967296.0 < 0.1
+                        THEN 'val' ELSE 'train' END
+                 END AS split,
+                 CAST({_u32.format(c="doc_id")} % 8 AS INT) AS bkt,
+                 CAST(length(g) - length(replace(g, ' ', '')) + 1 AS BIGINT) AS ntok
+          FROM dd
+        ), ctb AS (
+          SELECT *, CASE WHEN split = 'train' THEN ntok ELSE 0 END AS contrib
+          FROM sp
+        )
+        SELECT doc_id, keep_quality, keep_model, lm_bucket, is_canonical, split,
+               CASE WHEN split = 'train' THEN bkt END AS bucket,
+               CASE WHEN split = 'train' THEN
+                 CAST(floor((sum(contrib) OVER w - contrib) / 128.0) AS BIGINT)
+               END AS bin_id,
+               CASE WHEN split = 'train' THEN ntok END AS n_tokens
+        FROM ctb
+        WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
 
     return sql
