@@ -3905,6 +3905,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hillshade_raster"] = hillshade_raster
 
+    # marching-squares terrain contours (operators/contours.py): the
+    # isoline pass over a paraboloid DEM with sparse no-data holes.
+    # Corner assembly is the two-window raster_gradients pattern; the
+    # 16-case segment table + saddle center rule evaluate as Column
+    # arithmetic; endpoints are exact integer rationals (edge code +
+    # t_num/t_den) so the oracle replays them bit-for-bit. The oracle's
+    # CASE chain is GENERATED from the same Python table
+    # (segments_case_codes) the Column builder uses.
+    def contour_lines(spark, sf_dir):
+        from osm2world_spark.operators.contours import contour_segments
+
+        n = 160
+        grid = spark.range(n * n).select(
+            F.lit(13).alias("cell_lon"),
+            F.lit(48).alias("cell_lat"),
+            (F.col("id") % n).cast("int").alias("px"),
+            F.floor(F.col("id") / n).cast("int").alias("py"),
+        )
+        r2 = (F.col("px") - 80) * (F.col("px") - 80) + (F.col("py") - 80) * (
+            F.col("py") - 80
+        )
+        elev = F.when(
+            (F.col("px") * 31 + F.col("py") * 37) % 997 == 0, F.lit(-32768)
+        ).otherwise(F.floor(r2 / 25.0).cast("int"))
+        return contour_segments(
+            grid.withColumn("elev", elev.cast("int")), interval=40
+        )
+
+    q["contour_lines"] = contour_lines
+
     def jl_projection(spark, sf_dir):
         # Achlioptas +-1 JL projection 64 -> 16 over u6 fixed-point
         # inputs: every output component is an exact bigint dot
@@ -8764,6 +8794,98 @@ def oracle_sql() -> dict[str, str]:
                                 THEN greatest(0.0, shade0) END * 1000.0 + 0.5)
                     AS BIGINT) AS shade_u3
         FROM sh
+    """
+
+    # contour_lines: the two-window corner assembly + the marching-
+    # squares segment table GENERATED from the operator's own Python
+    # table (segments_case_codes) — the two engines cannot disagree on
+    # case topology.  Segments travel as seg*100 + ea*10 + eb integer
+    # codes (DuckDB list-of-int unnest), decoded arithmetically.
+    from osm2world_spark.operators.contours import (
+        segments_case_codes as _ms_codes,
+    )
+
+    def _ms_when(kind: str, codes: list[int]) -> str:
+        case, _, ctr = kind.partition("/")
+        cond = f"ms_case = {case}"
+        if ctr == "above":
+            cond += " AND ms_center"
+        elif ctr == "below":
+            cond += " AND NOT ms_center"
+        lst = "[" + ", ".join(str(c) for c in codes) + "]"
+        return f"WHEN {cond} THEN CAST({lst} AS BIGINT[])"
+
+    _ms_chain = "\n                 ".join(
+        _ms_when(kind, codes) for kind, codes in _ms_codes() if codes
+    )
+    sql["contour_lines"] = f"""
+        WITH g AS (
+          SELECT 13 AS cell_lon, 48 AS cell_lat,
+                 CAST(i % 160 AS INT) AS px, CAST(i // 160 AS INT) AS py
+          FROM range(25600) t(i)
+        ), z AS (
+          SELECT cell_lon, cell_lat, px, py,
+                 CASE WHEN NOT ((px * 31 + py * 37) % 997 = 0)
+                      THEN CAST(CAST(floor(((px - 80) * (px - 80)
+                               + (py - 80) * (py - 80)) / 25.0) AS INT)
+                           AS BIGINT) END AS zz
+          FROM g
+        ), r AS (
+          SELECT cell_lon, cell_lat, px, py, zz AS z00,
+                 CASE WHEN lead(px) OVER wx = px + 1
+                      THEN lead(zz) OVER wx END AS z10
+          FROM z
+          WINDOW wx AS (PARTITION BY cell_lon, cell_lat, py ORDER BY px)
+        ), c AS (
+          SELECT cell_lon, cell_lat, px, py, z00, z10,
+                 CASE WHEN lead(py) OVER wy = py + 1
+                      THEN lead(z00) OVER wy END AS z01,
+                 CASE WHEN lead(py) OVER wy = py + 1
+                      THEN lead(z10) OVER wy END AS z11
+          FROM r
+          WINDOW wy AS (PARTITION BY cell_lon, cell_lat, px ORDER BY py)
+        ), cc AS (
+          SELECT * FROM c
+          WHERE z00 IS NOT NULL AND z10 IS NOT NULL
+            AND z01 IS NOT NULL AND z11 IS NOT NULL
+        ), lv AS (
+          SELECT cell_lon, cell_lat, px, py, z00, z10, z01, z11,
+                 40 * unnest(range(
+                   CAST(floor((least(z00, z10, z01, z11) + 39) / 40.0) AS BIGINT),
+                   CAST(floor((greatest(z00, z10, z01, z11) + 39) / 40.0) AS BIGINT)
+                 )) AS level
+          FROM cc
+        ), cs AS (
+          SELECT *,
+                 (CASE WHEN z00 > level THEN 1 ELSE 0 END
+                  + CASE WHEN z10 > level THEN 2 ELSE 0 END
+                  + CASE WHEN z11 > level THEN 4 ELSE 0 END
+                  + CASE WHEN z01 > level THEN 8 ELSE 0 END) AS ms_case,
+                 (z00 + z10 + z11 + z01 > 4 * level) AS ms_center
+          FROM lv
+        ), sg AS (
+          SELECT *, unnest(CASE
+                 {_ms_chain}
+                 ELSE CAST([] AS BIGINT[]) END) AS segcode
+          FROM cs
+        ), dec AS (
+          SELECT *, segcode // 100 AS seg,
+                 (segcode // 10) % 10 AS ea, segcode % 10 AS eb
+          FROM sg
+        )
+        SELECT cell_lon, cell_lat, px, py, level,
+               CAST(seg AS INT) AS seg,
+               CAST(ea AS INT) AS ea,
+               level - (CASE WHEN ea = 1 THEN z10 WHEN ea = 2 THEN z01
+                             ELSE z00 END) AS ta_num,
+               (CASE WHEN ea = 0 THEN z10 - z00 WHEN ea = 1 THEN z11 - z10
+                     WHEN ea = 2 THEN z11 - z01 ELSE z01 - z00 END) AS ta_den,
+               CAST(eb AS INT) AS eb,
+               level - (CASE WHEN eb = 1 THEN z10 WHEN eb = 2 THEN z01
+                             ELSE z00 END) AS tb_num,
+               (CASE WHEN eb = 0 THEN z10 - z00 WHEN eb = 1 THEN z11 - z10
+                     WHEN eb = 2 THEN z11 - z01 ELSE z01 - z00 END) AS tb_den
+        FROM dec
     """
 
     # jl_projection: the identical md5-derived sign matrix regenerated

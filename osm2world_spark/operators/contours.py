@@ -1,0 +1,297 @@
+"""Marching-squares contour extraction over the raster pixel table —
+the terrain-isoline pass of a cartographic/terrain pipeline (the
+analytic twin of the reference's terrain surface handling,
+core/.../map_elevation/ElevationProfile + TerrainInterpolator usage;
+the reference renders the surface, this emits its isolines as rows).
+
+Relational shape: the input is the same (cell_lon, cell_lat, px, py,
+elev) frame every raster source emits (sources/raster.py,
+sources/srtm.py).  A marching-squares cell needs the 2x2 corner block
+(z00 z10 / z01 z11); instead of three self-joins (px+1, py+1,
+px+1&py+1 — three shuffles and a 4x-wide intermediate) the corners
+come from TWO adjacency-guarded windows, exactly the
+``raster_gradients`` pattern:
+
+  1. row window  (cell, py) ORDER BY px: lead(z)  -> z10
+  2. col window  (cell, px) ORDER BY py: lead(z)  -> z01,
+                                          lead(z10) -> z11
+
+Two exchanges total, each carrying the raster once.  Level selection,
+the 4-bit case classification, the saddle disambiguation, and the
+segment table are all whole-stage-codegen Column arithmetic; the only
+row multiplier is one ``explode`` over the levels a cell actually
+crosses (bounded by corner-span / interval) and one over the <=2
+segments per crossed level — no shuffle after the windows.  Contouring
+a planet-scale DEM therefore costs exactly two exchanges end to end.
+
+Determinism / hash contract: elevations are integers (int16 in the
+SRTM layout), levels are integer multiples of ``interval``, so the
+case index, the saddle test (corner-sum vs 4*level — exact), and the
+edge-crossing parameters are EXACT integer rationals.  Each endpoint
+is emitted as (edge, t_num, t_den) with t = t_num/t_den in [0, 1] the
+fraction along the edge's canonical direction (t=0 / t=1 exactly when
+a corner sits ON the level — the b = z > level rule keeps such corners
+on the below side, so the crossing lands on the corner itself) — bit-replayable by any
+engine, no float in the contract.  Consumers wanting coordinates apply
+px + t / py + t per the edge table below.
+
+Edge codes (canonical direction, t measured from the first corner):
+  0 = top    c00 -> c10   point = (px + t, py)
+  1 = right  c10 -> c11   point = (px + 1, py + t)
+  2 = bottom c01 -> c11   point = (px + t, py + 1)
+  3 = left   c00 -> c01   point = (px,     py + t)
+
+Corner bit b = (z > level); crossing edges always have one corner
+> level and one <= level, so t_den is never 0.  Cells touching
+no-data pixels (blank_value) or the grid border emit nothing — the
+isoline stops at the data boundary, matching how the reference's
+terrain skips voids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.raster import BLANK_VALUE
+
+# marching-squares segment table, shared verbatim by the Column builder
+# below and the SQL-oracle generator (segments_case_codes): for each
+# case index (b00*1 + b10*2 + b11*4 + b01*8, b = corner > level) the
+# (edge_a, edge_b) pairs of the emitted segments.  Cases 5/10 are the
+# saddles; they key on the center test (corner sum > 4*level) instead.
+_BASE_SEGMENTS: dict[int, tuple[tuple[int, int], ...]] = {
+    0: (),
+    15: (),
+    1: ((0, 3),),
+    14: ((0, 3),),
+    2: ((0, 1),),
+    13: ((0, 1),),
+    3: ((3, 1),),
+    12: ((3, 1),),
+    4: ((1, 2),),
+    11: ((1, 2),),
+    6: ((0, 2),),
+    9: ((0, 2),),
+    7: ((3, 2),),
+    8: ((3, 2),),
+}
+_SADDLE_SEGMENTS: dict[tuple[int, bool], tuple[tuple[int, int], ...]] = {
+    # above-corners on the TL-BR diagonal (case 5 = c00+c11)
+    (5, True): ((0, 1), (2, 3)),   # center above: TL-BR connected
+    (5, False): ((0, 3), (1, 2)),  # center below: corners isolated
+    # above-corners on the TR-BL diagonal (case 10 = c10+c01)
+    (10, True): ((0, 3), (1, 2)),
+    (10, False): ((0, 1), (2, 3)),
+}
+
+
+def segments_for(case: int, center_above: bool) -> tuple[tuple[int, int], ...]:
+    """The segment table entry for a case (saddles consult the center)."""
+    if case in (5, 10):
+        return _SADDLE_SEGMENTS[(case, center_above)]
+    return _BASE_SEGMENTS[case]
+
+
+def segments_case_codes() -> list[tuple[str, list[int]]]:
+    """The same table as (condition-kind, integer segment codes) rows
+    for engines without struct literals: each segment encodes as
+    seg*100 + edge_a*10 + edge_b.  Condition kinds are ``"<case>"`` or
+    ``"<case>/above"`` / ``"<case>/below"`` for the saddles.  The SQL
+    oracle in ``__spark_entry__`` is GENERATED from this so the two
+    engines can never disagree on the table."""
+    out: list[tuple[str, list[int]]] = []
+    for case in range(16):
+        if case in (5, 10):
+            for center in (True, False):
+                segs = _SADDLE_SEGMENTS[(case, center)]
+                out.append(
+                    (
+                        f"{case}/{'above' if center else 'below'}",
+                        [i * 100 + a * 10 + b for i, (a, b) in enumerate(segs)],
+                    )
+                )
+        else:
+            segs = _BASE_SEGMENTS[case]
+            out.append(
+                (str(case), [i * 100 + a * 10 + b for i, (a, b) in enumerate(segs)])
+            )
+    return out
+
+
+def corner_frame(
+    raster: DataFrame,
+    cell_cols: tuple[str, ...] = ("cell_lon", "cell_lat"),
+    blank_value: int = BLANK_VALUE,
+) -> DataFrame:
+    """(cell_cols..., px, py, z00, z10, z01, z11): the 2x2 corner block
+    anchored at each pixel, via two adjacency-guarded windows (see
+    module docstring).  Rows where ANY corner is missing (border,
+    subsampling gap, no-data) are dropped — marching squares cannot
+    classify an incomplete cell."""
+    cc = list(cell_cols)
+    z = F.when(F.col("elev") != blank_value, F.col("elev").cast("bigint"))
+    wr = Window.partitionBy(*cc, "py").orderBy("px")
+    row = raster.select(
+        *cc,
+        "px",
+        "py",
+        z.alias("z00"),
+        F.when(F.lead("px").over(wr) == F.col("px") + 1, F.lead(z).over(wr)).alias(
+            "z10"
+        ),
+    )
+    wc = Window.partitionBy(*cc, "px").orderBy("py")
+    nxt = F.lead("py").over(wc) == F.col("py") + 1
+    out = row.select(
+        *cc,
+        "px",
+        "py",
+        "z00",
+        "z10",
+        F.when(nxt, F.lead("z00").over(wc)).alias("z01"),
+        F.when(nxt, F.lead("z10").over(wc)).alias("z11"),
+    )
+    return out.where(
+        F.col("z00").isNotNull()
+        & F.col("z10").isNotNull()
+        & F.col("z01").isNotNull()
+        & F.col("z11").isNotNull()
+    )
+
+
+def _segs_lit(segs: tuple[tuple[int, int], ...]):
+    if not segs:
+        return F.array().cast("array<struct<seg:int,ea:int,eb:int>>")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("seg"),
+                F.lit(a).cast("int").alias("ea"),
+                F.lit(b).cast("int").alias("eb"),
+            )
+            for i, (a, b) in enumerate(segs)
+        ]
+    )
+
+
+def contour_segments(
+    raster: DataFrame,
+    interval: int,
+    cell_cols: tuple[str, ...] = ("cell_lon", "cell_lat"),
+    blank_value: int = BLANK_VALUE,
+) -> DataFrame:
+    """Isoline segments at every level = k*interval a cell crosses.
+
+    Output: (cell_cols..., px, py, level, seg, ea, ta_num, ta_den,
+    eb, tb_num, tb_den) — one row per segment, endpoints as exact
+    rationals along the coded edges (module docstring).  ``seg`` is
+    the 0/1 index within a (cell, level) — only saddles emit 2.
+    """
+    if interval <= 0:
+        raise ValueError("interval must be a positive integer")
+    corners = corner_frame(raster, cell_cols=cell_cols, blank_value=blank_value)
+    cc = list(cell_cols)
+    z00, z10, z01, z11 = (F.col(c) for c in ("z00", "z10", "z01", "z11"))
+    zmin = F.least(z00, z10, z01, z11)
+    zmax = F.greatest(z00, z10, z01, z11)
+    # levels k*interval with zmin <= level < zmax (a level outside that
+    # range yields case 0/15 = no segments).  ceil(a/I) = floor((a+I-1)/I)
+    # holds for all integer a, I>0; the double division is exact-rank
+    # at int16..int32 magnitudes (quotient never within ulp of a wrong
+    # integer, same argument as functions/projection.py).
+    kmin = F.floor((zmin + interval - 1) / F.lit(float(interval))).cast("bigint")
+    kmax = (F.floor((zmax + interval - 1) / F.lit(float(interval))) - 1).cast("bigint")
+    lv = corners.withColumn(
+        "k",
+        F.explode(
+            F.when(kmax >= kmin, F.sequence(kmin, kmax)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ),
+    ).withColumn("level", F.col("k") * interval)
+    level = F.col("level")
+    case = (
+        (z00 > level).cast("int")
+        + (z10 > level).cast("int") * 2
+        + (z11 > level).cast("int") * 4
+        + (z01 > level).cast("int") * 8
+    )
+    center_above = (z00 + z10 + z11 + z01) > level * 4
+    segs = None
+    for c in range(16):
+        if c in (5, 10):
+            for ctr in (True, False):
+                cond = (F.col("ms_case") == c) & (
+                    F.col("ms_center") if ctr else ~F.col("ms_center")
+                )
+                lit = _segs_lit(segments_for(c, ctr))
+                segs = F.when(cond, lit) if segs is None else segs.when(cond, lit)
+        else:
+            lit = _segs_lit(segments_for(c, False))
+            cond = F.col("ms_case") == c
+            segs = F.when(cond, lit) if segs is None else segs.when(cond, lit)
+    exploded = (
+        lv.withColumn("ms_case", case)
+        .withColumn("ms_center", center_above)
+        .withColumn("s", F.explode(segs))
+    )
+
+    def _num(edge):
+        # t_num = level - z_first(edge)
+        return (
+            F.when(edge == 0, level - z00)
+            .when(edge == 1, level - z10)
+            .when(edge == 2, level - z01)
+            .otherwise(level - z00)
+        )
+
+    def _den(edge):
+        # t_den = z_second(edge) - z_first(edge); never 0 on a crossing
+        return (
+            F.when(edge == 0, z10 - z00)
+            .when(edge == 1, z11 - z10)
+            .when(edge == 2, z11 - z01)
+            .otherwise(z01 - z00)
+        )
+
+    ea, eb = F.col("s.ea"), F.col("s.eb")
+    return exploded.select(
+        *cc,
+        "px",
+        "py",
+        "level",
+        F.col("s.seg").alias("seg"),
+        ea.alias("ea"),
+        _num(ea).alias("ta_num"),
+        _den(ea).alias("ta_den"),
+        eb.alias("eb"),
+        _num(eb).alias("tb_num"),
+        _den(eb).alias("tb_den"),
+    )
+
+
+def contour_points(segments: DataFrame) -> DataFrame:
+    """Float convenience view: resolves the rational endpoints into
+    (xa, ya, xb, yb) pixel coordinates per the edge table.  Analysis /
+    rendering only — the hash contract stays on the rationals."""
+
+    def _xy(edge, num, den, which):
+        t = num.cast("double") / den.cast("double")
+        x = (
+            F.when(edge == 0, F.col("px") + t)
+            .when(edge == 1, F.col("px") + 1)
+            .when(edge == 2, F.col("px") + t)
+            .otherwise(F.col("px").cast("double"))
+        )
+        y = (
+            F.when(edge == 0, F.col("py").cast("double"))
+            .when(edge == 1, F.col("py") + t)
+            .when(edge == 2, (F.col("py") + 1).cast("double"))
+            .otherwise(F.col("py") + t)
+        )
+        return x.alias(f"x{which}"), y.alias(f"y{which}")
+
+    xa, ya = _xy(F.col("ea"), F.col("ta_num"), F.col("ta_den"), "a")
+    xb, yb = _xy(F.col("eb"), F.col("tb_num"), F.col("tb_den"), "b")
+    return segments.select("*", xa, ya, xb, yb)
