@@ -3616,6 +3616,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_mix"] = token_mix
 
+    # UniMax budget allocation (Chung 2023): per-(lang, source) token
+    # counts -> ascending waterfill with a 2-epoch cap against a 20k
+    # budget; the whole sequential cascade closes into one sorted
+    # window pass with exact-integer arithmetic (operators/packing.py)
+    def unimax_alloc(spark, sf_dir):
+        from osm2world_spark.operators.packing import unimax_allocation
+        from osm2world_spark.operators.text import token_count
+
+        counts = (
+            _t(spark, sf_dir, "documents")
+            .groupBy("lang", "source")
+            .agg(F.sum(token_count(F.col("text"))).alias("n_tokens"))
+        )
+        return unimax_allocation(
+            counts, total_budget=20000, epoch_cap=2,
+            source_cols=("lang", "source"),
+        )
+
+    q["unimax_alloc"] = unimax_alloc
+
     # distributed Gram matrix over the embeddings table, quantized mode:
     # integer partial sums are order-independent, so the d^2 cells are
     # exactly reproducible under any partitioning and the oracle
@@ -6784,6 +6804,47 @@ def oracle_sql() -> dict[str, str]:
                cum_tokens <= 2000 + (CAST(substr(source, 4) AS INT) % 5) * 1500
                  AS kept
         FROM r
+    """
+
+    # unimax_alloc: the ascending waterfill replayed with the same
+    # closed form — capped test multiplied through to exact integers,
+    # remainder cascade (R + j) // u for the uncapped tail
+    sql["unimax_alloc"] = """
+        WITH cnt AS (
+          SELECT lang, source,
+                 CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang, source
+        ), rk AS (
+          SELECT lang, source, n_tokens, n_tokens * 2 AS ce,
+                 row_number() OVER w AS src_rank,
+                 count(*) OVER () AS n_src,
+                 COALESCE(SUM(n_tokens * 2) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS s_prev
+          FROM cnt
+          WINDOW w AS (ORDER BY n_tokens, lang, source)
+        ), fl AS (
+          SELECT *, ce * (n_src - src_rank + 1) <= 20000 - s_prev AS capped
+          FROM rk
+        ), cl AS (
+          SELECT *,
+                 SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS m,
+                 COALESCE(SUM(CASE WHEN capped THEN ce END) OVER (), 0) AS s_m
+          FROM fl
+        ), al AS (
+          SELECT *, CASE WHEN capped THEN ce
+                         ELSE (20000 - s_m + (src_rank - m - 1)) // (n_src - m)
+                    END AS alloc
+          FROM cl
+        )
+        SELECT lang, source, n_tokens,
+               CAST(src_rank AS INT) AS src_rank, capped,
+               CAST(alloc AS BIGINT) AS alloc_tokens,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN (alloc * 1000000) // n_tokens END AS BIGINT)
+                 AS epochs_u6
+        FROM al
     """
 
     # gram_embed: exact integer Gram cells — floor(float-as-double * 2^10)

@@ -341,3 +341,106 @@ def shard_corpus(
     return out.withColumn(
         "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
     ).drop("_h")
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    total_budget: int,
+    epoch_cap: int,
+    source_cols: tuple[str, ...] = ("source",),
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): given per-source token counts, a total token budget
+    B, and an epoch cap E, walk sources ASCENDING by size and give each
+    min(c*E, remaining / sources_remaining) — small sources get their
+    full E epochs, large sources split the leftover uniformly.  This is
+    the step that turns corpus statistics into the per-source budgets
+    ``token_budget_mix`` consumes.
+
+    The sequential waterfill has a closed form (once a source is
+    uncapped, the uniform share stays constant and all larger sources
+    are uncapped too), so the whole allocation is ONE sorted window
+    pass, no driver loop:
+
+      capped_i  <=>  c_i*E * (L-i+1) <= B - S_{i-1}      (exact ints)
+      alloc_i   =    capped ? c_i*E : (R + j) DIV (L - m)
+
+    with S the running capped spend, m the number of capped sources,
+    R = B - S_m the uncapped pool, and j = i - m - 1 the 0-based rank
+    among the uncapped.  (R + j) DIV u is the closed form of the
+    sequential cascade floor(remaining / sources_left): the u uncapped
+    sources get R DIV u each, with the R mod u leftover tokens going
+    one each to the LARGEST sources — the budget is conserved exactly,
+    and the whole contract is float-free integer arithmetic.
+
+    Scale shape: the input is one row PER SOURCE (languages, domains —
+    bounded at ~1e5 rows by nature, NOT by data size), so the global
+    sort window is a single bounded task — the documented exception to
+    the no-global-window rule, same discipline as the ANN codebook
+    collects.  Compute ``counts`` distributed first:
+    ``docs.groupBy(*source_cols).agg(F.sum(token_count(...)))``.
+
+    Output: source_cols + (n_tokens, src_rank, capped, alloc_tokens,
+    epochs_u6) with epochs_u6 = floor(alloc * 1e6 / count).
+    """
+    if total_budget < 0 or epoch_cap <= 0:
+        raise ValueError("total_budget must be >= 0 and epoch_cap > 0")
+    sc = list(source_cols)
+    order = [F.col(count_col).asc()] + [F.col(c).asc() for c in sc]
+    w = Window.orderBy(*order)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cE = (F.col(count_col).cast("bigint") * epoch_cap).alias("_ce")
+    base = counts.select(
+        *sc,
+        F.col(count_col).cast("bigint").alias("n_tokens"),
+        cE,
+    )
+    ranked = base.select(
+        *sc,
+        "n_tokens",
+        "_ce",
+        F.row_number().over(w).alias("src_rank"),
+        F.count(F.lit(1)).over(everything).alias("_L"),
+        F.coalesce(F.sum("_ce").over(prev), F.lit(0)).alias("_s_prev"),
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        F.col("_ce") * (F.col("_L") - F.col("src_rank") + 1)
+        <= F.lit(total_budget) - F.col("_s_prev"),
+    )
+    closed = flagged.select(
+        "*",
+        F.sum(F.col("capped").cast("bigint")).over(everything).alias("_m"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("_ce"))).over(everything),
+            F.lit(0),
+        ).alias("_s_m"),
+    ).withColumn(
+        "_rem", F.lit(total_budget) - F.col("_s_m")
+    ).withColumn("_n_rem", F.col("_L") - F.col("_m"))
+    alloc = F.when(F.col("capped"), F.col("_ce")).otherwise(
+        F.expr("(_rem + (src_rank - _m - 1)) DIV _n_rem")
+    )
+    return (
+        closed.withColumn("alloc_tokens", alloc)
+        .withColumn(
+            "epochs_u6",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(alloc_tokens * 1000000) DIV n_tokens"),
+            ),
+        )
+        .select(
+            *sc,
+            "n_tokens",
+            F.col("src_rank").cast("int").alias("src_rank"),
+            "capped",
+            "alloc_tokens",
+            "epochs_u6",
+        )
+    )
