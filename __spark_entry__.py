@@ -3955,6 +3955,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contour_lines"] = contour_lines
 
+    # stitched contour topology: marching-squares segments -> endpoint
+    # nodes keyed by global grid-edge identity -> pointer-doubled
+    # connected components -> one row per isoline with ring/chain
+    # topology (closed ring: V == E, zero open ends; boundary/no-data
+    # chain: exactly 2).  Smaller paraboloid (64^2, interval 25) so the
+    # recursive-CTE oracle's transitive closure stays tiny; levels 25
+    # (closed interior ring) and 50/75 (clipped at the grid border ->
+    # open chains) exercise both shapes, the no-data holes a third.
+    def contour_topology(spark, sf_dir):
+        from osm2world_spark.operators.contours import (
+            contour_segments,
+            stitch_contours,
+        )
+
+        n, c = 64, 32
+        grid = spark.range(n * n).select(
+            F.lit(13).alias("cell_lon"),
+            F.lit(48).alias("cell_lat"),
+            (F.col("id") % n).cast("int").alias("px"),
+            F.floor(F.col("id") / n).cast("int").alias("py"),
+        )
+        r2 = (F.col("px") - c) * (F.col("px") - c) + (F.col("py") - c) * (
+            F.col("py") - c
+        )
+        elev = F.when(
+            (F.col("px") * 31 + F.col("py") * 37) % 997 == 0, F.lit(-32768)
+        ).otherwise(F.floor(r2 / 25.0).cast("int"))
+        segs = contour_segments(
+            grid.withColumn("elev", elev.cast("int")), interval=25
+        )
+        return stitch_contours(segs, interval=25)
+
+    q["contour_topology"] = contour_topology
+
     def jl_projection(spark, sf_dir):
         # Achlioptas +-1 JL projection 64 -> 16 over u6 fixed-point
         # inputs: every output component is an exact bigint dot
@@ -8879,16 +8913,20 @@ def oracle_sql() -> dict[str, str]:
     _ms_chain = "\n                 ".join(
         _ms_when(kind, codes) for kind, codes in _ms_codes() if codes
     )
-    sql["contour_lines"] = f"""
-        WITH g AS (
+
+    def _contour_cte(n: int, c: int, interval: int) -> str:
+        """The g..dec CTE chain of the marching-squares pipeline over
+        the paraboloid DEM, parameterized by grid size / center /
+        interval — shared by contour_lines and contour_topology."""
+        return f"""g AS (
           SELECT 13 AS cell_lon, 48 AS cell_lat,
-                 CAST(i % 160 AS INT) AS px, CAST(i // 160 AS INT) AS py
-          FROM range(25600) t(i)
+                 CAST(i % {n} AS INT) AS px, CAST(i // {n} AS INT) AS py
+          FROM range({n * n}) t(i)
         ), z AS (
           SELECT cell_lon, cell_lat, px, py,
                  CASE WHEN NOT ((px * 31 + py * 37) % 997 = 0)
-                      THEN CAST(CAST(floor(((px - 80) * (px - 80)
-                               + (py - 80) * (py - 80)) / 25.0) AS INT)
+                      THEN CAST(CAST(floor(((px - {c}) * (px - {c})
+                               + (py - {c}) * (py - {c})) / 25.0) AS INT)
                            AS BIGINT) END AS zz
           FROM g
         ), r AS (
@@ -8911,9 +8949,11 @@ def oracle_sql() -> dict[str, str]:
             AND z01 IS NOT NULL AND z11 IS NOT NULL
         ), lv AS (
           SELECT cell_lon, cell_lat, px, py, z00, z10, z01, z11,
-                 40 * unnest(range(
-                   CAST(floor((least(z00, z10, z01, z11) + 39) / 40.0) AS BIGINT),
-                   CAST(floor((greatest(z00, z10, z01, z11) + 39) / 40.0) AS BIGINT)
+                 {interval} * unnest(range(
+                   CAST(floor((least(z00, z10, z01, z11) + {interval - 1})
+                        / {float(interval)}) AS BIGINT),
+                   CAST(floor((greatest(z00, z10, z01, z11) + {interval - 1})
+                        / {float(interval)}) AS BIGINT)
                  )) AS level
           FROM cc
         ), cs AS (
@@ -8947,6 +8987,61 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN eb = 0 THEN z10 - z00 WHEN eb = 1 THEN z11 - z10
                      WHEN eb = 2 THEN z11 - z01 ELSE z01 - z00 END) AS tb_den
         FROM dec
+    """
+
+    sql["contour_lines"] = "WITH " + _contour_cte(160, 80, 40)
+
+    # contour_topology: the stitched-line pass (operators/contours.py
+    # stitch_contours) — endpoint nodes keyed by GLOBAL grid-edge
+    # identity, connected components, per-line ring/chain topology.
+    # Spark runs pointer-doubled min-label propagation; the oracle
+    # replays it as a DuckDB RECURSIVE min-label closure over the SAME
+    # node-id packing ((level/I*2+orient)*2^20+ex)*2^20+ey — both are
+    # exact integer fixpoints of the same component relation, so they
+    # agree bit-for-bit.
+    sql["contour_topology"] = f"""
+        WITH RECURSIVE segs AS (
+          SELECT * FROM (WITH {_contour_cte(64, 32, 25)})
+        ), eps AS (
+          SELECT px, py, level, seg, 0 AS e_end,
+                 ((level // 25 * 2
+                   + CASE WHEN ea IN (1, 3) THEN 1 ELSE 0 END) * 1048576
+                  + px + CASE WHEN ea = 1 THEN 1 ELSE 0 END) * 1048576
+                 + py + CASE WHEN ea = 2 THEN 1 ELSE 0 END AS node
+          FROM segs
+          UNION ALL
+          SELECT px, py, level, seg, 1 AS e_end,
+                 ((level // 25 * 2
+                   + CASE WHEN eb IN (1, 3) THEN 1 ELSE 0 END) * 1048576
+                  + px + CASE WHEN eb = 1 THEN 1 ELSE 0 END) * 1048576
+                 + py + CASE WHEN eb = 2 THEN 1 ELSE 0 END AS node
+          FROM segs
+        ), seg_edges AS (
+          SELECT a.node AS src, b.node AS dst
+          FROM eps a JOIN eps b
+            ON a.px = b.px AND a.py = b.py AND a.level = b.level
+           AND a.seg = b.seg AND a.e_end = 0 AND b.e_end = 1
+        ), bidir AS (
+          SELECT src, dst FROM seg_edges
+          UNION ALL SELECT dst, src FROM seg_edges
+        ), reach(node, label) AS (
+          SELECT node, node FROM (SELECT DISTINCT node FROM eps)
+          UNION
+          SELECT b.dst, r.label FROM reach r JOIN bidir b ON b.src = r.node
+        ), labels AS (
+          SELECT node, min(label) AS label FROM reach GROUP BY node
+        ), deg AS (
+          SELECT level, node, count(*) AS deg FROM eps GROUP BY level, node
+        )
+        SELECT l.label AS line_id,
+               min(d.level) AS level,
+               CAST(sum(d.deg) / 2 AS BIGINT) AS n_segments,
+               count(*) AS n_nodes,
+               CAST(sum(CASE WHEN d.deg = 1 THEN 1 ELSE 0 END) AS INT)
+                 AS n_open_ends,
+               (sum(CASE WHEN d.deg = 1 THEN 1 ELSE 0 END) = 0) AS closed
+        FROM deg d JOIN labels l ON l.node = d.node
+        GROUP BY l.label
     """
 
     # jl_projection: the identical md5-derived sign matrix regenerated

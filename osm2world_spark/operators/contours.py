@@ -295,3 +295,90 @@ def contour_points(segments: DataFrame) -> DataFrame:
     xa, ya = _xy(F.col("ea"), F.col("ta_num"), F.col("ta_den"), "a")
     xb, yb = _xy(F.col("eb"), F.col("tb_num"), F.col("tb_den"), "b")
     return segments.select("*", xa, ya, xb, yb)
+
+
+# ---------------------------------------------------------------- stitching
+
+# node-key packing bounds: pixel coords < 2^20 (1M-pixel rasters; SRTM
+# tiles are 3601), level-index*2+orient < 2^22 — 62 bits total
+_XY_BITS = 1 << 20
+_K_LIMIT = 1 << 22
+
+
+def endpoint_nodes(segments: DataFrame, interval: int) -> DataFrame:
+    """Two rows per segment — one per endpoint — keyed by the GLOBAL
+    grid-edge identity of the crossing, so the same isoline crossing
+    seen from the two cells sharing a grid edge gets the SAME node id:
+
+      edge 0 (top)    -> horizontal grid edge (px,   py),   orient 0
+      edge 2 (bottom) -> horizontal grid edge (px,   py+1), orient 0
+      edge 1 (right)  -> vertical   grid edge (px+1, py),   orient 1
+      edge 3 (left)   -> vertical   grid edge (px,   py),   orient 1
+
+    node = ((level/interval * 2 + orient) * 2^20 + ex) * 2^20 + ey —
+    a pure-Column bigint pack (bounds in _XY_BITS/_K_LIMIT), including
+    the level so different isolines never connect.  Output adds
+    (node, end) with end 0/1 for the a/b endpoint."""
+    out = []
+    for end, edge in ((0, F.col("ea")), (1, F.col("eb"))):
+        orient = F.when((edge == 1) | (edge == 3), F.lit(1)).otherwise(F.lit(0))
+        ex = F.col("px") + F.when(edge == 1, F.lit(1)).otherwise(F.lit(0))
+        ey = F.col("py") + F.when(edge == 2, F.lit(1)).otherwise(F.lit(0))
+        k = (F.col("level") / interval).cast("bigint")
+        node = ((k * 2 + orient) * _XY_BITS + ex) * _XY_BITS + ey
+        out.append(
+            segments.select(
+                "*", F.lit(end).alias("end"), node.cast("bigint").alias("node")
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def stitch_contours(
+    segments: DataFrame, interval: int, max_rounds: int = 16
+) -> DataFrame:
+    """Groups marching-squares segments into topological contour LINES:
+    connected components over the endpoint-node graph (one line per
+    component), using the pointer-doubled min-label propagation from
+    operators/network.py — a ring of R segments converges in
+    O(log R) rounds, so planet-scale coastline-length isolines stitch
+    in ~a dozen iterative joins rather than R/2.
+
+    Output, one row per line: (line_id = min node id in the line,
+    level, n_segments, n_nodes, n_open_ends, closed).  A closed ring
+    has every crossing shared by exactly 2 segments (n_open_ends = 0,
+    n_nodes == n_segments); an isoline that exits the data boundary
+    (grid border, no-data void) has exactly 2 open ends.  Marching
+    squares never produces degree > 2 (a saddle's two segments use
+    disjoint cell edges), so these are the only shapes.
+
+    Single-cell rasters only (the node pack excludes cell_lon/cell_lat;
+    stitch per cell, or offset node ids per cell upstream)."""
+    from .network import components_from_edges
+
+    eps = endpoint_nodes(segments, interval)
+    mentions = eps.select("level", "node")
+    nodes = mentions.select("node").distinct()
+    a = eps.where(F.col("end") == 0).select(
+        "px", "py", "level", "seg", F.col("node").alias("src")
+    )
+    b = eps.where(F.col("end") == 1).select(
+        "px", "py", "level", "seg", F.col("node").alias("dst")
+    )
+    pair = a.join(b, ["px", "py", "level", "seg"]).select("src", "dst")
+    edges = pair.unionByName(
+        pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = components_from_edges(edges, nodes, max_rounds=max_rounds)
+    deg = mentions.groupBy("level", "node").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.join(labels, "node")
+        .groupBy(F.col("label").alias("line_id"))
+        .agg(
+            F.min("level").alias("level"),
+            (F.sum("deg") / 2).cast("bigint").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("deg") == 1).cast("int")).cast("int").alias("n_open_ends"),
+        )
+        .withColumn("closed", F.col("n_open_ends") == 0)
+    )

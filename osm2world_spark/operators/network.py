@@ -355,7 +355,8 @@ def connected_components(
 
 
 def components_from_edges(
-    edges: DataFrame, nodes: DataFrame, max_rounds: int = 30
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 30,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Generic connected components: (src, dst) edges + (node) universe ->
     (node, label) where label = min node id reachable (nodes off the edge
@@ -364,9 +365,21 @@ def components_from_edges(
     the min over neighbors + self, and stops when no label changed (one
     count action per round on a lazily checkpointed frame — the
     iterative-join shape Spark CC implementations use; label count is
-    monotonically non-increasing, rounds bounded by label-hop diameter,
-    max_rounds is a backstop for pathological chains). Also the dedup
-    backbone: near-dup pair edges -> document clusters."""
+    monotonically non-increasing, max_rounds is a backstop). Also the
+    dedup backbone: near-dup pair edges -> document clusters.
+
+    ``shortcut=True`` adds POINTER DOUBLING after each propagation:
+    label(u) <- label(label(u)) via one self-join (valid because every
+    label is itself a node id whose label is at most it — the Shiloach-
+    Vishkin shortcutting step). The min now spreads through both graph
+    edges and label pointers, so rounds drop from O(diameter) to
+    O(log diameter) — a 500-hop contour ring or tile-spanning coastline
+    converges in ~9 rounds instead of 250, which is the difference
+    between feasible and not at 100 TB. Exit detection is unchanged and
+    stays correct: if PROPAGATION changes nothing then label(u) <=
+    label(v) across every edge, hence (symmetry) labels are constant
+    per component and already the min — compression is pure
+    acceleration and needs no change tracking."""
     labels = nodes.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_rounds):
         nbr_min = (
@@ -391,6 +404,18 @@ def components_from_edges(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+        if shortcut:
+            parent = labels.select(
+                F.col("node").alias("label"), F.col("label").alias("_plabel")
+            )
+            labels = (
+                labels.join(parent, "label", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_plabel"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return labels
 
 

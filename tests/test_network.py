@@ -230,3 +230,21 @@ def test_weighted_distances_relaxation(spark):
     seeds2 = spark.createDataFrame([(1,), (4,)], "node bigint")
     got2 = {r["node"]: r["dist"] for r in weighted_distances(edges, seeds2).collect()}
     assert got2 == {1: 0.0, 4: 0.0, 2: 1.0, 3: 1.0}
+
+
+def test_shortcut_converges_in_log_rounds(spark):
+    # a 400-node path: min-label alone moves the min 1 hop/round and
+    # cannot finish in 12 rounds; pointer doubling must
+    from osm2world_spark.operators.network import components_from_edges
+    from pyspark.sql import functions as F
+
+    n = 400
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    fast = components_from_edges(edges, nodes, max_rounds=12, shortcut=True)
+    assert fast.select("label").distinct().count() == 1
+    slow = components_from_edges(edges, nodes, max_rounds=12, shortcut=False)
+    assert slow.select("label").distinct().count() > 1
