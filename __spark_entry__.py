@@ -3989,6 +3989,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contour_topology"] = contour_topology
 
+    # seam-crossing stitch: the SAME paraboloid cut into a 2x2 grid of
+    # 40-pixel raster cells (the tile seams run straight through every
+    # ring), contoured per cell after a halo exchange and stitched with
+    # GLOBAL node identity.  Cells sit at (-180,-90) so the global
+    # pixel formula (cell_lon+180)*40+px reduces to the plain grid
+    # coordinate — making the oracle the single-80-grid topology replay
+    # verbatim.  Hash equality against it proves the distributed
+    # halo+stitch is indistinguishable from having had the whole raster
+    # in one piece, which is the planet-scale correctness contract.
+    def contour_stitch_seam(spark, sf_dir):
+        from osm2world_spark.operators.contours import (
+            contour_segments,
+            halo_raster,
+            stitch_contours,
+        )
+
+        n, c = 40, 40
+        g = spark.range(4 * n * n).select(
+            (F.col("id") % (2 * n)).cast("int").alias("gx"),
+            F.floor(F.col("id") / (2 * n)).cast("int").alias("gy"),
+        )
+        r2 = (F.col("gx") - c) * (F.col("gx") - c) + (F.col("gy") - c) * (
+            F.col("gy") - c
+        )
+        elev = F.when(
+            (F.col("gx") * 31 + F.col("gy") * 37) % 997 == 0, F.lit(-32768)
+        ).otherwise(F.floor(r2 / 25.0).cast("int"))
+        cells = g.select(
+            (F.lit(-180) + F.floor(F.col("gx") / n)).cast("int").alias("cell_lon"),
+            (F.lit(-90) + F.floor(F.col("gy") / n)).cast("int").alias("cell_lat"),
+            (F.col("gx") % n).cast("int").alias("px"),
+            (F.col("gy") % n).cast("int").alias("py"),
+            elev.cast("int").alias("elev"),
+        )
+        segs = contour_segments(halo_raster(cells, n), interval=25)
+        return stitch_contours(segs, interval=25, cell_pixels=n)
+
+    q["contour_stitch_seam"] = contour_stitch_seam
+
     def jl_projection(spark, sf_dir):
         # Achlioptas +-1 JL projection 64 -> 16 over u6 fixed-point
         # inputs: every output component is an exact bigint dot
@@ -8999,19 +9038,26 @@ def oracle_sql() -> dict[str, str]:
     # node-id packing ((level/I*2+orient)*2^20+ex)*2^20+ey — both are
     # exact integer fixpoints of the same component relation, so they
     # agree bit-for-bit.
-    sql["contour_topology"] = f"""
+    def _topology_sql(cte: str, interval: int) -> str:
+        """The stitched-topology tail shared by contour_topology and
+        contour_stitch_seam: endpoint nodes -> recursive min-label
+        closure -> per-line ring/chain stats.  The seam query's 4-cell
+        halo computation is node-for-node identical to the single
+        global grid this replays (halo cells anchor nothing twice),
+        which is exactly the property the query certifies."""
+        return f"""
         WITH RECURSIVE segs AS (
-          SELECT * FROM (WITH {_contour_cte(64, 32, 25)})
+          SELECT * FROM (WITH {cte})
         ), eps AS (
           SELECT px, py, level, seg, 0 AS e_end,
-                 ((level // 25 * 2
+                 ((level // {interval} * 2
                    + CASE WHEN ea IN (1, 3) THEN 1 ELSE 0 END) * 1048576
                   + px + CASE WHEN ea = 1 THEN 1 ELSE 0 END) * 1048576
                  + py + CASE WHEN ea = 2 THEN 1 ELSE 0 END AS node
           FROM segs
           UNION ALL
           SELECT px, py, level, seg, 1 AS e_end,
-                 ((level // 25 * 2
+                 ((level // {interval} * 2
                    + CASE WHEN eb IN (1, 3) THEN 1 ELSE 0 END) * 1048576
                   + px + CASE WHEN eb = 1 THEN 1 ELSE 0 END) * 1048576
                  + py + CASE WHEN eb = 2 THEN 1 ELSE 0 END AS node
@@ -9042,7 +9088,10 @@ def oracle_sql() -> dict[str, str]:
                (sum(CASE WHEN d.deg = 1 THEN 1 ELSE 0 END) = 0) AS closed
         FROM deg d JOIN labels l ON l.node = d.node
         GROUP BY l.label
-    """
+        """
+
+    sql["contour_topology"] = _topology_sql(_contour_cte(64, 32, 25), 25)
+    sql["contour_stitch_seam"] = _topology_sql(_contour_cte(80, 40, 25), 25)
 
     # jl_projection: the identical md5-derived sign matrix regenerated
     # here (jl_sign_matrix is pure hashlib), injected as a nested list

@@ -299,13 +299,62 @@ def contour_points(segments: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- stitching
 
-# node-key packing bounds: pixel coords < 2^20 (1M-pixel rasters; SRTM
-# tiles are 3601), level-index*2+orient < 2^22 — 62 bits total
+# node-key packing bounds: pixel coords < 2^20 (1M-pixel rasters; the
+# planet-wide global grid is 360*1201 = 432,360 columns, 180*1201 =
+# 216,180 rows — both comfortably inside), level-index*2+orient < 2^22
+# — 62 bits total
 _XY_BITS = 1 << 20
 _K_LIMIT = 1 << 22
 
 
-def endpoint_nodes(segments: DataFrame, interval: int) -> DataFrame:
+def halo_raster(raster: DataFrame, cell_pixels: int) -> DataFrame:
+    """Stencil halo exchange for the per-cell marching-squares windows:
+    every cell gains its east / north / north-east neighbors' border
+    pixels as virtual rows at px = cell_pixels / py = cell_pixels, so
+    the 2x2 corner block anchored at a cell's last row/column is
+    complete and seam-crossing cells classify exactly like interior
+    ones.
+
+    This is the classic distributed-stencil move: THREE filtered
+    projections over the border rows only (2/cell_pixels of the data —
+    0.17% at SRTM 1201) union onto the raster; the re-keyed rows ride
+    the window exchange the contour pass already pays, so planet-scale
+    seam correctness costs no extra shuffle.  Works on the abutting
+    pixel-center convention of sources/raster.py (global pixel
+    gx = (cell_lon+180)*cell_pixels + px); for rasters whose tiles
+    share the border sample (classic SRTM .hgt) drop the duplicate row
+    first and the same halo applies.
+
+    Halo rows are corner DATA only, never anchors: an anchor at
+    px = cell_pixels would need px = cell_pixels + 1, which never
+    exists, so corner_frame's completeness guard drops it — every
+    marching-squares cell is computed exactly once, in its home cell."""
+    if cell_pixels <= 0:
+        raise ValueError("cell_pixels must be positive")
+    n = cell_pixels
+    east = (
+        raster.where(F.col("px") == 0)
+        .withColumn("cell_lon", F.col("cell_lon") - 1)
+        .withColumn("px", F.lit(n).cast("int"))
+    )
+    north = (
+        raster.where(F.col("py") == 0)
+        .withColumn("cell_lat", F.col("cell_lat") - 1)
+        .withColumn("py", F.lit(n).cast("int"))
+    )
+    corner = (
+        raster.where((F.col("px") == 0) & (F.col("py") == 0))
+        .withColumn("cell_lon", F.col("cell_lon") - 1)
+        .withColumn("cell_lat", F.col("cell_lat") - 1)
+        .withColumn("px", F.lit(n).cast("int"))
+        .withColumn("py", F.lit(n).cast("int"))
+    )
+    return raster.unionByName(east).unionByName(north).unionByName(corner)
+
+
+def endpoint_nodes(
+    segments: DataFrame, interval: int, cell_pixels: int | None = None
+) -> DataFrame:
     """Two rows per segment — one per endpoint — keyed by the GLOBAL
     grid-edge identity of the crossing, so the same isoline crossing
     seen from the two cells sharing a grid edge gets the SAME node id:
@@ -318,12 +367,22 @@ def endpoint_nodes(segments: DataFrame, interval: int) -> DataFrame:
     node = ((level/interval * 2 + orient) * 2^20 + ex) * 2^20 + ey —
     a pure-Column bigint pack (bounds in _XY_BITS/_K_LIMIT), including
     the level so different isolines never connect.  Output adds
-    (node, end) with end 0/1 for the a/b endpoint."""
+    (node, end) with end 0/1 for the a/b endpoint.
+
+    With ``cell_pixels`` set, (ex, ey) are GLOBAL pixel coordinates
+    ((cell_lon+180) * cell_pixels + ex, (cell_lat+90) * cell_pixels
+    + ey) — the two cells flanking a tile seam then agree on the node
+    id of a seam-edge crossing, so stitching connects isolines across
+    the whole raster (pair with halo_raster so seam cells classify at
+    all).  Planet bound: 360 * 1201 < 2^20, checked in _XY_BITS."""
     out = []
     for end, edge in ((0, F.col("ea")), (1, F.col("eb"))):
         orient = F.when((edge == 1) | (edge == 3), F.lit(1)).otherwise(F.lit(0))
         ex = F.col("px") + F.when(edge == 1, F.lit(1)).otherwise(F.lit(0))
         ey = F.col("py") + F.when(edge == 2, F.lit(1)).otherwise(F.lit(0))
+        if cell_pixels is not None:
+            ex = (F.col("cell_lon") + 180) * cell_pixels + ex
+            ey = (F.col("cell_lat") + 90) * cell_pixels + ey
         k = (F.col("level") / interval).cast("bigint")
         node = ((k * 2 + orient) * _XY_BITS + ex) * _XY_BITS + ey
         out.append(
@@ -335,7 +394,10 @@ def endpoint_nodes(segments: DataFrame, interval: int) -> DataFrame:
 
 
 def stitch_contours(
-    segments: DataFrame, interval: int, max_rounds: int = 16
+    segments: DataFrame,
+    interval: int,
+    max_rounds: int = 16,
+    cell_pixels: int | None = None,
 ) -> DataFrame:
     """Groups marching-squares segments into topological contour LINES:
     connected components over the endpoint-node graph (one line per
@@ -352,20 +414,28 @@ def stitch_contours(
     squares never produces degree > 2 (a saddle's two segments use
     disjoint cell edges), so these are the only shapes.
 
-    Single-cell rasters only (the node pack excludes cell_lon/cell_lat;
-    stitch per cell, or offset node ids per cell upstream)."""
+    Without ``cell_pixels`` the node pack is cell-local (stitch one
+    cell's raster, or offset node ids upstream); WITH it, node ids are
+    global pixel coordinates and lines stitch across tile seams —
+    feed halo_raster output through contour_segments first so the
+    seam-straddling marching-squares cells exist at all.  The
+    component propagation is pointer-doubled, so a coastline-length
+    planet isoline of R segments converges in O(log R) rounds."""
     from .network import components_from_edges
 
-    eps = endpoint_nodes(segments, interval)
+    eps = endpoint_nodes(segments, interval, cell_pixels=cell_pixels)
     mentions = eps.select("level", "node")
     nodes = mentions.select("node").distinct()
+    key = ["px", "py", "level", "seg"]
+    if cell_pixels is not None:
+        key = ["cell_lon", "cell_lat"] + key
     a = eps.where(F.col("end") == 0).select(
-        "px", "py", "level", "seg", F.col("node").alias("src")
+        *key, F.col("node").alias("src")
     )
     b = eps.where(F.col("end") == 1).select(
-        "px", "py", "level", "seg", F.col("node").alias("dst")
+        *key, F.col("node").alias("dst")
     )
-    pair = a.join(b, ["px", "py", "level", "seg"]).select("src", "dst")
+    pair = a.join(b, key).select("src", "dst")
     edges = pair.unionByName(
         pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

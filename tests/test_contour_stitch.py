@@ -99,3 +99,98 @@ def test_nodata_splits_a_ring(spark):
     # level 8: radius sqrt(16)=4 -> passes x=14 band at y=10
     assert 8 in lines
     assert not lines[8]["closed"] and lines[8]["n_open_ends"] == 2
+
+
+# ------------------------------------------------------- seam crossing
+
+
+def _four_cells(spark, n=24, den=4):
+    """The _bowl paraboloid centered at the 4-corner junction of a 2x2
+    grid of n-pixel cells at (-180,-90): global pixel (gx,gy) elevation
+    ((gx-n)^2+(gy-n)^2)//den, so every interior ring crosses all four
+    tile seams."""
+    from pyspark.sql import functions as F
+
+    g = spark.range(4 * n * n).select(
+        (F.col("id") % (2 * n)).cast("int").alias("gx"),
+        F.floor(F.col("id") / (2 * n)).cast("int").alias("gy"),
+    )
+    elev = (
+        (F.col("gx") - n) * (F.col("gx") - n)
+        + (F.col("gy") - n) * (F.col("gy") - n)
+    ) / F.lit(float(den))
+    return g.select(
+        (F.lit(-180) + F.floor(F.col("gx") / n)).cast("int").alias("cell_lon"),
+        (F.lit(-90) + F.floor(F.col("gy") / n)).cast("int").alias("cell_lat"),
+        (F.col("gx") % n).cast("int").alias("px"),
+        (F.col("gy") % n).cast("int").alias("py"),
+        F.floor(elev).cast("int").alias("elev"),
+    )
+
+
+def _as_global(spark, cells, n):
+    """The same raster as ONE cell at (-180,-90) with global pixels."""
+    from pyspark.sql import functions as F
+
+    return cells.select(
+        F.lit(-180).cast("int").alias("cell_lon"),
+        F.lit(-90).cast("int").alias("cell_lat"),
+        ((F.col("cell_lon") + 180) * n + F.col("px")).cast("int").alias("px"),
+        ((F.col("cell_lat") + 90) * n + F.col("py")).cast("int").alias("py"),
+        "elev",
+    )
+
+
+def test_seam_rings_close_across_cells(spark):
+    from osm2world_spark.operators.contours import halo_raster
+
+    n = 24
+    cells = _four_cells(spark, n)
+    lines = stitch_contours(
+        contour_segments(halo_raster(cells, n), interval=40),
+        interval=40,
+        cell_pixels=n,
+    ).collect()
+    # interior levels: radius sqrt(den*level) < n  ->  level < n^2/den
+    inner = [r for r in lines if 0 < r["level"] < (n * n) // 4]
+    assert inner, "no interior rings"
+    for r in inner:
+        assert r["closed"] and r["n_open_ends"] == 0
+        assert r["n_segments"] == r["n_nodes"]
+
+
+def test_halo_stitch_equals_single_grid(spark):
+    # the planet-scale contract: 4-cell halo computation == one global
+    # grid, row for row INCLUDING line ids (the -180/-90 anchor makes
+    # the global-pixel formula coincide)
+    from osm2world_spark.operators.contours import halo_raster
+
+    n = 24
+    cells = _four_cells(spark, n)
+    dist = stitch_contours(
+        contour_segments(halo_raster(cells, n), interval=40),
+        interval=40,
+        cell_pixels=n,
+    )
+    single = stitch_contours(
+        contour_segments(_as_global(spark, cells, n), interval=40),
+        interval=40,
+        cell_pixels=2 * n,
+    )
+    a = sorted(map(tuple, dist.collect()))
+    b = sorted(map(tuple, single.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_halo_anchors_nothing_twice(spark):
+    # every marching-squares cell computes exactly once: segment COUNT
+    # of the halo-per-cell pass equals the global-grid pass
+    from osm2world_spark.operators.contours import halo_raster
+
+    n = 24
+    cells = _four_cells(spark, n)
+    n_dist = contour_segments(halo_raster(cells, n), interval=40).count()
+    n_single = contour_segments(
+        _as_global(spark, cells, n), interval=40
+    ).count()
+    assert n_dist == n_single > 0
