@@ -4028,6 +4028,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contour_stitch_seam"] = contour_stitch_seam
 
+    # WARC ingest (sources/warc.py): the committed ISO-28500 fixture's
+    # records — framing walk, header parse, HTTP payload slice — with
+    # payload identity as md5.  Every field is a pure function of the
+    # record index (tools/make_warc_fixture.py), so the oracle
+    # re-derives all of it with string arithmetic, never parsing WARC.
+    def warc_records(spark, sf_dir):
+        from osm2world_spark.sources.warc import read_warc
+
+        df = read_warc(spark, "/root/repo/tests/fixtures/fixture.warc")
+        return df.select(
+            "record_id",
+            "warc_type",
+            "target_uri",
+            "warc_date",
+            "http_status",
+            "http_content_type",
+            "payload_len",
+            F.md5(F.col("payload")).alias("payload_md5"),
+        )
+
+    q["warc_records"] = warc_records
+
+    # HTML -> text extraction (operators/html.py): documents wrapped in
+    # deterministic markup (title, block structure, script junk,
+    # comments, both entity kinds, two link quote styles), extracted by
+    # the codegen regexp chain.  The oracle replays the IDENTICAL chain
+    # in DuckDB, generated from the module's own _DROP_TAGS /
+    # _BLOCK_TAGS / _NAMED_ENTITIES constants — the two engines share
+    # one source of truth for every pattern.  &#65; stays literal by
+    # default (numeric decode is the separate Arrow pass, pytest-pinned).
+    def html_extract(spark, sf_dir):
+        from osm2world_spark.operators.html import (
+            extract_links,
+            extract_text,
+            extract_title,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        html = F.concat(
+            F.lit("<html><head><title>D"),
+            F.col("doc_id").cast("string"),
+            F.lit(" &amp; T</title></head><body><p>"),
+            F.col("text"),
+            F.lit(
+                "</p><!-- c --><script>var x=1;</script>"
+                "<DIV>mid &lt;x&gt;</div><ul><li>one</li><li>two</li></ul>"
+                "<a href='/d/"
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("'>l1</a><a href=\"/e/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\">l2</a>&#65;</body></html>"),
+        )
+        return docs.select("doc_id", html.alias("h")).select(
+            "doc_id",
+            extract_title(F.col("h")).alias("title"),
+            extract_text(F.col("h")).alias("text"),
+            extract_links(F.col("h")).alias("links"),
+        )
+
+    q["html_extract"] = html_extract
+
     def jl_projection(spark, sf_dir):
         # Achlioptas +-1 JL projection 64 -> 16 over u6 fixed-point
         # inputs: every output component is an exact bigint dot
@@ -9092,6 +9154,119 @@ def oracle_sql() -> dict[str, str]:
 
     sql["contour_topology"] = _topology_sql(_contour_cte(64, 32, 25), 25)
     sql["contour_stitch_seam"] = _topology_sql(_contour_cte(80, 40, 25), 25)
+
+    # warc_records: every fixture field re-derived arithmetically from
+    # the record index (tools/make_warc_fixture.py is the shared truth).
+    sql["warc_records"] = """
+        WITH r AS (SELECT unnest(range(60)) AS i),
+        f AS (
+          SELECT i,
+            CASE WHEN i = 0 THEN 'warcinfo'
+                 WHEN i % 10 = 9 THEN 'request'
+                 ELSE 'response' END AS warc_type,
+            '<urn:test:' || lpad(CAST(i AS VARCHAR), 8, '0') || '>'
+              AS record_id,
+            CASE WHEN i = 0 THEN NULL
+                 ELSE 'http://site' || CAST(i % 7 AS VARCHAR)
+                      || '.example.org/page/' || CAST(i AS VARCHAR)
+            END AS target_uri,
+            '2026-07-' || lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0')
+              || 'T' || lpad(CAST(i % 24 AS VARCHAR), 2, '0')
+              || ':00:00Z' AS warc_date,
+            CASE WHEN i = 0 THEN 'software: fixture' || chr(13) || chr(10)
+                 WHEN i % 10 = 9 THEN ''
+                 ELSE '<html><head><title>Doc ' || CAST(i AS VARCHAR)
+                      || ' &amp; Co</title></head><body><p>alpha '
+                      || CAST(i AS VARCHAR) || ' beta</p><script>var x='
+                      || CAST(i AS VARCHAR)
+                      || ';</script><p>gamma &lt;tag&gt; delta '
+                      || CAST(i * 7 % 97 AS VARCHAR)
+                      || '</p><a href="/p/' || CAST(i AS VARCHAR)
+                      || '">next</a></body></html>'
+            END AS payload
+          FROM r
+        )
+        SELECT record_id, warc_type, target_uri, warc_date,
+               CAST(CASE WHEN warc_type = 'response'
+                         THEN CASE WHEN i % 9 = 0 THEN 404 ELSE 200 END
+                    END AS INT) AS http_status,
+               CASE WHEN warc_type = 'response'
+                    THEN 'text/html; charset=UTF-8' END
+                 AS http_content_type,
+               CAST(length(payload) AS BIGINT) AS payload_len,
+               md5(payload) AS payload_md5
+        FROM f
+    """
+
+    # html_extract: the regexp chain REGENERATED from the operator's
+    # own constants, applied to the identically-reassembled markup.
+    from osm2world_spark.operators.html import (
+        _BLOCK_TAGS as _h_block,
+        _DROP_TAGS as _h_drop,
+        _NAMED_ENTITIES as _h_ents,
+    )
+
+    def _h_sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    def _html_strip(expr: str) -> str:
+        out = expr
+        for t in _h_drop:
+            out = (
+                f"regexp_replace({out}, "
+                f"'(?is)<{t}[^>]*>.*?</{t}>', ' ', 'g')"
+            )
+        out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
+        out = (
+            f"regexp_replace({out}, "
+            f"'(?s)<!\\[CDATA\\[.*?\\]\\]>', ' ', 'g')"
+        )
+        out = (
+            f"regexp_replace({out}, '(?i)</?({_h_block})[^>]*>', "
+            f"chr(10), 'g')"
+        )
+        return f"regexp_replace({out}, '<[^>]*>', '', 'g')"
+
+    def _html_ents(expr: str) -> str:
+        out = expr
+        for src, dst in _h_ents:
+            out = f"replace({out}, '{_h_sq(src)}', '{_h_sq(dst)}')"
+        return out
+
+    def _html_ws(expr: str) -> str:
+        out = (
+            f"regexp_replace({expr}, '[ \\t\\x0b\\f\\r]+', ' ', 'g')"
+        )
+        out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+        out = (
+            f"regexp_replace({out}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+        )
+        return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"
+
+    _h_src = (
+        "'<html><head><title>D' || CAST(doc_id AS VARCHAR)"
+        " || ' &amp; T</title></head><body><p>' || text"
+        " || '</p><!-- c --><script>var x=1;</script>"
+        "<DIV>mid &lt;x&gt;</div><ul><li>one</li><li>two</li></ul>"
+        "<a href=''/d/' || CAST(doc_id AS VARCHAR)"
+        " || '''>l1</a><a href=\"/e/' || CAST(doc_id AS VARCHAR)"
+        " || '\">l2</a>&#65;</body></html>'"
+    )
+    _h_title = (
+        "regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    )
+    sql["html_extract"] = f"""
+        WITH src AS (
+          SELECT doc_id, {_h_src} AS h FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace({_html_ents(_h_title)},
+                                   '\\s+', ' ', 'g')) AS title,
+               {_html_ws(_html_ents(_html_strip("h")))} AS text,
+               regexp_extract_all(h,
+                 '(?i)href=[\"'']([^\"'']*)[\"'']', 1) AS links
+        FROM src
+    """
 
     # jl_projection: the identical md5-derived sign matrix regenerated
     # here (jl_sign_matrix is pure hashlib), injected as a nested list
