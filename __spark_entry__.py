@@ -4050,6 +4050,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_records"] = warc_records
 
+    # ordered contour polylines (operators/contours.py order_contours):
+    # Wyllie pointer-jumping list ranking over the directed segment
+    # graph — seq = traversal order from the canonical head.  The
+    # oracle re-derives the SAME canonical traversal with a linear
+    # recursive-CTE walk (fine at oracle scale; the Spark side is the
+    # O(log L) form that survives planet-scale lines).
+    def contour_vertices(spark, sf_dir):
+        from osm2world_spark.operators.contours import (
+            contour_segments,
+            order_contours,
+        )
+
+        n, c = 48, 24
+        grid = spark.range(n * n).select(
+            F.lit(13).alias("cell_lon"),
+            F.lit(48).alias("cell_lat"),
+            (F.col("id") % n).cast("int").alias("px"),
+            F.floor(F.col("id") / n).cast("int").alias("py"),
+        )
+        r2 = (F.col("px") - c) * (F.col("px") - c) + (F.col("py") - c) * (
+            F.col("py") - c
+        )
+        elev = F.when(
+            (F.col("px") * 31 + F.col("py") * 37) % 997 == 0, F.lit(-32768)
+        ).otherwise(F.floor(r2 / 25.0).cast("int"))
+        segs = contour_segments(
+            grid.withColumn("elev", elev.cast("int")), interval=15
+        )
+        return order_contours(segs, interval=15)
+
+    q["contour_vertices"] = contour_vertices
+
     # HTML -> text extraction (operators/html.py): documents wrapped in
     # deterministic markup (title, block structure, script junk,
     # comments, both entity kinds, two link quote styles), extracted by
@@ -9154,6 +9186,69 @@ def oracle_sql() -> dict[str, str]:
 
     sql["contour_topology"] = _topology_sql(_contour_cte(64, 32, 25), 25)
     sql["contour_stitch_seam"] = _topology_sql(_contour_cte(80, 40, 25), 25)
+
+    # contour_vertices: the ordered-traversal twin of the topology
+    # oracle — same endpoint-node CTEs, then a LINEAR recursive walk
+    # from each line's canonical head (min open end for chains, min
+    # node for rings; first step toward the min neighbor; ring walks
+    # stop on re-entering the head).  The Spark side computes the same
+    # sequence via O(log L) pointer jumping; level decodes back out of
+    # the node pack (node // 2^40 // 2 * interval).
+    sql["contour_vertices"] = f"""
+        WITH RECURSIVE segs AS (
+          SELECT * FROM (WITH {_contour_cte(48, 24, 15)})
+        ), eps AS (
+          SELECT px, py, level, seg, 0 AS e_end,
+                 ((level // 15 * 2
+                   + CASE WHEN ea IN (1, 3) THEN 1 ELSE 0 END) * 1048576
+                  + px + CASE WHEN ea = 1 THEN 1 ELSE 0 END) * 1048576
+                 + py + CASE WHEN ea = 2 THEN 1 ELSE 0 END AS node
+          FROM segs
+          UNION ALL
+          SELECT px, py, level, seg, 1 AS e_end,
+                 ((level // 15 * 2
+                   + CASE WHEN eb IN (1, 3) THEN 1 ELSE 0 END) * 1048576
+                  + px + CASE WHEN eb = 1 THEN 1 ELSE 0 END) * 1048576
+                 + py + CASE WHEN eb = 2 THEN 1 ELSE 0 END AS node
+          FROM segs
+        ), seg_edges AS (
+          SELECT a.node AS src, b.node AS dst
+          FROM eps a JOIN eps b
+            ON a.px = b.px AND a.py = b.py AND a.level = b.level
+           AND a.seg = b.seg AND a.e_end = 0 AND b.e_end = 1
+        ), bidir AS (
+          SELECT src, dst FROM seg_edges
+          UNION ALL SELECT dst, src FROM seg_edges
+        ), reach(node, label) AS (
+          SELECT node, node FROM (SELECT DISTINCT node FROM eps)
+          UNION
+          SELECT b.dst, r.label FROM reach r JOIN bidir b ON b.src = r.node
+        ), labels AS (
+          SELECT node, min(label) AS label FROM reach GROUP BY node
+        ), deg AS (
+          SELECT src AS node, count(*) AS deg FROM bidir GROUP BY src
+        ), lines AS (
+          SELECT l.label,
+                 coalesce(min(CASE WHEN d.deg = 1 THEN d.node END),
+                          min(d.node)) AS h
+          FROM deg d JOIN labels l ON l.node = d.node
+          GROUP BY l.label
+        ), heads AS (
+          SELECT li.label, li.h, min(b.dst) AS nbr_a
+          FROM lines li JOIN bidir b ON b.src = li.h
+          GROUP BY li.label, li.h
+        ), walk(label, h, seq, src, dst) AS (
+          SELECT label, h, CAST(1 AS BIGINT), h, nbr_a FROM heads
+          UNION ALL
+          SELECT w.label, w.h, w.seq + 1, w.dst, b.dst
+          FROM walk w JOIN bidir b ON b.src = w.dst AND b.dst != w.src
+          WHERE w.dst != w.h
+        )
+        SELECT label AS line_id,
+               CAST((src // 1099511627776) // 2 * 15 AS BIGINT) AS level,
+               seq, src, dst
+        FROM walk
+    """
 
     # warc_records: every fixture field re-derived arithmetically from
     # the record index (tools/make_warc_fixture.py is the shared truth).

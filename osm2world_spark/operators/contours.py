@@ -452,3 +452,156 @@ def stitch_contours(
         )
         .withColumn("closed", F.col("n_open_ends") == 0)
     )
+
+
+# ------------------------------------------------------- vertex ordering
+
+
+def order_contours(
+    segments: DataFrame,
+    interval: int,
+    max_rounds: int = 24,
+    cell_pixels: int | None = None,
+) -> DataFrame:
+    """Serializes each stitched contour line into its ORDERED edge
+    sequence — the step that turns topological components into
+    drawable/exportable polylines — via distributed LIST RANKING
+    (Wyllie pointer jumping): every directed segment copy gets a
+    successor (the unique continuation through its head node), ranks
+    double-jump in O(log L) rounds, and seq = L - rank + 1 reads the
+    traversal order off the converged ranks.  A coastline-length
+    isoline of 10^6 segments orders in ~21 iterative joins instead of
+    a 10^6-step sequential walk — the difference between feasible and
+    not at planet scale, and the same O(log) discipline as the
+    stitcher's pointer-doubled components.
+
+    Canonical deterministic traversal: head h = the min open-end node
+    for chains / the min node for rings; the first edge leaves h
+    toward its smallest neighbor; rings break at the edge re-entering
+    h.  Output, one row per segment: (line_id, level, seq, src, dst)
+    with seq = 1..n_segments along the line (chains list V = E + 1
+    nodes as src of 1..L plus the last dst; rings close back to h).
+
+    Exactness: node ids, ranks, and the head/orientation rules are
+    all integer — the output is a pure function of the input under
+    any partitioning, same hash contract as stitch_contours."""
+    eps = endpoint_nodes(segments, interval, cell_pixels=cell_pixels)
+    key = ["px", "py", "level", "seg"]
+    if cell_pixels is not None:
+        key = ["cell_lon", "cell_lat"] + key
+    a = eps.where(F.col("end") == 0).select(
+        *key, F.col("node").alias("u")
+    )
+    b = eps.where(F.col("end") == 1).select(
+        *key, F.col("node").alias("v")
+    )
+    und = a.join(b, key).select("level", "u", "v")
+    dire = und.select("level", F.col("u").alias("src"), F.col("v").alias("dst")) \
+        .unionByName(
+            und.select("level", F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+
+    from .network import components_from_edges
+
+    nodes = dire.select(F.col("src").alias("node")).distinct()
+    labels = components_from_edges(
+        dire.select("src", "dst"), nodes, max_rounds=max_rounds
+    )
+    deg = dire.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # per line: head h (min open end, else min node), ring flag, and
+    # h's min/max neighbors (the canonical first edge and ring break)
+    nl = deg.join(labels, deg["src"] == labels["node"]).select(
+        "node", "deg", "label"
+    )
+    lines = nl.groupBy("label").agg(
+        F.coalesce(
+            F.min(F.when(F.col("deg") == 1, F.col("node"))), F.min("node")
+        ).alias("h"),
+        (F.min("deg") == 2).alias("is_ring"),
+    )
+    hnbrs = (
+        dire.join(lines, dire["src"] == lines["h"])
+        .groupBy("label", "h", "is_ring")
+        .agg(F.min("dst").alias("nbr_a"), F.max("dst").alias("nbr_b"))
+    )
+
+    # successor of (src, dst): the edge leaving dst away from src;
+    # NULL at open ends and (for rings) at the edge re-entering h
+    nxt = dire.select(
+        F.col("src").alias("j_src"), F.col("dst").alias("n_dst")
+    )
+    lab_e = dire.join(labels, dire["src"] == labels["node"]).select(
+        "level", "src", "dst", "label"
+    )
+    info = lab_e.join(hnbrs, "label")
+    alive = F.col("n_dst").isNotNull() & ~(
+        F.col("is_ring") & (F.col("dst") == F.col("h"))
+    )
+    succ = (
+        info.join(nxt, (F.col("dst") == F.col("j_src"))
+                  & (F.col("n_dst") != F.col("src")), "left")
+        .select(
+            "level", "label", "h", "is_ring", "nbr_a", "nbr_b",
+            "src", "dst",
+            F.when(alive, F.col("dst")).alias("s_src"),
+            F.when(alive, F.col("n_dst")).alias("s_dst"),
+        )
+    )
+    frame = succ.select(
+        "*",
+        F.lit(1).cast("bigint").alias("rank"),
+        F.when(F.col("s_src").isNull(), F.col("src")).alias("t_src"),
+        F.when(F.col("s_src").isNull(), F.col("dst")).alias("t_dst"),
+    ).localCheckpoint(eager=False)
+
+    # Wyllie pointer jumping: rank += rank(succ); succ <- succ(succ);
+    # terminal identity rides along.  One count action per round.
+    for _ in range(max_rounds):
+        pending = frame.where(F.col("s_src").isNotNull()).count()
+        if pending == 0:
+            break
+        s = frame.select(
+            F.col("src").alias("k_src"), F.col("dst").alias("k_dst"),
+            F.col("rank").alias("k_rank"),
+            F.col("s_src").alias("k_ssrc"), F.col("s_dst").alias("k_sdst"),
+            F.col("t_src").alias("k_tsrc"), F.col("t_dst").alias("k_tdst"),
+        )
+        frame = (
+            frame.join(
+                s,
+                (F.col("s_src") == F.col("k_src"))
+                & (F.col("s_dst") == F.col("k_dst")),
+                "left",
+            )
+            .select(
+                "level", "label", "h", "is_ring", "nbr_a", "nbr_b",
+                "src", "dst",
+                F.col("k_ssrc").alias("s_src"),
+                F.col("k_sdst").alias("s_dst"),
+                F.when(
+                    F.col("k_rank").isNotNull(),
+                    F.col("rank") + F.col("k_rank"),
+                ).otherwise(F.col("rank")).alias("rank"),
+                F.coalesce(F.col("t_src"), F.col("k_tsrc")).alias("t_src"),
+                F.coalesce(F.col("t_dst"), F.col("k_tdst")).alias("t_dst"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    # forward orbit: chains end anywhere but h; rings end at (nbr_b, h)
+    fwd = frame.where(
+        (~F.col("is_ring") & (F.col("t_dst") != F.col("h")))
+        | (
+            F.col("is_ring")
+            & (F.col("t_dst") == F.col("h"))
+            & (F.col("t_src") == F.col("nbr_b"))
+        )
+    )
+    w = Window.partitionBy("label")
+    return fwd.select(
+        F.col("label").alias("line_id"),
+        "level",
+        (F.max("rank").over(w) - F.col("rank") + 1).alias("seq"),
+        "src",
+        "dst",
+    )

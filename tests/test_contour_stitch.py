@@ -194,3 +194,72 @@ def test_halo_anchors_nothing_twice(spark):
         _as_global(spark, cells, n), interval=40
     ).count()
     assert n_dist == n_single > 0
+
+
+# ------------------------------------------------------- vertex ordering
+
+
+def _check_ordered(rows, topo):
+    lines = {}
+    for r in rows:
+        lines.setdefault(r["line_id"], []).append(r)
+    assert set(lines) == set(topo)
+    for lid, es in lines.items():
+        es.sort(key=lambda r: r["seq"])
+        t = topo[lid]
+        assert [e["seq"] for e in es] == list(range(1, len(es) + 1))
+        assert len(es) == t["n_segments"]
+        assert all(e["level"] == t["level"] for e in es)
+        for i in range(len(es) - 1):
+            assert es[i]["dst"] == es[i + 1]["src"]
+        if t["closed"]:
+            assert es[-1]["dst"] == es[0]["src"] == lid  # head = min node
+        else:
+            # head is the smaller open end
+            assert es[0]["src"] < es[-1]["dst"]
+
+
+def test_order_contours_rings_and_chains(spark):
+    from osm2world_spark.operators.contours import order_contours
+
+    segs = contour_segments(_grid_df(spark, _bowl(22, 2)), interval=12)
+    rows = order_contours(segs, interval=12).collect()
+    topo = {
+        r["line_id"]: r
+        for r in stitch_contours(segs, interval=12).collect()
+    }
+    _check_ordered(rows, topo)
+    assert any(t["closed"] for t in topo.values())
+    assert any(not t["closed"] for t in topo.values())
+
+
+def test_order_converges_in_log_rounds(spark):
+    # a ~150-segment ring needs ~9 doubling rounds; a sequential walk
+    # would need 150 — max_rounds=11 only passes with pointer jumping
+    from osm2world_spark.operators.contours import order_contours
+
+    segs = contour_segments(_grid_df(spark, _bowl(52, 6)), interval=64)
+    out = order_contours(segs, interval=64, max_rounds=11)
+    topo = stitch_contours(segs, interval=64)
+    big = topo.agg(F.max("n_segments")).first()[0]
+    assert big > 100
+    assert out.count() == topo.agg(F.sum("n_segments")).first()[0]
+
+
+def test_order_across_seams(spark):
+    from osm2world_spark.operators.contours import (
+        halo_raster,
+        order_contours,
+    )
+
+    n = 24
+    cells = _four_cells(spark, n)
+    segs = contour_segments(halo_raster(cells, n), interval=40)
+    rows = order_contours(segs, interval=40, cell_pixels=n).collect()
+    topo = {
+        r["line_id"]: r
+        for r in stitch_contours(
+            segs, interval=40, cell_pixels=n
+        ).collect()
+    }
+    _check_ordered(rows, topo)
