@@ -9309,7 +9309,7 @@ def oracle_sql() -> dict[str, str]:
         for t in _h_drop:
             out = (
                 f"regexp_replace({out}, "
-                f"'(?is)<{t}[^>]*>.*?</{t}>', ' ', 'g')"
+                f"'(?is)<{t}(\\s[^>]*)?>.*?</{t}\\s*>', ' ', 'g')"
             )
         out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
         out = (
@@ -9317,8 +9317,8 @@ def oracle_sql() -> dict[str, str]:
             f"'(?s)<!\\[CDATA\\[.*?\\]\\]>', ' ', 'g')"
         )
         out = (
-            f"regexp_replace({out}, '(?i)</?({_h_block})[^>]*>', "
-            f"chr(10), 'g')"
+            f"regexp_replace({out}, "
+            f"'(?i)</?({_h_block})(\\s[^>]*|/)?>', chr(10), 'g')"
         )
         return f"regexp_replace({out}, '<[^>]*>', '', 'g')"
 
@@ -9358,8 +9358,10 @@ def oracle_sql() -> dict[str, str]:
                trim(regexp_replace({_html_ents(_h_title)},
                                    '\\s+', ' ', 'g')) AS title,
                {_html_ws(_html_ents(_html_strip("h")))} AS text,
-               regexp_extract_all(h,
-                 '(?i)href=[\"'']([^\"'']*)[\"'']', 1) AS links
+               list_transform(
+                 regexp_extract_all(h,
+                   '(?i)href=(\"[^\"]*\"|''[^'']*'')', 1),
+                 x -> substr(x, 2, length(x) - 2)) AS links
         FROM src
     """
 

@@ -374,23 +374,67 @@ def endpoint_nodes(
     + ey) — the two cells flanking a tile seam then agree on the node
     id of a seam-edge crossing, so stitching connects isolines across
     the whole raster (pair with halo_raster so seam cells classify at
-    all).  Planet bound: 360 * 1201 < 2^20, checked in _XY_BITS."""
-    out = []
-    for end, edge in ((0, F.col("ea")), (1, F.col("eb"))):
-        orient = F.when((edge == 1) | (edge == 3), F.lit(1)).otherwise(F.lit(0))
-        ex = F.col("px") + F.when(edge == 1, F.lit(1)).otherwise(F.lit(0))
-        ey = F.col("py") + F.when(edge == 2, F.lit(1)).otherwise(F.lit(0))
-        if cell_pixels is not None:
-            ex = (F.col("cell_lon") + 180) * cell_pixels + ex
-            ey = (F.col("cell_lat") + 90) * cell_pixels + ey
-        k = (F.col("level") / interval).cast("bigint")
-        node = ((k * 2 + orient) * _XY_BITS + ex) * _XY_BITS + ey
-        out.append(
-            segments.select(
-                "*", F.lit(end).alias("end"), node.cast("bigint").alias("node")
-            )
+    all).  Planet bound: 360 * 1201 < 2^20, enforced below."""
+    sn = segment_nodes(segments, interval, cell_pixels=cell_pixels)
+    orig = segments.columns
+    a = sn.select(*orig, F.lit(0).alias("end"), F.col("src").alias("node"))
+    b = sn.select(*orig, F.lit(1).alias("end"), F.col("dst").alias("node"))
+    return a.unionByName(b)
+
+
+def _node_expr(edge, interval: int, cell_pixels: int | None):
+    """The endpoint_nodes pack for one edge code, as a Column."""
+    orient = F.when((edge == 1) | (edge == 3), F.lit(1)).otherwise(F.lit(0))
+    ex = F.col("px") + F.when(edge == 1, F.lit(1)).otherwise(F.lit(0))
+    ey = F.col("py") + F.when(edge == 2, F.lit(1)).otherwise(F.lit(0))
+    if cell_pixels is not None:
+        ex = (F.col("cell_lon") + 180) * cell_pixels + ex
+        ey = (F.col("cell_lat") + 90) * cell_pixels + ey
+    k = (F.col("level") / interval).cast("bigint")
+    return (((k * 2 + orient) * _XY_BITS + ex) * _XY_BITS + ey).cast("bigint")
+
+
+def segment_nodes(
+    segments: DataFrame, interval: int, cell_pixels: int | None = None
+) -> DataFrame:
+    """segments + (src, dst) endpoint node ids as two pure-Column
+    projections on the SAME row — no self-join, no shuffle (the
+    endpoint identities were computed together by marching squares;
+    splitting them apart only to join them back would cost an exchange
+    per consumer).  src is the ea endpoint, dst the eb one."""
+    if interval <= 0:
+        raise ValueError("interval must be a positive integer")
+    if cell_pixels is not None and 360 * cell_pixels >= _XY_BITS:
+        # ex reaches (179+180+1)*cell_pixels; beyond 2^20 the pack
+        # aliases across level indices and stitching silently fuses
+        # unrelated isolines — refuse instead (SRTM3's 1201 fits; a
+        # 3601-pixel SRTM1 planet grid needs a wider pack first)
+        raise ValueError(
+            f"cell_pixels={cell_pixels} overflows the 2^20 node pack "
+            f"(360 * cell_pixels must stay below {_XY_BITS})"
         )
-    return out[0].unionByName(out[1])
+    return segments.select(
+        "*",
+        _node_expr(F.col("ea"), interval, cell_pixels).alias("src"),
+        _node_expr(F.col("eb"), interval, cell_pixels).alias("dst"),
+    )
+
+
+def _guard_single_cell(segments: DataFrame, cell_pixels: int | None) -> None:
+    """Without cell_pixels the node pack is cell-local, so feeding a
+    multi-cell frame would collide node ids across cells and silently
+    fuse unrelated lines — refuse (one bounded distinct-limit action;
+    the iterative stitch runs several actions anyway)."""
+    if cell_pixels is not None:
+        return
+    cc = [c for c in ("cell_lon", "cell_lat") if c in segments.columns]
+    if not cc:
+        return
+    if segments.select(*cc).distinct().limit(2).count() > 1:
+        raise ValueError(
+            "multi-cell segment input requires cell_pixels= (global "
+            "node identity); cell-local packs collide across cells"
+        )
 
 
 def stitch_contours(
@@ -414,29 +458,26 @@ def stitch_contours(
     squares never produces degree > 2 (a saddle's two segments use
     disjoint cell edges), so these are the only shapes.
 
-    Without ``cell_pixels`` the node pack is cell-local (stitch one
-    cell's raster, or offset node ids upstream); WITH it, node ids are
-    global pixel coordinates and lines stitch across tile seams —
-    feed halo_raster output through contour_segments first so the
-    seam-straddling marching-squares cells exist at all.  The
-    component propagation is pointer-doubled, so a coastline-length
-    planet isoline of R segments converges in O(log R) rounds."""
+    Without ``cell_pixels`` the node pack is cell-local, so the input
+    must be a SINGLE cell's raster — enforced (_guard_single_cell)
+    because a multi-cell frame would silently fuse unrelated lines
+    through node-id collisions.  WITH it, node ids are global pixel
+    coordinates and lines stitch across tile seams — feed halo_raster
+    output through contour_segments first so the seam-straddling
+    marching-squares cells exist at all.  The component propagation is
+    pointer-doubled, so a coastline-length planet isoline of R
+    segments converges in O(log R) rounds."""
     from .network import components_from_edges
 
-    eps = endpoint_nodes(segments, interval, cell_pixels=cell_pixels)
-    mentions = eps.select("level", "node")
+    _guard_single_cell(segments, cell_pixels)
+    pair = segment_nodes(segments, interval, cell_pixels=cell_pixels).select(
+        "level", "src", "dst"
+    )
+    mentions = pair.select("level", F.col("src").alias("node")).unionByName(
+        pair.select("level", F.col("dst").alias("node"))
+    )
     nodes = mentions.select("node").distinct()
-    key = ["px", "py", "level", "seg"]
-    if cell_pixels is not None:
-        key = ["cell_lon", "cell_lat"] + key
-    a = eps.where(F.col("end") == 0).select(
-        *key, F.col("node").alias("src")
-    )
-    b = eps.where(F.col("end") == 1).select(
-        *key, F.col("node").alias("dst")
-    )
-    pair = a.join(b, key).select("src", "dst")
-    edges = pair.unionByName(
+    edges = pair.select("src", "dst").unionByName(
         pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = components_from_edges(edges, nodes, max_rounds=max_rounds)
@@ -485,17 +526,10 @@ def order_contours(
     Exactness: node ids, ranks, and the head/orientation rules are
     all integer — the output is a pure function of the input under
     any partitioning, same hash contract as stitch_contours."""
-    eps = endpoint_nodes(segments, interval, cell_pixels=cell_pixels)
-    key = ["px", "py", "level", "seg"]
-    if cell_pixels is not None:
-        key = ["cell_lon", "cell_lat"] + key
-    a = eps.where(F.col("end") == 0).select(
-        *key, F.col("node").alias("u")
+    _guard_single_cell(segments, cell_pixels)
+    und = segment_nodes(segments, interval, cell_pixels=cell_pixels).select(
+        "level", F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    b = eps.where(F.col("end") == 1).select(
-        *key, F.col("node").alias("v")
-    )
-    und = a.join(b, key).select("level", "u", "v")
     dire = und.select("level", F.col("u").alias("src"), F.col("v").alias("dst")) \
         .unionByName(
             und.select("level", F.col("v").alias("src"), F.col("u").alias("dst"))
@@ -556,6 +590,7 @@ def order_contours(
 
     # Wyllie pointer jumping: rank += rank(succ); succ <- succ(succ);
     # terminal identity rides along.  One count action per round.
+    pending = -1
     for _ in range(max_rounds):
         pending = frame.where(F.col("s_src").isNotNull()).count()
         if pending == 0:
@@ -586,6 +621,16 @@ def order_contours(
                 F.coalesce(F.col("t_dst"), F.col("k_tdst")).alias("t_dst"),
             )
             .localCheckpoint(eager=False)
+        )
+
+    if pending != 0 and frame.where(F.col("s_src").isNotNull()).count() > 0:
+        # an unfinished jump would emit a scrambled order with no
+        # signal — a line longer than ~2^max_rounds segments needs a
+        # higher max_rounds, never silent truncation
+        raise RuntimeError(
+            f"order_contours did not converge within max_rounds="
+            f"{max_rounds}; the longest line exceeds ~2^{max_rounds} "
+            "segments"
         )
 
     # forward orbit: chains end anywhere but h; rings end at (nbr_b, h)

@@ -53,13 +53,21 @@ _NAMED_ENTITIES = (
 
 
 def strip_markup(html: Column) -> Column:
-    """Steps 1-3: the tag-free raw text with block newlines."""
+    """Steps 1-3: the tag-free raw text with block newlines.  Tag-name
+    boundaries are explicit ((\\s[^>]*)? / (\\s[^>]*|/)? — the char
+    after the name must be whitespace, '/' or '>') so custom elements
+    like <template-x> or <svg-icon> are NOT swallowed by their prefix;
+    lookahead would be cleaner but RE2 (the oracle engine) lacks it."""
     out = html
     for t in _DROP_TAGS:
-        out = F.regexp_replace(out, f"(?is)<{t}[^>]*>.*?</{t}>", " ")
+        out = F.regexp_replace(
+            out, f"(?is)<{t}(\\s[^>]*)?>.*?</{t}\\s*>", " "
+        )
     out = F.regexp_replace(out, "(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, "(?s)<!\\[CDATA\\[.*?\\]\\]>", " ")
-    out = F.regexp_replace(out, f"(?i)</?({_BLOCK_TAGS})[^>]*>", "\n")
+    out = F.regexp_replace(
+        out, f"(?i)</?({_BLOCK_TAGS})(\\s[^>]*|/)?>", "\n"
+    )
     return F.regexp_replace(out, "<[^>]*>", "")
 
 
@@ -112,11 +120,14 @@ def normalize_whitespace(text: Column) -> Column:
 def extract_text(html: Column, numeric_entities: bool = False) -> Column:
     """The full HTML -> text pipeline as one Column expression.  With
     numeric_entities=False (default) the plan is 100% codegen regexps;
-    True inserts the one Arrow pass for &#NNNN; references."""
-    out = decode_entities(strip_markup(html))
+    True inserts the one Arrow pass for &#NNNN; references — BEFORE
+    the named chain, so '&amp;#65;' stays the literal '&#65;' exactly
+    as a browser renders it (the named pass must not manufacture
+    numeric references for the numeric pass to eat)."""
+    out = strip_markup(html)
     if numeric_entities:
         out = decode_numeric_entities(out)
-    return normalize_whitespace(out)
+    return normalize_whitespace(decode_entities(out))
 
 
 def extract_title(html: Column) -> Column:
@@ -129,10 +140,16 @@ def extract_title(html: Column) -> Column:
 def extract_links(html: Column) -> Column:
     """array<string> of href targets in document order (raw attribute
     values; resolution against a base URL composes with
-    operators/web.py canonical_url downstream).  Both quote styles via
-    one alternation-free class pattern so order is the document's."""
-    return F.regexp_extract_all(
-        html, F.lit("(?i)href=[\"']([^\"']*)[\"']"), F.lit(1)
+    operators/web.py canonical_url downstream).  The two quote styles
+    are separate alternates whose group INCLUDES the quotes (RE2 has
+    no backreferences to enforce the match otherwise), stripped by one
+    transform — so href="/p?a='x'" keeps its embedded single quote
+    instead of truncating at it."""
+    quoted = F.regexp_extract_all(
+        html, F.lit("(?i)href=(\"[^\"]*\"|'[^']*')"), F.lit(1)
+    )
+    return F.transform(
+        quoted, lambda s: s.substr(F.lit(2), F.length(s) - 2)
     )
 
 

@@ -149,22 +149,38 @@ def _frame_plain(path: str) -> list[tuple[int, int]]:
     return spans
 
 
-def _gz_members(path: str) -> Iterator[tuple[int, bytes]]:
+def _gz_members(
+    path: str, chunk: int = 1 << 20
+) -> Iterator[tuple[int, bytes]]:
     """(offset, decompressed bytes) per gzip member of a multi-member
-    .warc.gz.  Task memory is bounded by ONE file (Common Crawl's
-    ~1 GB shard grain makes that the practical bound; the compressed
-    bytes are read once, members decompress one at a time)."""
+    .warc.gz.  The compressed bytes are read once and fed to each
+    member's decompressobj in fixed-size zero-copy memoryview slices —
+    NOT the naive data[pos:] tail re-slice, which on a Common Crawl
+    shard (~50k members x ~0.5 GB average tail) would memcpy tens of
+    terabytes.  Peak memory = compressed file + one decompressed
+    member."""
     with open(path, "rb") as f:
         data = f.read()
+    view = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(31)
-        out = d.decompress(data[pos:])
-        yield pos, out + d.flush()
-        rest = d.unused_data
-        if not rest:
-            break
-        pos = len(data) - len(rest)
+        out = bytearray()
+        start = pos
+        while True:
+            end = min(pos + chunk, n)
+            out += d.decompress(view[pos:end])
+            if d.eof:
+                pos = end - len(d.unused_data)
+                break
+            pos = end
+            if pos >= n:
+                raise ValueError(
+                    f"{path}: truncated gzip member at offset {start}"
+                )
+        out += d.flush()
+        yield start, bytes(out)
 
 
 def make_warc_record(
@@ -230,10 +246,20 @@ def read_warc(
                 else:
                     for moff, member in _gz_members(path_):
                         pos = 0
+                        j = 0
                         while pos < len(member):
-                            row, used = parse_warc_record(member[pos:], moff)
+                            # rec_offset = member offset + intra-member
+                            # record index: floor ~= the range-request
+                            # locator, and unique because a member's
+                            # compressed length always exceeds its
+                            # record count (each record's headers alone
+                            # out-compress one byte)
+                            row, used = parse_warc_record(
+                                member[pos:], moff + j
+                            )
                             rows.append((path_,) + row[1:])
                             pos += used
+                            j += 1
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -249,16 +275,21 @@ def read_warc(
 
 def warc_documents(records: DataFrame) -> DataFrame:
     """Response records -> the documents-table shape downstream
-    operators consume: (doc_id, url, media_type, text).  Only 2xx HTML
-    responses carry text; the payload decodes as UTF-8 with
+    operators consume: (doc_id, url, media_type, text).  Only 2xx
+    responses whose Content-Type is in ``text_types`` carry text (a
+    200 image/png decoded as UTF-8-with-replacement would pollute the
+    corpus with mojibake documents); the payload decodes as UTF-8 with
     replacement (charset sniffing beyond the Content-Type header is a
     documented boundary)."""
     from pyspark.sql import functions as F
 
+    text_types = ("text/html", "text/plain", "application/xhtml+xml")
+    mt = F.regexp_extract("http_content_type", "^([^;]+)", 1)
     ok = records.where(
         (F.col("warc_type") == "response")
         & (F.col("http_status") >= 200)
         & (F.col("http_status") < 300)
+        & F.trim(mt).isin(*text_types)
     )
     return ok.select(
         F.col("record_id").alias("doc_id"),

@@ -263,3 +263,33 @@ def test_order_across_seams(spark):
         ).collect()
     }
     _check_ordered(rows, topo)
+
+
+# ------------------------------------------------------- guard rails
+
+
+def test_multi_cell_without_cell_pixels_raises(spark):
+    import pytest
+
+    cells = _four_cells(spark, 12)
+    segs = contour_segments(cells, interval=40)
+    with pytest.raises(ValueError, match="cell_pixels"):
+        stitch_contours(segs, interval=40)
+
+
+def test_cell_pixels_overflow_raises(spark):
+    import pytest
+    from osm2world_spark.operators.contours import segment_nodes
+
+    segs = contour_segments(_grid_df(spark, _bowl(8)), interval=10)
+    with pytest.raises(ValueError, match="overflows"):
+        segment_nodes(segs, interval=10, cell_pixels=3601)
+
+
+def test_order_nonconvergence_raises(spark):
+    import pytest
+    from osm2world_spark.operators.contours import order_contours
+
+    segs = contour_segments(_grid_df(spark, _bowl(22, 2)), interval=12)
+    with pytest.raises(RuntimeError, match="converge"):
+        order_contours(segs, interval=12, max_rounds=2)

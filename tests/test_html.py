@@ -86,3 +86,29 @@ def test_warc_to_text_composition(spark):
     assert row["title"] == "Doc 5 & Co"
     assert row["text"] == "Doc 5 & Co\nalpha 5 beta\n\ngamma <tag> delta 35\nnext"
     assert row["links"] == ["/p/5"]
+
+
+def test_custom_elements_not_swallowed(spark):
+    # <template-x> / <svg-icon> must NOT match the template/svg drop
+    # rules by prefix (review finding: tag-name boundary)
+    html = ("<template-x>visible</template-x><p>keep</p>"
+            "<template>gone</template><svg-icon>icon text</svg-icon>")
+    got = _one(spark, html, extract_text)
+    assert "visible" in got and "keep" in got and "icon text" in got
+    assert "gone" not in got
+    # block-tag prefixes: <param>/<track> are not <p>/<tr>
+    got2 = _one(spark, "a<param x=1>b<track>c<p>d</p>", extract_text)
+    assert got2 == "abc\nd"
+
+
+def test_numeric_runs_before_named(spark):
+    # a browser renders '&amp;#65;' as the LITERAL '&#65;' — the named
+    # pass must not manufacture numeric refs for the numeric pass
+    html = "<p>&amp;#65; and &#66;</p>"
+    got = _one(spark, html, lambda c: extract_text(c, numeric_entities=True))
+    assert got == "&#65; and B"
+
+
+def test_links_keep_embedded_other_quote(spark):
+    html = "<a href=\"/p?a='x'\">1</a><a href='/q?b=\"y\"'>2</a>"
+    assert _one(spark, html, extract_links) == ["/p?a='x'", "/q?b=\"y\""]

@@ -117,3 +117,47 @@ def test_warc_documents_filters(spark):
     one = docs.where(F.col("doc_id") == "<urn:test:00000005>").first()
     assert one["url"] == "http://site5.example.org/page/5"
     assert "alpha 5 beta" in one["text"]
+
+
+def test_gz_multi_record_offsets_unique(spark, tmp_path):
+    recs = [
+        make_warc_record(
+            "response", f"<urn:m:{i}>", f"http://h/{i}",
+            "2026-01-01T00:00:00Z", f"body{i}".encode(),
+            http_status=200, http_content_type="text/html",
+        )
+        for i in range(4)
+    ]
+    p = tmp_path / "multi.warc.gz"
+    with open(p, "wb") as f:
+        f.write(gzip.compress(recs[0] + recs[1] + recs[2], mtime=0))
+        f.write(gzip.compress(recs[3], mtime=0))
+    rows = read_warc(spark, str(p)).select("rec_offset", "record_id").collect()
+    offs = [r["rec_offset"] for r in rows]
+    assert len(set(offs)) == 4  # member offset + intra index is unique
+
+
+def test_warc_documents_drops_non_text(spark, tmp_path):
+    recs = [
+        make_warc_record(
+            "response", "<urn:t:0>", "http://h/a", "2026-01-01T00:00:00Z",
+            b"<p>hi</p>", http_status=200,
+            http_content_type="text/html; charset=UTF-8",
+        ),
+        make_warc_record(
+            "response", "<urn:t:1>", "http://h/b.png",
+            "2026-01-01T00:00:00Z", b"\x89PNG binary", http_status=200,
+            http_content_type="image/png",
+        ),
+        make_warc_record(
+            "response", "<urn:t:2>", "http://h/c.txt",
+            "2026-01-01T00:00:00Z", b"plain", http_status=200,
+            http_content_type="text/plain",
+        ),
+    ]
+    p = tmp_path / "mixed.warc"
+    with open(p, "wb") as f:
+        f.writelines(recs)
+    docs = warc_documents(read_warc(spark, str(p)))
+    ids = sorted(r["doc_id"] for r in docs.collect())
+    assert ids == ["<urn:t:0>", "<urn:t:2>"]  # the PNG is out
