@@ -381,6 +381,7 @@ def components_from_edges(
     per component and already the min — compression is pure
     acceleration and needs no change tracking."""
     labels = nodes.select("node").distinct().withColumn("label", F.col("node"))
+    changed = -1
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -416,6 +417,17 @@ def components_from_edges(
                 )
                 .localCheckpoint(eager=False)
             )
+    if changed != 0:
+        # same discipline as weighted_distances: a max_rounds exit means
+        # labels may not be final component minima — say so, loudly
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "components_from_edges stopped at max_rounds=%d with %d "
+            "labels still changing; labels may be unconverged",
+            max_rounds,
+            changed,
+        )
     return labels
 
 
