@@ -112,6 +112,11 @@ def main() -> None:
         # S8 serializer (NEW key in r5, additive — older series unaffected):
         # full OBJ+MTL assembly incl. the first-seen dedup windows
         "obj_export",
+        # NEW keys late r5 (additive): the marching-squares + stitch +
+        # list-ranking contour chain, and the crawl text-extraction
+        # regexp chain over the sf documents table
+        "contour_vertices",
+        "html_extract",
     )
     qs = entry.queries() if names else {}
     if names:
