@@ -220,3 +220,82 @@ def test_unitless_factor(spark):
     }
     assert got["2.5"] == pytest.approx(2.5 * 0.3048, abs=0.0)
     assert got["bad"] is None
+
+
+# ------------------------------------------------ random-corpus parity
+
+
+def _random_corpus(n=1500):
+    """Deterministic pseudo-random strings over the parsers' grammar
+    fragments plus outright garbage — the fuzz companion to the
+    branch-targeted FIXTURE above.  Seeded: failures reproduce."""
+    import random
+
+    rnd = random.Random(20260820)
+    units = ["", " ", "km/h", " km/h", "mph", " mph", "m", " m",
+             "km", " km", "mi", " mi", "t", " t", "%", " %", " x"]
+    roses = ["N", "E", "S", "W", "NE", "SSW", "ESE", "NNEE", "n", "ne", ""]
+    out = []
+    for _ in range(n):
+        k = rnd.random()
+        if k < 0.55:
+            sign = rnd.choice(["", "", "-", "+"])
+            zeros = "0" * rnd.randrange(0, 2)
+            digits = str(rnd.randrange(0, 10 ** rnd.randrange(1, 12)))
+            frac = (
+                "" if rnd.random() < 0.5
+                else "." + "0" * rnd.randrange(0, 2)
+                + str(rnd.randrange(0, 10 ** rnd.randrange(1, 12)))
+            )
+            out.append(sign + zeros + digits + frac + rnd.choice(units))
+        elif k < 0.65:
+            sp = " " if rnd.random() < 0.3 else ""
+            out.append(f"{rnd.randrange(0, 9)}'{sp}{rnd.randrange(0, 15)}\"")
+        elif k < 0.75:
+            out.append(rnd.choice(roses))
+        elif k < 0.85:
+            pieces = [
+                str(rnd.randrange(-9, 10))
+                + ("-" + str(rnd.randrange(-9, 10)) if rnd.random() < 0.5 else "")
+                for _ in range(rnd.randrange(1, 4))
+            ]
+            out.append(";".join(pieces))
+        else:
+            alphabet = " +-.0123456789kmht%'\"NSEWx/;"
+            out.append("".join(rnd.choice(alphabet)
+                               for _ in range(rnd.randrange(0, 10))))
+    return out
+
+
+def test_random_corpus_parity(spark):
+    corpus = sorted(set(_random_corpus()))
+    df = spark.createDataFrame([(s,) for s in corpus], ["raw"])
+    rows = df.select(
+        "raw",
+        V.parse_int(F.col("raw")).alias("i"),
+        V.parse_uint(F.col("raw")).alias("u"),
+        V.parse_speed(F.col("raw")).alias("speed"),
+        V.parse_measure(F.col("raw")).alias("measure"),
+        V.parse_weight(F.col("raw")).alias("weight"),
+        V.parse_incline(F.col("raw")).alias("incline"),
+        V.parse_angle(F.col("raw")).alias("angle"),
+        V.parse_levels(F.col("raw")).alias("levels"),
+    ).collect()
+    assert len(rows) == len(corpus)
+    oracles = [
+        ("speed", _j_speed), ("measure", _j_measure), ("weight", _j_weight),
+        ("incline", _j_incline), ("angle", _j_angle),
+    ]
+    for r in rows:
+        s = r["raw"]
+        iv = _j_int(s)
+        uv = iv if iv is None or iv >= 0 else None
+        assert r["i"] == iv, ("int", s, r["i"], iv)
+        assert r["u"] == uv, ("uint", s, r["u"], uv)
+        for col, fn in oracles:
+            exp = fn(s)
+            if exp is None:
+                assert r[col] is None, (col, s, r[col])
+            else:
+                assert r[col] == pytest.approx(exp, abs=0.0), (col, s, r[col], exp)
+        assert r["levels"] == _j_levels(s), ("levels", s, r["levels"], _j_levels(s))
