@@ -212,9 +212,10 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
             "the HOST, not the engine; it is reported because it is the "
             "widest N->4N pair the sandbox can express."
         )
-    # batched-BPE microbench: latest kind=bpe_batched record, if any
+    # batched-BPE microbench + data-volume probe: latest records by kind
     bpe_block = ""
     bpe_recs = []
+    vol_recs = []
     if os.path.exists(TRIALS):
         for line in open(TRIALS):
             line = line.strip()
@@ -222,6 +223,43 @@ def report(n_docs: int, sf_dir: str, full: dict | None) -> dict:
                 t = json.loads(line)
                 if t.get("kind") == "bpe_batched":
                     bpe_recs.append(t)
+                elif t.get("kind") == "data_volume":
+                    vol_recs.append(t)
+    vol_block = ""
+    if vol_recs:
+        v = vol_recs[-1]
+        ratio = v["n_docs"] / v["baseline_n_docs"]
+        out_ratio = v["n_overlaps"] / v["baseline_n_overlaps"]
+        ops = v["n_overlaps"] / v["flagship_sec"] / 1e6
+        b_ops = v["baseline_n_overlaps"] / v["baseline_flagship_sec"] / 1e6
+        perdoc = " / ".join(
+            f"{val} ({int(k) // 1000}k docs)"
+            for k, val in sorted(v["perdoc_overlaps"].items(), key=lambda kv: int(kv[0]))
+        )
+        vol_block = f"""## Data-volume probe ({ratio:.0f}x docs, same {v['cpus']} cores)
+
+The synthetic corpus deliberately preserves its cube-law cluster skew as
+it grows (the hot center's population scales ~n^(2/3), FIXTURES.md
+section 1), so total typed-overlap output grows ~n^(4/3), NOT linearly:
+per-doc overlaps measured {perdoc}. Holding cores fixed at
+local[{v['cpus']}] and growing the corpus {ratio:.0f}x:
+
+| metric | {v['baseline_n_docs'] // 1000}k docs | {v['n_docs'] // 1000}k docs ({ratio:.0f}x) |
+|---|---|---|
+| typed overlaps out | {v['baseline_n_overlaps'] / 1e6:.1f}M | {v['n_overlaps'] / 1e6:.1f}M ({out_ratio:.2f}x) |
+| flagship wall (best rep) | {v['baseline_flagship_sec']} s | {v['flagship_sec']} s |
+| overlaps/sec | {b_ops:.2f}M | {ops:.2f}M |
+
+Per-overlap throughput holds within {b_ops / ops:.1f}x while the join
+output grows {out_ratio:.1f}x on a FIXED single JVM — the gap is the
+shared 128 GiB heap absorbing a {out_ratio:.0f}x larger shuffle (GC
+pressure observed in the run log), which is precisely the resource a
+real cluster adds with its executors; the salt bound
+(operators/spatial_join.py, <=262k elements per 100 m cell) keeps the
+hot-center tasks bounded throughout. Raw record: kind=data_volume in
+trials.jsonl.
+
+"""
     if bpe_recs:
         b = bpe_recs[-1]
         bpe_block = f"""## Batched BPE trainer microbench
@@ -292,7 +330,7 @@ the least-biased estimate; every trial is listed below, nothing discarded
 silently.
 
 {queries_block}
-{bpe_block}## All recorded trials ({n_docs} docs)
+{vol_block}{bpe_block}## All recorded trials ({n_docs} docs)
 
 | when (UTC) | config | docs/sec | wall (s) |
 |---|---|---|---|
