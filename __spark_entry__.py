@@ -4230,8 +4230,167 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curate_model_gate"] = curate_model_gate
 
+    # Simple-3D-Buildings attribute derivation (operators/buildings.py;
+    # BuildingDefaults.java:30-124 + BuildingPart.java:91-100 +
+    # LevelAndHeightData.java:108-222): a deterministic tag corpus over
+    # 15 building types x 8 roof-shape slots x 11 tagging variants, run
+    # through the full defaults / levels / roof-height / height /
+    # min_height chain.  Zero-exchange Column projection — at 100 TB
+    # this rides any element scan for free.
+    def building_heights(spark, sf_dir):
+        from osm2world_spark.operators.buildings import level_and_height
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        bt = F.element_at(
+            F.array(*[F.lit(t) for t in _BH_TYPES]), (i % 15).cast("int") + 1
+        )
+        shi = (i % 8).cast("int")
+        shape_tag = F.when(
+            shi >= 1, F.element_at(F.array(*[F.lit(s) for s in _BH_SHAPES]), shi)
+        )
+        k = (i % 11).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        m = F.create_map(
+            F.lit("building"), bt,
+            F.lit("roof:shape"), shape_tag,
+            F.lit("building:levels"),
+            F.when(k == 1, s(i % 7)).when(
+                k == 2, F.concat(s(i % 5), F.lit(".5"))
+            ),
+            F.lit("height"),
+            F.when(k == 3, s(i % 40 + 2))
+            .when(k == 4, F.concat(s(i % 30 + 4), F.lit(" m")))
+            .when(k == 8, F.lit("bogus"))
+            .when(k == 10, s(i % 60 + 20)),
+            F.lit("roof:height"), F.when(k == 4, s(i % 6)),
+            F.lit("building:height"), F.when(k == 5, s(i % 25 + 3)),
+            F.lit("building:min_level"), F.when(k == 5, s(i % 4)),
+            F.lit("roof:levels"), F.when(k == 6, s(i % 3)),
+            F.lit("building:levels:underground"), F.when(k == 7, s(i % 3)),
+            F.lit("min_height"),
+            F.when(k == 7, F.concat(s(i % 5), F.lit(".5"))),
+            F.lit("est_height"), F.when(k == 8, s(i % 12 + 1)),
+            F.lit("parking"), F.when(k == 9, F.lit("multi-storey")),
+            F.lit("man_made"), F.when(k == 10, F.lit("chimney")),
+        )
+        d = d.select(
+            "doc_id",
+            F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"),
+            (F.lit(10.0) + (i % 9).cast("double")).alias("diameter"),
+        )
+        out = level_and_height(d, diameter_col="diameter")
+        return out.select(
+            "doc_id",
+            "btype",
+            "roof_shape",
+            "building_levels",
+            "roof_levels",
+            "min_level_wu",
+            micro(F.col("height")).alias("height_u"),
+            micro(F.col("roof_height")).alias("roof_height_u"),
+            micro(F.col("height_without_roof")).alias("hwr_u"),
+            micro(F.col("min_height")).alias("min_height_u"),
+        )
+
+    q["building_heights"] = building_heights
+
+    # RoadModule lane-layout + width derivation (operators/roads.py;
+    # RoadModule.java:823-1302): 16 highway types x 12 tagging variants
+    # through the full per-lane / divider / special-lane / width chain,
+    # including the reference's float32 width accumulation.  Zero
+    # exchanges — a projection on the scan.
+    def road_widths(spark, sf_dir):
+        from osm2world_spark.operators.roads import road_lanes_and_width
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        hw = F.element_at(
+            F.array(*[F.lit(h) for h in _RW_HIGHWAYS]), (i % 16).cast("int") + 1
+        )
+        k = (i % 12).cast("int")
+        a3, a5, a9, a2 = (i % 3).cast("int"), (i % 5).cast("int"), (i % 9).cast("int"), (i % 2).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        n_pl = a3 + 1
+        pl_w = F.concat_ws(
+            "|",
+            F.slice(
+                F.array(*[s((i + j) % 4 + 3) for j in range(3)]), 1, n_pl
+            ),
+        )
+        lr3 = F.element_at(F.array(F.lit("left"), F.lit("right"), F.lit("both")), a3 + 1)
+        m = F.create_map(
+            F.lit("highway"), hw,
+            F.lit("lanes"),
+            F.when(k == 1, s(a5 + 1)).when(k == 5, s(a3 + 1)).when(k == 8, F.lit("4")),
+            F.lit("width"), F.when(k == 2, F.concat(s(a9 + 3), F.lit(".5"))),
+            F.lit("sidewalk"),
+            F.when(k == 3, lr3).when(k == 11, F.lit("both")),
+            F.lit("cycleway"), F.when(k == 4, F.lit("lane")),
+            F.lit("oneway"), F.when(k == 5, F.lit("yes")),
+            F.lit("lanes:forward"), F.when(k.isin(6, 10), s(a3 + 1)),
+            F.lit("lanes:backward"),
+            F.when(k == 6, s(a3)).when(k == 10, F.lit("1")),
+            F.lit("surface"),
+            F.when(
+                k == 7,
+                F.element_at(
+                    F.array(F.lit("gravel"), F.lit("asphalt"), F.lit("sand")), a3 + 1
+                ),
+            ),
+            F.lit("divider"),
+            F.when(
+                k == 8,
+                F.element_at(
+                    F.array(F.lit("dashed_line"), F.lit("solid_line"), F.lit("no")),
+                    a3 + 1,
+                ),
+            ),
+            F.lit("bus_bay"), F.when(k == 9, lr3),
+            F.lit("width:lanes:forward"), F.when(k == 10, pl_w),
+            F.lit("width:lanes:backward"), F.when(k == 10, F.lit("3.5")),
+            F.lit("sidewalk:left:width"), F.when(k == 11, F.lit("2.5")),
+            F.lit("sidewalk:both:kerb"),
+            F.when((k == 11) & (a2 == 0), F.lit("no")).when(k == 11, F.lit("lowered")),
+        )
+        d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
+        out = road_lanes_and_width(d)
+        return out.select(
+            "doc_id",
+            F.col("tags")["highway"].alias("highway"),
+            "oneway",
+            "unmarked_lanes",
+            "n_lanes_forward",
+            "n_lanes_backward",
+            "n_lanes",
+            "centre_divider",
+            micro(F.col("width")).alias("width_u"),
+        )
+
+    q["road_widths"] = road_widths
+
     return _driver_window_order(q)
 
+
+# building_heights generator vocabulary, shared verbatim by the Spark
+# query and the DuckDB oracle (index = doc_id % len)
+_BH_TYPES = [
+    "yes", "house", "greenhouse", "garage", "garages", "carport", "hut",
+    "shed", "cabin", "roof", "church", "hangar", "industrial",
+    "apartments", "chimney",
+]
+_BH_SHAPES = [
+    "flat", "gabled", "hipped", "dome", "skillion", "onion", "pyramidal",
+]
+
+# road_widths generator vocabulary (index = doc_id % 16)
+_RW_HIGHWAYS = [
+    "motorway", "motorway_link", "trunk", "primary", "secondary", "tertiary",
+    "residential", "living_street", "service", "track", "path", "footway",
+    "cycleway", "pedestrian", "unclassified", "steps",
+]
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Union driver-green coverage across r1-r4 is 97/134:
@@ -9575,6 +9734,277 @@ def oracle_sql() -> dict[str, str]:
         FROM ctb
         WINDOW w AS (PARTITION BY bkt ORDER BY contrib DESC, doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    # building_heights: the oracle re-derives every parsed tag value
+    # from the generator parameters (doc_id arithmetic) and replays the
+    # LevelAndHeightData.java:108-222 chain in CASE form — an
+    # independent arithmetic derivation, never re-running the Column
+    # code.  Parser constraints are honoured where the generator can
+    # hit them: roof:height "0" fails parseMeasure's POSITIVE
+    # constraint (trh gated b6>0); the k=8 "bogus" height falls through
+    # to est_height (WorldModuleParseUtil.java:141-153).
+    _bh_types_sql = ", ".join(f"'{t}'" for t in _BH_TYPES)
+    _bh_shapes_sql = ", ".join(f"'{s}'" for s in _BH_SHAPES)
+    sql["building_heights"] = f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_extract([{_bh_types_sql}],
+                              CAST(doc_id % 15 AS INT) + 1) AS bt,
+                 CAST(doc_id % 8 AS INT) AS shi,
+                 CAST(doc_id % 11 AS INT) AS k,
+                 10.0 + CAST(doc_id % 9 AS INT) AS diameter
+          FROM documents
+        ), t AS (
+          SELECT *,
+                 CASE WHEN shi >= 1
+                      THEN list_extract([{_bh_shapes_sql}], shi) END AS shape_tag,
+                 (k = 10 OR bt = 'chimney') AS is_chimney,
+                 (k = 9) AS multistorey,
+                 CASE WHEN k = 1 THEN CAST(doc_id % 7 AS DOUBLE)
+                      WHEN k = 2 THEN CAST(doc_id % 5 AS DOUBLE) + 0.5 END AS parsed_levels,
+                 CASE WHEN k = 3 THEN CAST(doc_id % 40 + 2 AS DOUBLE)
+                      WHEN k = 4 THEN CAST(doc_id % 30 + 4 AS DOUBLE)
+                      WHEN k = 5 THEN CAST(doc_id % 25 + 3 AS DOUBLE)
+                      WHEN k = 8 THEN CAST(doc_id % 12 + 1 AS DOUBLE)
+                      WHEN k = 10 THEN CAST(doc_id % 60 + 20 AS DOUBLE) END AS th,
+                 CASE WHEN k = 4 AND doc_id % 6 > 0
+                      THEN CAST(doc_id % 6 AS DOUBLE) END AS trh,
+                 CASE WHEN k = 5 THEN CAST(doc_id % 4 AS INT) ELSE 0 END AS b_min,
+                 CASE WHEN k = 7 THEN CAST(doc_id % 3 AS INT) ELSE 0 END AS ug,
+                 CAST(doc_id % 3 AS INT) AS rl,
+                 CASE WHEN k = 7 THEN CAST(doc_id % 5 AS DOUBLE) + 0.5 END AS tmh
+          FROM g
+        ), d AS (
+          SELECT *,
+                 CASE WHEN is_chimney THEN 1
+                      WHEN multistorey THEN 5
+                      WHEN bt IN ('greenhouse','garage','garages','carport',
+                                  'hut','shed','cabin','roof') THEN 1
+                      ELSE 3 END AS d_levels,
+                 CASE WHEN is_chimney THEN 10.0 ELSE 2.5 END AS d_hpl,
+                 COALESCE(shape_tag,
+                          CASE WHEN is_chimney THEN 'chimney'
+                               ELSE 'flat' END) AS roof_shape,
+                 (bt NOT IN ('carport', 'roof')) AS d_walls,
+                 CASE WHEN b_min > 0 THEN b_min
+                      ELSE LEAST(b_min, -ug) END AS mlwu0,
+                 COALESCE(th, 0.0) - COALESCE(trh, 0.0) AS thwr
+          FROM t
+        ), lv AS (
+          SELECT *,
+                 CASE WHEN parsed_levels IS NOT NULL
+                        THEN GREATEST(0, CAST(CEIL(parsed_levels) AS INT))
+                      WHEN th IS NOT NULL AND trh IS NOT NULL AND th <= trh
+                        THEN 0
+                      WHEN trh IS NOT NULL AND thwr > 0
+                        THEN GREATEST(mlwu0 + 1,
+                               GREATEST(1, CAST(FLOOR(thwr / d_hpl) AS INT)))
+                      WHEN mlwu0 > 0 THEN mlwu0 + 1
+                      ELSE d_levels END AS levels
+          FROM d
+        ), rf AS (
+          SELECT *,
+                 COALESCE(
+                   COALESCE(
+                     CASE WHEN roof_shape IN ('flat', 'chimney') THEN 0.0
+                          ELSE trh END,
+                     CASE WHEN levels = 0 AND COALESCE(th, 0.0) > 0
+                          THEN th END),
+                   CASE WHEN k = 6 THEN d_hpl * rl END,
+                   CASE WHEN roof_shape = 'dome' THEN diameter / 2.0 END,
+                   CASE WHEN levels = 1 THEN 1.0 END,
+                   5.0) AS rh
+          FROM lv
+        ), hh AS (
+          SELECT *,
+                 CASE WHEN rh = 0 THEN 0
+                      WHEN k = 6 THEN rl ELSE 1 END AS roof_levels,
+                 GREATEST(COALESCE(th, CAST(levels AS DOUBLE) * d_hpl + rh),
+                          0.01) AS height
+          FROM rf
+        ), fin AS (
+          SELECT *,
+                 CASE WHEN levels + roof_levels < mlwu0 + 1
+                      THEN levels + roof_levels - 1
+                      ELSE mlwu0 END AS mlwu,
+                 FLOOR((height - rh) * 10000.0 + 0.5) / 10000.0 AS hwr
+          FROM hh
+        ), mh AS (
+          SELECT *,
+                 COALESCE(tmh,
+                          CASE WHEN b_min > 0
+                               THEN (hwr / CAST(levels AS DOUBLE))
+                                    * CAST(b_min AS DOUBLE) END,
+                          CASE WHEN NOT d_walls THEN hwr - 0.3 END,
+                          0.0) AS minh0
+          FROM fin
+        )
+        SELECT doc_id,
+               bt AS btype,
+               roof_shape,
+               levels AS building_levels,
+               roof_levels,
+               mlwu AS min_level_wu,
+               CAST(FLOOR(height * 1000000.0 + 0.5) AS BIGINT) AS height_u,
+               CAST(FLOOR(rh * 1000000.0 + 0.5) AS BIGINT) AS roof_height_u,
+               CAST(FLOOR(hwr * 1000000.0 + 0.5) AS BIGINT) AS hwr_u,
+               CAST(FLOOR((CASE WHEN minh0 > hwr THEN hwr - 0.1
+                                ELSE minh0 END) * 1000000.0 + 0.5)
+                    AS BIGINT) AS min_height_u
+        FROM mh
+    """
+
+    # road_widths: independent arithmetic re-derivation of the
+    # RoadModule chain from the generator parameters.  The float32 lane
+    # accumulation (RoadModule.java:1236-1253) is replayed with
+    # list_reduce over the SAME leftmost-to-rightmost lane order,
+    # narrowing to REAL after every add.  D/K literals are the
+    # reference's 0.1f/0.15f promoted to double.
+    _rw_hws_sql = ", ".join(f"'{h}'" for h in _RW_HIGHWAYS)
+    _D = "0.10000000149011612"
+    _K = "0.15000000596046448"
+    sql["road_widths"] = f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_extract([{_rw_hws_sql}], CAST(doc_id % 16 AS INT) + 1) AS hw,
+                 CAST(doc_id % 12 AS INT) AS k,
+                 CAST(doc_id % 3 AS INT) AS a3,
+                 CAST(doc_id % 5 AS INT) AS a5,
+                 CAST(doc_id % 9 AS INT) AS a9,
+                 CAST(doc_id % 2 AS INT) AS a2,
+                 CAST(doc_id % 4 AS INT) AS a4
+          FROM documents
+        ), f AS (
+          SELECT *,
+                 (k = 5) OR hw IN ('motorway', 'motorway_link') AS oneway,
+                 (hw = 'steps') AS steps,
+                 (k = 7 AND a3 <> 1) AS unmarked,
+                 (k IN (1, 5, 6, 8, 10)) AS has_lane_info,
+                 CASE WHEN k = 1 THEN a5 + 1 WHEN k = 5 THEN a3 + 1
+                      WHEN k = 8 THEN 4 END AS lanes_val,
+                 CASE WHEN k IN (6, 10) THEN a3 + 1 END AS lanes_r,
+                 CASE WHEN k = 10 THEN 1
+                      WHEN k = 6 AND a3 > 0 THEN a3 END AS lanes_l,
+                 CASE WHEN k = 8 THEN
+                   list_extract(['dashed_line','solid_line','no'], a3 + 1)
+                 ELSE '' END AS divider,
+                 CASE WHEN hw IN ('path','footway','cycleway','bridleway','steps')
+                          OR ends_with(hw, '_link')
+                          OR hw IN ('service','track','residential',
+                                    'living_street','pedestrian','platform')
+                      THEN 1
+                      WHEN hw = 'motorway' THEN 2
+                      WHEN (k = 5) OR hw = 'motorway' THEN 1
+                      ELSE 2 END AS dflt_lanes,
+                 (k = 4) AS cw_l, (k = 4) AS cw_r,
+                 (k = 9 AND a3 IN (0, 2)) AS bb_l,
+                 (k = 9 AND a3 IN (1, 2)) AS bb_r,
+                 ((k = 3 AND a3 IN (0, 2)) OR k = 11) AS sw_l,
+                 ((k = 3 AND a3 IN (1, 2)) OR k = 11) AS sw_r,
+                 NOT (k = 11 AND a2 = 0) AS kerb_l,
+                 TRUE AS kerb_r,  -- right kerb merges left/right keys only (:1056-1058); neither is generated
+                 CASE WHEN k = 11 THEN 2.5 END AS sw_w_l,
+                 CAST(NULL AS DOUBLE) AS sw_w_r
+          FROM g
+        ), c AS (
+          SELECT *,
+                 COALESCE(lanes_val, dflt_lanes) AS vlc_base
+          FROM f
+        ), c2 AS (
+          SELECT *,
+                 CASE WHEN lanes_r IS NOT NULL THEN lanes_r
+                      WHEN lanes_l IS NOT NULL
+                        THEN GREATEST(vlc_base, lanes_l) - lanes_l
+                      ELSE vlc_base - CAST(FLOOR(vlc_base / 2.0) AS INT)
+                 END AS vlc_r,
+                 CASE WHEN lanes_r IS NOT NULL AND lanes_l IS NOT NULL
+                        THEN lanes_l
+                      WHEN lanes_r IS NOT NULL
+                        THEN GREATEST(vlc_base, lanes_r) - lanes_r
+                      WHEN lanes_l IS NOT NULL THEN lanes_l
+                      ELSE CAST(FLOOR(vlc_base / 2.0) AS INT)
+                 END AS vlc_l
+          FROM c
+        ), d AS (
+          SELECT *,
+                 (vlc_r > 0 AND vlc_l > 0 AND
+                  (divider = 'dashed_line' OR divider = 'solid_line'
+                   OR (divider <> 'no' AND NOT unmarked))) AS center_present
+          FROM c2
+        ), l AS (
+          SELECT *,
+                 -- ordered resolved-width lists (NULL = unknown V/B width)
+                 flatten([CASE WHEN j > 0 AND NOT unmarked
+                               THEN [CAST({_D} AS DOUBLE),
+                                     CASE WHEN k = 10 THEN CAST(3 + (doc_id + j) % 4 AS DOUBLE) END]
+                               ELSE [CASE WHEN k = 10 THEN CAST(3 + (doc_id + j) % 4 AS DOUBLE) END]
+                          END for j in range(0, vlc_r)]) AS part_r,
+                 flatten([CASE WHEN j > 0 AND NOT unmarked
+                               THEN [CAST({_D} AS DOUBLE),
+                                     CASE WHEN k = 10 THEN CAST(3.5 AS DOUBLE) END]
+                               ELSE [CASE WHEN k = 10 THEN CAST(3.5 AS DOUBLE) END]
+                          END for j in range(0, vlc_l)]) AS part_l,
+                 flatten([[CAST({_D} AS DOUBLE)] for j in range(0, CASE WHEN vlc_r > 1 AND NOT unmarked THEN vlc_r - 1 ELSE 0 END)]) AS div_only_r,
+                 flatten([[CAST({_D} AS DOUBLE)] for j in range(0, CASE WHEN vlc_l > 1 AND NOT unmarked THEN vlc_l - 1 ELSE 0 END)]) AS div_only_l
+          FROM d
+        ), l2 AS (
+          SELECT *,
+                 CASE WHEN cw_l THEN [CAST({_D} AS DOUBLE), 1.5] ELSE [] END
+                 || CASE WHEN bb_l THEN [CAST({_D} AS DOUBLE), CAST(NULL AS DOUBLE)] ELSE [] END
+                 || CASE WHEN sw_l AND kerb_l THEN [CAST({_K} AS DOUBLE)] ELSE [] END
+                 || CASE WHEN sw_l THEN [COALESCE(sw_w_l, 1.0)] ELSE [] END AS spec_l,
+                 CASE WHEN cw_r THEN [CAST({_D} AS DOUBLE), 1.5] ELSE [] END
+                 || CASE WHEN bb_r THEN [CAST({_D} AS DOUBLE), CAST(NULL AS DOUBLE)] ELSE [] END
+                 || CASE WHEN sw_r AND kerb_r THEN [CAST({_K} AS DOUBLE)] ELSE [] END
+                 || CASE WHEN sw_r THEN [COALESCE(sw_w_r, 1.0)] ELSE [] END AS spec_r,
+                 CASE WHEN center_present THEN [CAST({_D} AS DOUBLE)] ELSE [] END AS ctr
+          FROM l
+        ), l3 AS (
+          SELECT *,
+                 list_reverse(part_l || spec_l) || ctr || part_r || spec_r AS ltr,
+                 list_reverse(div_only_l || spec_l) || ctr || div_only_r || spec_r AS ltr_nv
+          FROM l2
+        ), w AS (
+          SELECT *,
+                 (len(list_filter(ltr, x -> x IS NULL)) = 0) AS known_ok,
+                 CAST(list_reduce(list_prepend(CAST(0.0 AS REAL), CAST(ltr AS DOUBLE[])),
+                      (a, x) -> CAST(CAST(a AS DOUBLE) + x AS REAL)) AS DOUBLE) AS sum_known,
+                 CAST(list_reduce(list_prepend(CAST(0.0 AS REAL),
+                        CAST(list_transform(ltr, x -> COALESCE(x, 3.5)) AS DOUBLE[])),
+                      (a, x) -> CAST(CAST(a AS DOUBLE) + x AS REAL)) AS DOUBLE) AS sum_dflt,
+                 CAST(list_reduce(list_prepend(CAST(0.0 AS REAL),
+                        CAST(list_transform(ltr_nv, x -> COALESCE(x, 3.5)) AS DOUBLE[])),
+                      (a, x) -> CAST(CAST(a AS DOUBLE) + x AS REAL)) AS DOUBLE) AS sum_nv,
+                 CASE WHEN k = 2 THEN (3 + a9) + 0.5 END AS explicit_w,
+                 CASE WHEN hw IN ('path','footway','cycleway','bridleway','steps') THEN 1.0
+                      WHEN hw = 'track' THEN 2.5
+                      WHEN hw = 'service' THEN 3.5
+                      WHEN hw IN ('primary','secondary') THEN 7.0
+                      WHEN hw = 'motorway' THEN 8.75
+                      WHEN k = 5 THEN 3.5
+                      ELSE 4.0 END AS est
+          FROM l3
+        )
+        SELECT doc_id,
+               hw AS highway,
+               oneway,
+               unmarked AS unmarked_lanes,
+               vlc_r AS n_lanes_forward,
+               vlc_l AS n_lanes_backward,
+               vlc_r + vlc_l AS n_lanes,
+               CASE WHEN NOT center_present THEN NULL
+                    WHEN divider = 'dashed_line' THEN 'dashed_line'
+                    WHEN divider = 'solid_line' THEN 'solid_line'
+                    ELSE 'dashed_line' END AS centre_divider,
+               CAST(FLOOR(
+                 (CASE WHEN steps THEN COALESCE(explicit_w, 1.0)
+                       ELSE COALESCE(CASE WHEN known_ok THEN sum_known END,
+                                     explicit_w,
+                                     CASE WHEN has_lane_info THEN sum_dflt END,
+                                     sum_nv + est)
+                  END) * 1000000.0 + 0.5) AS BIGINT) AS width_u
+        FROM w
     """
 
     return sql
