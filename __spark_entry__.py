@@ -4371,6 +4371,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["road_widths"] = road_widths
 
+    # BarrierModule dispatch + dimension defaulting
+    # (operators/barriers.py; BarrierModule.java:64-98,142-148): 16
+    # barrier values x 6 fence types x 4 override variants.
+    def barrier_dims(spark, sf_dir):
+        from osm2world_spark.operators.barriers import barrier_dimensions
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        bval = F.element_at(
+            F.array(*[F.lit(v) for v in _BAR_VALUES]), (i % 16).cast("int") + 1
+        )
+        ft = F.when(
+            bval == "fence",
+            F.element_at(F.array(*[F.lit(v) for v in _BAR_FENCE_TYPES]),
+                         (i % 6).cast("int") + 1),
+        )
+        k = (i % 4).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        m = F.create_map(
+            F.lit("barrier"), bval,
+            F.lit("fence_type"), ft,
+            F.lit("height"),
+            F.when(k == 1, s(i % 7 + 1)).when(k == 3, F.lit("junk")),
+            F.lit("width"), F.when(k == 2, F.concat(F.lit("0."), s(i % 9 + 1))),
+            F.lit("est_height"), F.when(k == 3, s(i % 5 + 1)),
+        )
+        d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
+        out = barrier_dimensions(d)
+        return out.select(
+            "doc_id",
+            F.col("tags")["barrier"].alias("barrier"),
+            "barrier_kind",
+            micro(F.col("barrier_height")).alias("height_u"),
+            micro(F.col("barrier_width")).alias("width_u"),
+        )
+
+    q["barrier_dims"] = barrier_dims
+
+    # RailwayModule track geometry (operators/railways.py;
+    # RailwayModule.java:51-179) incl. the float32 gauge division.
+    def rail_geometry(spark, sf_dir):
+        from osm2world_spark.operators.railways import rail_geometry as _rg
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        rv = F.element_at(
+            F.array(*[F.lit(v) for v in _RAIL_VALUES]), (i % 7).cast("int") + 1
+        )
+        k = (i % 3).cast("int")
+        # element_at is 1-based and ANSI-strict on 0 — clamp the index;
+        # the i%4==0 row never reads it (the when-guard below)
+        tv = F.element_at(
+            F.array(F.lit("yes"), F.lit("no"), F.lit("building_passage")),
+            F.greatest((i % 4).cast("int"), F.lit(1)),
+        )
+        m = F.create_map(
+            F.lit("railway"), rv,
+            F.lit("gauge"),
+            F.when(k == 1, (F.lit(600) + (i % 1400)).cast("int").cast("string"))
+            .when(k == 2, F.lit("broad")),
+            F.lit("tunnel"), F.when((i % 4) >= 1, tv),
+        )
+        d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
+        out = _rg(d)
+        return out.select(
+            "doc_id",
+            F.col("tags")["railway"].alias("railway"),
+            micro(F.col("gauge_m")).alias("gauge_u"),
+            micro(F.col("rail_dist")).alias("rail_dist_u"),
+            micro(F.col("sleeper_width")).alias("sleeper_w_u"),
+            micro(F.col("ground_width")).alias("ground_w_u"),
+            # int, not boolean: a NULL boolean round-trips differently
+            # through pandas on the two engines (None vs NaN)
+            F.col("own_ground").cast("int").alias("own_ground_i"),
+            "ground_state",
+        )
+
+    q["rail_geometry"] = rail_geometry
+
     return _driver_window_order(q)
 
 
@@ -4390,6 +4471,19 @@ _RW_HIGHWAYS = [
     "motorway", "motorway_link", "trunk", "primary", "secondary", "tertiary",
     "residential", "living_street", "service", "track", "path", "footway",
     "cycleway", "pedestrian", "unclassified", "steps",
+]
+
+# barrier_dims / rail_geometry generator vocabularies
+_BAR_VALUES = [
+    "wall", "city_wall", "hedge", "fence", "fence", "fence", "fence",
+    "cable_barrier", "handrail", "guard_rail", "jersey_barrier", "fence",
+    "bollard", "chain", "ditch", "kerb",
+]
+_BAR_FENCE_TYPES = [
+    "railing", "balustrade", "chain_link", "metal", "trellis_work", "wood",
+]
+_RAIL_VALUES = [
+    "rail", "light_rail", "tram", "subway", "disused", "platform", "abandoned",
 ]
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
@@ -10005,6 +10099,114 @@ def oracle_sql() -> dict[str, str]:
                                      sum_nv + est)
                   END) * 1000000.0 + 0.5) AS BIGINT) AS width_u
         FROM w
+    """
+
+    # barrier_dims: BarrierModule.java:64-98 dispatch + :142-148
+    # parse-or-default, re-derived in CASE form with the exact
+    # float-literal defaults.
+    _bar_vals_sql = ", ".join(f"'{v}'" for v in _BAR_VALUES)
+    _bar_fts_sql = ", ".join(f"'{v}'" for v in _BAR_FENCE_TYPES)
+    sql["barrier_dims"] = f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_extract([{_bar_vals_sql}], CAST(doc_id % 16 AS INT) + 1) AS bval,
+                 list_extract([{_bar_fts_sql}], CAST(doc_id % 6 AS INT) + 1) AS ft0,
+                 CAST(doc_id % 4 AS INT) AS k
+          FROM documents
+        ), t AS (
+          SELECT *,
+                 CASE WHEN bval = 'fence' THEN ft0 END AS ft
+          FROM g
+        ), d AS (
+          SELECT *,
+                 CASE WHEN bval = 'wall' THEN 'wall'
+                      WHEN bval = 'city_wall' THEN 'city_wall'
+                      WHEN bval = 'hedge' THEN 'hedge'
+                      WHEN bval = 'fence' AND ft = 'railing' THEN 'railing'
+                      WHEN bval = 'fence' AND ft = 'balustrade' THEN 'balustrade'
+                      WHEN bval = 'fence' AND ft IN ('chain_link','metal')
+                        THEN 'chain_link_fence'
+                      WHEN bval = 'cable_barrier' THEN 'cable_barrier'
+                      WHEN bval = 'handrail' THEN 'handrail'
+                      WHEN bval = 'guard_rail' THEN 'guardrail'
+                      WHEN bval = 'jersey_barrier' THEN 'jersey_barrier'
+                      WHEN bval = 'fence' AND ft = 'trellis_work'
+                        THEN 'trellis_work_fence'
+                      WHEN bval = 'fence' THEN 'pole_fence'
+                      WHEN bval = 'bollard' THEN 'bollard_row'
+                      WHEN bval = 'chain' THEN 'chain_row'
+                 END AS kind
+          FROM t
+        ), w AS (
+          SELECT *,
+                 CASE kind WHEN 'city_wall' THEN 10.0
+                           WHEN 'guardrail' THEN 0.75
+                           WHEN 'jersey_barrier' THEN 1.1449999809265137
+                           WHEN 'trellis_work_fence' THEN 0.699999988079071
+                           ELSE 1.0 END AS dh,
+                 CASE kind WHEN 'wall' THEN 0.25
+                           WHEN 'city_wall' THEN 2.0
+                           WHEN 'hedge' THEN 0.5
+                           WHEN 'railing' THEN 0.10000000149011612
+                           WHEN 'balustrade' THEN 0.25
+                           WHEN 'guardrail' THEN 0.00009999999747378752
+                           WHEN 'jersey_barrier' THEN 0.8199999928474426
+                           WHEN 'trellis_work_fence' THEN 0.10000000149011612
+                           WHEN 'bollard_row' THEN 0.3
+                           ELSE 0.019999999552965164 END AS dw,
+                 CASE WHEN k = 1 THEN CAST(doc_id % 7 + 1 AS DOUBLE)
+                      WHEN k = 3 THEN CAST(doc_id % 5 + 1 AS DOUBLE) END AS ph,
+                 CASE WHEN k = 2
+                      THEN CAST(doc_id % 9 + 1 AS DOUBLE) * POWER(10.0, -1)
+                 END AS pw
+          FROM d
+        )
+        SELECT doc_id, bval AS barrier, kind AS barrier_kind,
+               CASE WHEN kind IS NOT NULL
+                    THEN CAST(FLOOR(COALESCE(ph, dh) * 1000000.0 + 0.5) AS BIGINT)
+               END AS height_u,
+               CASE WHEN kind IS NOT NULL
+                    THEN CAST(FLOOR(COALESCE(pw, dw) * 1000000.0 + 0.5) AS BIGINT)
+               END AS width_u
+        FROM w
+    """
+
+    # rail_geometry: RailwayModule.java:51-179 re-derived — the gauge
+    # division replayed in REAL (float32), the derived widths with the
+    # reference's widened float constants, left-to-right order.
+    _rail_vals_sql = ", ".join(f"'{v}'" for v in _RAIL_VALUES)
+    sql["rail_geometry"] = f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_extract([{_rail_vals_sql}], CAST(doc_id % 7 AS INT) + 1) AS rv,
+                 CAST(doc_id % 3 AS INT) AS k,
+                 CAST(doc_id % 4 AS INT) AS t4
+          FROM documents
+        ), t AS (
+          SELECT *,
+                 (rv IN ('rail','light_rail','tram','subway','disused')) AS ok,
+                 CASE WHEN k = 1 THEN CAST(600 + doc_id % 1400 AS INT)
+                      ELSE 1435 END AS gauge_mm,
+                 CASE WHEN t4 = 1 THEN 'yes' WHEN t4 = 2 THEN 'no'
+                      WHEN t4 = 3 THEN 'building_passage' ELSE '' END AS tunnel
+          FROM g
+        ), d AS (
+          SELECT *,
+                 CAST(CAST(gauge_mm AS REAL) / CAST(1000.0 AS REAL) AS DOUBLE)
+                   AS gauge_m
+          FROM t
+        )
+        SELECT doc_id, rv AS railway,
+               CASE WHEN ok THEN CAST(FLOOR(gauge_m * 1000000.0 + 0.5) AS BIGINT) END AS gauge_u,
+               CASE WHEN ok THEN CAST(FLOOR((gauge_m + 0.06700000166893005) * 1000000.0 + 0.5) AS BIGINT) END AS rail_dist_u,
+               CASE WHEN ok THEN CAST(FLOOR(((gauge_m + 0.1340000033378601) + 1.0) * 1000000.0 + 0.5) AS BIGINT) END AS sleeper_w_u,
+               CASE WHEN ok THEN CAST(FLOOR((((gauge_m + 0.1340000033378601) + 1.0) + 0.40000000596046448) * 1000000.0 + 0.5) AS BIGINT) END AS ground_w_u,
+               CASE WHEN ok THEN CAST(rv <> 'tram' AS INT) END AS own_ground_i,
+               CASE WHEN ok THEN
+                 CASE WHEN (rv = 'subway' AND tunnel <> 'no') OR tunnel = 'yes'
+                      THEN 'BELOW' ELSE 'ON' END
+               END AS ground_state
+        FROM d
     """
 
     return sql
