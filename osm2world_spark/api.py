@@ -296,6 +296,37 @@ class Engine:
 
         return render_png_tiles(pixels, width, height)
 
+    # ------------------------------------------- world-module attributes
+
+    def building_attributes(self, elements: DataFrame,
+                            tags_col: str = "tags", **kw) -> DataFrame:
+        """Simple-3D-Buildings levels/heights (operators/buildings.py;
+        LevelAndHeightData.java:108-222)."""
+        from .operators.buildings import level_and_height
+
+        return level_and_height(elements, tags_col, **kw)
+
+    def road_attributes(self, elements: DataFrame,
+                        tags_col: str = "tags") -> DataFrame:
+        """RoadModule lane layout + width (operators/roads.py)."""
+        from .operators.roads import road_lanes_and_width
+
+        return road_lanes_and_width(elements, tags_col)
+
+    def barrier_attributes(self, elements: DataFrame,
+                           tags_col: str = "tags") -> DataFrame:
+        """BarrierModule kind + dimensions (operators/barriers.py)."""
+        from .operators.barriers import barrier_dimensions
+
+        return barrier_dimensions(elements, tags_col)
+
+    def railway_attributes(self, elements: DataFrame,
+                           tags_col: str = "tags") -> DataFrame:
+        """RailwayModule track geometry (operators/railways.py)."""
+        from .operators.railways import rail_geometry
+
+        return rail_geometry(elements, tags_col)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",

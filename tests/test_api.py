@@ -298,3 +298,26 @@ def test_engine_training_and_incremental_facade(spark):
         docs.where(F.col("doc_id") == "d3"), idx, bands=4, min_matches=4, k=8
     )
     assert hits.count() == 0  # d3 is an insert
+
+
+def test_engine_worldmodule_attribute_facade(spark):
+    from osm2world_spark.api import Engine
+
+    e = Engine(spark)
+    rows = spark.createDataFrame(
+        [
+            ("b", {"building": "house", "height": "12"}),
+            ("r", {"highway": "primary", "lanes": "2"}),
+            ("f", {"barrier": "fence", "fence_type": "railing"}),
+            ("t", {"railway": "rail", "gauge": "1000"}),
+        ],
+        "rid string, tags map<string,string>",
+    )
+    b = {r["rid"]: r for r in e.building_attributes(rows).collect()}
+    assert b["b"]["height"] == 12.0 and b["b"]["btype"] == "house"
+    r = {r["rid"]: r for r in e.road_attributes(rows).collect()}
+    assert r["r"]["n_lanes"] == 2
+    f = {r["rid"]: r for r in e.barrier_attributes(rows).collect()}
+    assert f["f"]["barrier_kind"] == "railing"
+    t = {r["rid"]: r for r in e.railway_attributes(rows).collect()}
+    assert t["t"]["gauge_m"] == 1.0
