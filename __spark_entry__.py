@@ -4452,6 +4452,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rail_geometry"] = rail_geometry
 
+    # PowerModule cable-run derivation (operators/power.py;
+    # PowerModule.java:66-99,399-490): synthetic chained power lines
+    # (4-segment groups sharing tower nodes) through the tower-config
+    # aggregate + the normal/high-voltage run tables.  Two node-keyed
+    # exchanges; the tower table is broadcast-sized at any scale.
+    def power_cables(spark, sf_dir):
+        from osm2world_spark.operators.power import power_cable_runs
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        g, j = F.floor(i / 4), (i % 4).cast("int")
+        c6, v5 = (i % 6).cast("int"), (i % 5).cast("int")
+        cables = F.element_at(
+            F.array(F.lit("2"), F.lit("3"), F.lit("5"), F.lit("8"), F.lit("12"),
+                    F.lit(None).cast("string")),
+            c6 + 1,
+        )
+        voltage = F.element_at(
+            F.array(F.lit(None).cast("string"), F.lit("15000"), F.lit("60000"),
+                    F.lit("220000"), F.lit("high")),
+            v5 + 1,
+        )
+        m = F.create_map(
+            F.lit("power"),
+            F.when(j == 3, F.lit("minor_line")).otherwise(F.lit("line")),
+            F.lit("cables"), cables,
+            F.lit("voltage"), voltage,
+        )
+        segs = d.select(
+            i.alias("seg_id"),
+            (g * 10 + j).cast("long").alias("start_node"),
+            (g * 10 + j + 1).cast("long").alias("end_node"),
+            F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"),
+        )
+        nid = F.col("node_id")
+        nodes = (
+            segs.select(F.explode(F.array("start_node", "end_node")).alias("node_id"))
+            .distinct()
+            .select(
+                "node_id",
+                F.map_filter(
+                    F.create_map(
+                        F.lit("height"),
+                        F.when(nid % 7 == 0, (F.lit(8) + nid % 25).cast("string")),
+                    ),
+                    lambda _k, v: v.isNotNull(),
+                ).alias("tags"),
+            )
+        )
+        out = power_cable_runs(segs, nodes)
+        return out.select(
+            "seg_id",
+            "is_high_i",
+            "n_runs",
+            "run_idx",
+            micro(F.col("right")).alias("right_u"),
+            micro(F.col("y_start")).alias("y_start_u"),
+            micro(F.col("y_end")).alias("y_end_u"),
+        )
+
+    q["power_cables"] = power_cables
+
     return _driver_window_order(q)
 
 
@@ -10207,6 +10270,124 @@ def oracle_sql() -> dict[str, str]:
                       THEN 'BELOW' ELSE 'ON' END
                END AS ground_state
         FROM d
+    """
+
+    # power_cables: PowerModule.java:66-99,399-490 re-derived with a
+    # REAL relational tower aggregate (endpoint explode + MAX group +
+    # join back — same shape as the Spark plan) and the run tables as
+    # ordered struct lists indexed by a bounded range cross join.
+    sql["power_cables"] = """
+        WITH s AS (
+          SELECT doc_id AS seg_id,
+                 CAST(doc_id // 4 AS BIGINT) * 10 + doc_id % 4 AS sn,
+                 CAST(doc_id // 4 AS BIGINT) * 10 + doc_id % 4 + 1 AS en,
+                 (doc_id % 4 <> 3) AS is_line,
+                 list_extract([2, 3, 5, 8, 12, NULL],
+                              CAST(doc_id % 6 AS INT) + 1) AS cables,
+                 list_extract([NULL, 15000, 60000, 220000, NULL],
+                              CAST(doc_id % 5 AS INT) + 1) AS voltage
+          FROM documents
+        ), eps AS (
+          SELECT sn AS node_id, cables, voltage FROM s WHERE is_line
+          UNION ALL
+          SELECT en, cables, voltage FROM s WHERE is_line
+        ), towers AS (
+          SELECT node_id,
+                 COALESCE(MAX(cables), -1) AS cables_n,
+                 COALESCE(MAX(voltage), -1) AS voltage_n
+          FROM eps GROUP BY node_id
+        ), th AS (
+          SELECT node_id,
+                 (voltage_n >= 50000 OR cables_n >= 6) AS is_high,
+                 CASE WHEN node_id % 7 = 0
+                      THEN CAST(8 + node_id % 25 AS DOUBLE) END AS h
+          FROM towers
+        ), j AS (
+          SELECT s.*, COALESCE(ts.is_high, FALSE) OR COALESCE(te.is_high, FALSE) AS high,
+                 ts.h AS hs_tag, te.h AS he_tag,
+                 COALESCE(s.voltage, -1) AS volt
+          FROM s
+          LEFT JOIN th ts ON s.sn = ts.node_id
+          LEFT JOIN th te ON s.en = te.node_id
+          WHERE s.is_line AND s.cables IS NOT NULL AND s.cables > 0
+        ), runs AS (
+          SELECT *,
+            CASE WHEN NOT high THEN
+              -- normal towers (:426-445)
+              [{'r': 2.0,  'ys': (COALESCE(hs_tag, 14.0) + 0.25 - 0.5) + 0.5,
+                           'ye': (COALESCE(he_tag, 14.0) + 0.25 - 0.5) + 0.5},
+               {'r': -2.0, 'ys': (COALESCE(hs_tag, 14.0) + 0.25 - 0.5) + 0.5,
+                           'ye': (COALESCE(he_tag, 14.0) + 0.25 - 0.5) + 0.5}]
+              || CASE WHEN cables >= 3 THEN
+                   [{'r': 0.0, 'ys': (COALESCE(hs_tag, 14.0) + 0.25 - 0.5) + 0.5,
+                               'ye': (COALESCE(he_tag, 14.0) + 0.25 - 0.5) + 0.5}]
+                 ELSE [] END
+              || CASE WHEN cables >= 5 THEN
+                   [{'r': 1.5,  'ys': (COALESCE(hs_tag, 14.0) + 0.25 - 0.5) - 0.5,
+                                'ye': (COALESCE(he_tag, 14.0) + 0.25 - 0.5) - 0.5},
+                    {'r': -1.5, 'ys': (COALESCE(hs_tag, 14.0) + 0.25 - 0.5) - 0.5,
+                                'ye': (COALESCE(he_tag, 14.0) + 0.25 - 0.5) - 0.5}]
+                 ELSE [] END
+            ELSE
+              -- high-voltage towers (:448-489); hq = 2.5*((int(h/2.5))//5)
+              [{'r': 0.0,
+                'ys': -0.5 + 5.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT)),
+                'ye': -0.5 + 5.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT))}]
+              || [{'r': 0.9 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                   'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                   'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2},
+                  {'r': -0.9 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                   'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                   'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2}]
+              || CASE WHEN cables > 3 AND cables <= 9 THEN
+                   [{'r': 0.45 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                     'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2},
+                    {'r': -0.45 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                     'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2}]
+                 WHEN cables > 9 THEN
+                   [{'r': 0.6 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                     'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2},
+                    {'r': -0.6 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                     'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2},
+                    {'r': 0.3 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                     'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2},
+                    {'r': -0.3 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2,
+                     'ye': -0.7 + COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2}]
+                 ELSE [] END
+              || CASE WHEN cables >= 7 THEN
+                   [{'r': 0.54 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT)),
+                     'ye': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT))},
+                    {'r': -0.54 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                     'ys': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT)),
+                     'ye': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT))}]
+                   || CASE WHEN cables >= 9 THEN
+                        [{'r': 0.27 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                          'ys': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT)),
+                          'ye': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT))},
+                         {'r': -0.27 * (CASE WHEN volt > 150000 THEN 16.0 ELSE 13.0 END),
+                          'ys': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(hs_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT)),
+                          'ye': -0.7 + 4.0 * (2.5 * CAST(CAST(TRUNC(COALESCE(he_tag, CASE WHEN volt > 150000 THEN 40.0 ELSE 30.0 END) / 2.5) AS INT) // 5 AS INT))}]
+                      ELSE [] END
+                 ELSE [] END
+            END AS l
+          FROM j
+        )
+        SELECT seg_id,
+               CAST(high AS INT) AS is_high_i,
+               CAST(len(l) AS INT) AS n_runs,
+               CAST(idx.i AS INT) AS run_idx,
+               CAST(FLOOR(l[idx.i + 1].r * 1000000.0 + 0.5) AS BIGINT) AS right_u,
+               CAST(FLOOR(l[idx.i + 1].ys * 1000000.0 + 0.5) AS BIGINT) AS y_start_u,
+               CAST(FLOOR(l[idx.i + 1].ye * 1000000.0 + 0.5) AS BIGINT) AS y_end_u
+        FROM runs, (SELECT unnest(range(12)) AS i) idx
+        WHERE idx.i < len(l)
     """
 
     return sql

@@ -327,6 +327,15 @@ class Engine:
 
         return rail_geometry(elements, tags_col)
 
+    def power_cables(self, segments: DataFrame, nodes: DataFrame,
+                     **kw) -> DataFrame:
+        """PowerModule cable runs per power line: tower-config
+        aggregate over connected lines + normal/high-voltage run
+        tables (operators/power.py)."""
+        from .operators.power import power_cable_runs
+
+        return power_cable_runs(segments, nodes, **kw)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",
