@@ -4515,6 +4515,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["power_cables"] = power_cables
 
+    # TreeModule dimension chain (operators/trees.py;
+    # TreeModule.java:130-185) incl. the millimetre special default
+    # unit on the diameter tag.  Zero exchanges.
+    def tree_dims(spark, sf_dir):
+        from osm2world_spark.operators.trees import tree_dimensions
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        k = (i % 8).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        m = F.create_map(
+            F.lit("height"),
+            F.when(k == 1, s(i % 30 + 3)).when(k == 2, F.lit("junk")).when(
+                k == 7, s(i % 30 + 3)
+            ),
+            F.lit("est_height"), F.when(k == 2, s(i % 12 + 4)),
+            F.lit("diameter_crown"),
+            F.when(k == 3, s(i % 9 + 2)).when(k == 7, s(i % 9 + 2)),
+            F.lit("diameter"),
+            F.when(k == 4, s(i % 500 + 100)).when(
+                k == 5, F.concat(F.lit("0."), s(i % 9 + 1), F.lit(" m"))
+            ),
+            F.lit("circumference"), F.when(k == 6, s(i % 4 + 1)),
+        )
+        d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
+        out = tree_dimensions(d)
+        return out.select(
+            "doc_id",
+            micro(F.col("tree_height")).alias("height_u"),
+            micro(F.col("crown_diameter")).alias("crown_u"),
+            micro(F.col("trunk_diameter")).alias("trunk_u"),
+        )
+
+    q["tree_dims"] = tree_dims
+
+    # WaterModule waterway width table (operators/waterways.py;
+    # WaterModule.java:44-125).  Zero exchanges.
+    def waterway_widths(spark, sf_dir):
+        from osm2world_spark.operators.waterways import waterway_width
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        wv = F.element_at(
+            F.array(F.lit("river"), F.lit("stream"), F.lit("canal"),
+                    F.lit("ditch"), F.lit("drain"), F.lit("weir"), F.lit("dam")),
+            (i % 7).cast("int") + 1,
+        )
+        k = (i % 3).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        m = F.create_map(
+            F.lit("waterway"), wv,
+            F.lit("width"),
+            F.when(k == 1, s(i % 9 + 1)).when(k == 2, F.lit("junk")),
+            F.lit("est_width"), F.when(k == 2, s(i % 6 + 1)),
+        )
+        d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
+        out = waterway_width(d)
+        return out.select(
+            "doc_id",
+            F.col("tags")["waterway"].alias("waterway"),
+            "waterway_kind",
+            micro(F.col("waterway_width")).alias("width_u"),
+        )
+
+    q["waterway_widths"] = waterway_widths
+
     return _driver_window_order(q)
 
 
@@ -10388,6 +10456,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(l[idx.i + 1].ye * 1000000.0 + 0.5) AS BIGINT) AS y_end_u
         FROM runs, (SELECT unnest(range(12)) AS i) idx
         WHERE idx.i < len(l)
+    """
+
+    # tree_dims: TreeModule.java:130-185 re-derived arithmetically —
+    # diameter's millimetre default unit, circumference/pi, the height
+    # fallback chain (crown*2, trunk*30*2, default 10), crown = h/2.
+    sql["tree_dims"] = """
+        WITH g AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS k FROM documents
+        ), t AS (
+          SELECT *,
+                 CASE WHEN k = 4 THEN CAST(doc_id % 500 + 100 AS DOUBLE) * 1.0e-3
+                      WHEN k = 5 THEN CAST(doc_id % 9 + 1 AS DOUBLE) * POWER(10.0, -1)
+                      WHEN k = 6 THEN CAST(doc_id % 4 + 1 AS DOUBLE) / PI()
+                 END AS trunk,
+                 CASE WHEN k IN (3, 7) THEN CAST(doc_id % 9 + 2 AS DOUBLE) END AS crown0,
+                 CASE WHEN k IN (1, 7) THEN CAST(doc_id % 30 + 3 AS DOUBLE)
+                      WHEN k = 2 THEN CAST(doc_id % 12 + 4 AS DOUBLE) END AS th
+          FROM g
+        ), h AS (
+          SELECT *,
+                 COALESCE(th, crown0 * 2.0, (trunk * 30.0) * 2.0, 10.0) AS height
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(FLOOR(height * 1000000.0 + 0.5) AS BIGINT) AS height_u,
+               CAST(FLOOR(COALESCE(crown0, height / 2.0) * 1000000.0 + 0.5) AS BIGINT) AS crown_u,
+               CAST(FLOOR(trunk * 1000000.0 + 0.5) AS BIGINT) AS trunk_u
+        FROM h
+    """
+
+    # waterway_widths: WaterModule.java:44-125 re-derived — the type
+    # default table and the width/est_width override chain.
+    sql["waterway_widths"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 list_extract(['river','stream','canal','ditch','drain',
+                               'weir','dam'], CAST(doc_id % 7 AS INT) + 1) AS wv,
+                 CAST(doc_id % 3 AS INT) AS k
+          FROM documents
+        ), t AS (
+          SELECT *,
+                 CASE wv WHEN 'river' THEN 3.0 WHEN 'stream' THEN 0.5
+                         WHEN 'canal' THEN 2.0 WHEN 'ditch' THEN 1.0
+                         WHEN 'drain' THEN 1.0 END AS dflt,
+                 CASE WHEN k = 1 THEN CAST(doc_id % 9 + 1 AS DOUBLE)
+                      WHEN k = 2 THEN CAST(doc_id % 6 + 1 AS DOUBLE) END AS pw
+          FROM g
+        )
+        SELECT doc_id, wv AS waterway,
+               CASE WHEN dflt IS NOT NULL THEN wv END AS waterway_kind,
+               CASE WHEN dflt IS NOT NULL
+                    THEN CAST(FLOOR(COALESCE(pw, dflt) * 1000000.0 + 0.5) AS BIGINT)
+               END AS width_u
+        FROM t
     """
 
     return sql

@@ -336,6 +336,21 @@ class Engine:
 
         return power_cable_runs(segments, nodes, **kw)
 
+    def tree_attributes(self, elements: DataFrame, tags_col: str = "tags",
+                        default_height: float = 10.0) -> DataFrame:
+        """TreeModule dimensions (operators/trees.py); pass
+        default_height=20.0 for forest elements."""
+        from .operators.trees import tree_dimensions
+
+        return tree_dimensions(elements, tags_col, default_height)
+
+    def waterway_attributes(self, elements: DataFrame,
+                            tags_col: str = "tags") -> DataFrame:
+        """WaterModule waterway widths (operators/waterways.py)."""
+        from .operators.waterways import waterway_width
+
+        return waterway_width(elements, tags_col)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",
