@@ -4455,8 +4455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PowerModule cable-run derivation (operators/power.py;
     # PowerModule.java:66-99,399-490): synthetic chained power lines
     # (4-segment groups sharing tower nodes) through the tower-config
-    # aggregate + the normal/high-voltage run tables.  Two node-keyed
-    # exchanges; the tower table is broadcast-sized at any scale.
+    # aggregate + the normal/high-voltage run tables.  Node-keyed
+    # exchanges only; the node-attribute side is bounded by the nodes
+    # power lines actually touch (sparse at planet scale).
     def power_cables(spark, sf_dir):
         from osm2world_spark.operators.power import power_cable_runs
         from osm2world_spark.operators.text import micro

@@ -103,6 +103,15 @@ def power_cable_runs(
             V.parse_measure(F.col(node_tags_col)["est_height"]),
         ).alias("_nh"),
     )
+    # one node-attribute table instead of separate tower/height joins:
+    # each endpoint then costs ONE node-keyed join, not two (towers is
+    # restricted to power-line endpoints, so the outer join stays the
+    # size of the node set actually touched)
+    node_attrs = towers.join(node_h, "node_id", "full_outer").select(
+        "node_id",
+        F.coalesce(F.col("is_high"), F.lit(False)).alias("_nhigh"),
+        "_nh",
+    )
 
     lines = segments.where(
         (tags["power"] == "line") & (_java_int(tags["cables"]) > 0)
@@ -112,31 +121,22 @@ def power_cable_runs(
         F.coalesce(_java_int(tags["voltage"]), F.lit(-1)).alias("_voltage"),
     )
 
-    j = (
-        lines.join(
-            towers.select(
-                F.col("node_id").alias("_sn"), F.col("is_high").alias("_sh")
-            ),
-            F.col(start_col) == F.col("_sn"),
-            "left",
-        )
-        .join(
-            towers.select(
-                F.col("node_id").alias("_en"), F.col("is_high").alias("_eh")
-            ),
-            F.col(end_col) == F.col("_en"),
-            "left",
-        )
-        .join(
-            node_h.select(F.col("node_id").alias("_shn"), F.col("_nh").alias("_hs_tag")),
-            F.col(start_col) == F.col("_shn"),
-            "left",
-        )
-        .join(
-            node_h.select(F.col("node_id").alias("_ehn"), F.col("_nh").alias("_he_tag")),
-            F.col(end_col) == F.col("_ehn"),
-            "left",
-        )
+    j = lines.join(
+        node_attrs.select(
+            F.col("node_id").alias("_sn"),
+            F.col("_nhigh").alias("_sh"),
+            F.col("_nh").alias("_hs_tag"),
+        ),
+        F.col(start_col) == F.col("_sn"),
+        "left",
+    ).join(
+        node_attrs.select(
+            F.col("node_id").alias("_en"),
+            F.col("_nhigh").alias("_eh"),
+            F.col("_nh").alias("_he_tag"),
+        ),
+        F.col(end_col) == F.col("_en"),
+        "left",
     )
 
     C = F.col
