@@ -10033,7 +10033,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT *,
                  COALESCE(
                    COALESCE(
-                     CASE WHEN roof_shape IN ('flat', 'chimney') THEN 0.0
+                     -- FlatRoof is the createRoofForShape DEFAULT
+                     -- (Roof.java:134): only shapes with their own
+                     -- class are non-flat
+                     CASE WHEN roof_shape NOT IN
+                            ('pyramidal','onion','skillion','saltbox',
+                             'gabled','hipped','side_hipped','half-hipped',
+                             'side_half-hipped','gambrel','mansard',
+                             'sawtooth','dome','round','cone','complex')
+                          THEN 0.0
                           ELSE trh END,
                      CASE WHEN levels = 0 AND COALESCE(th, 0.0) > 0
                           THEN th END),

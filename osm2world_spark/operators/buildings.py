@@ -19,8 +19,10 @@ derivation, branch for branch:
 - Roof.calculatePreliminaryHeight and its per-shape overrides
   (Roof.java:79-84, FlatRoof.java:33-35, ChimneyRoof.java:45-47,
   RoofWithRidge.java:222-236, SkillionRoof.java:92-101,
-  SawtoothRoof.java:115-117): flat and chimney pin 0.0, ridge shapes
-  fall back to tan(roof:angle)·maxDistanceToRidge, skillion to
+  SawtoothRoof.java:115-117): FlatRoof is createRoofForShape's DEFAULT
+  branch (Roof.java:134), so every shape value WITHOUT its own class —
+  unknown/garbage values included — pins 0.0, as does chimney; ridge
+  shapes fall back to tan(roof:angle)·maxDistanceToRidge, skillion to
   tan(roof:angle)·roofLength — the two geometry-dependent angle paths
   are honoured when the caller supplies the distance column
   (`ridge_distance_col`), else those rows continue down the default
@@ -73,8 +75,15 @@ DEFAULTS_BY_TYPE: dict[str, tuple[int, float, str, bool, bool]] = {
     "industrial": (3, 2.5, "flat", False, True),
 }
 
-# roof shapes whose calculatePreliminaryHeight is pinned 0.0
-_ZERO_HEIGHT_SHAPES = ("flat", "chimney")
+# roof shapes with their own Roof class (Roof.createRoofForShape,
+# Roof.java:116-135); anything else — including "flat" itself — takes
+# the DEFAULT branch and becomes a FlatRoof (:134), so an unknown
+# roof:shape value is FLAT (height 0), not a ridge roof
+NON_FLAT_SHAPES = (
+    "pyramidal", "onion", "skillion", "saltbox", "gabled", "hipped",
+    "side_hipped", "half-hipped", "side_half-hipped", "gambrel", "mansard",
+    "sawtooth", "dome", "round", "cone", "complex",
+)
 # RoofWithRidge subclasses — the tan(angle)·maxDistanceToRidge family
 # (Roof.java:116-133 dispatch: gabled/hipped/side_hipped/half-hipped/
 # side_half-hipped/gambrel/mansard/saltbox/round share the base,
@@ -148,7 +157,7 @@ def preliminary_roof_height(
     skillion); pass NULL/omit for tag-only evaluation."""
     tagged = V.parse_measure(tags["roof:height"])
     angle_deg = V.parse_angle(tags["roof:angle"])
-    out = F.when(roof_shape.isin(*_ZERO_HEIGHT_SHAPES), F.lit(0.0)).otherwise(tagged)
+    out = F.when(~roof_shape.isin(*NON_FLAT_SHAPES), F.lit(0.0)).otherwise(tagged)
     if ridge_distance is not None:
         # RoofWithRidge.java:229-234: any parsed angle; SkillionRoof
         # .java:95-99: angle gated to [0, 90)
@@ -157,7 +166,7 @@ def preliminary_roof_height(
             (angle_deg >= 0) & (angle_deg < 90), ridge_fallback
         )
         out = F.when(
-            roof_shape.isin(*_ZERO_HEIGHT_SHAPES), F.lit(0.0)
+            ~roof_shape.isin(*NON_FLAT_SHAPES), F.lit(0.0)
         ).otherwise(
             F.coalesce(
                 tagged,
@@ -287,7 +296,7 @@ def level_and_height(
         # the parse subtrees aren't duplicated
         ridge_fb = F.tan(F.radians(C("_angle"))) * ridge_dist
         prelim = F.when(
-            C("roof_shape").isin(*_ZERO_HEIGHT_SHAPES), F.lit(0.0)
+            ~C("roof_shape").isin(*NON_FLAT_SHAPES), F.lit(0.0)
         ).otherwise(
             F.coalesce(
                 C("_trh"),
@@ -301,7 +310,7 @@ def level_and_height(
         )
     else:
         prelim = F.when(
-            C("roof_shape").isin(*_ZERO_HEIGHT_SHAPES), F.lit(0.0)
+            ~C("roof_shape").isin(*NON_FLAT_SHAPES), F.lit(0.0)
         ).otherwise(C("_trh"))
     dome_h = (
         (F.col(diameter_col) / F.lit(2.0)).cast("double")

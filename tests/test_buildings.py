@@ -118,7 +118,11 @@ def oracle(tags, diameter=None):
     if d is None:
         return None
     btype, d_levels, d_hpl, d_shape, d_walls = d
-    roof_shape = tags.get("roof:shape") or tags.get("building:roof:shape") or d_shape
+    roof_shape = tags.get("roof:shape")
+    if roof_shape is None:
+        roof_shape = tags.get("building:roof:shape")
+    if roof_shape is None:
+        roof_shape = d_shape
 
     b_min = _parse_int(tags.get("building:min_level")) or 0
     ug = _parse_uint(tags.get("building:levels:underground")) or 0
@@ -142,7 +146,15 @@ def oracle(tags, diameter=None):
     roof_levels = _parse_uint(tags.get("roof:levels"))
     roof_levels = 1 if roof_levels is None else roof_levels
 
-    if roof_shape in ("flat", "chimney"):
+    # Roof.createRoofForShape's default branch is FlatRoof (Roof.java:
+    # 134): any shape without its own class — unknown values included —
+    # is flat; chimney's own class also pins 0.0
+    non_flat = (
+        "pyramidal", "onion", "skillion", "saltbox", "gabled", "hipped",
+        "side_hipped", "half-hipped", "side_half-hipped", "gambrel",
+        "mansard", "sawtooth", "dome", "round", "cone", "complex",
+    )
+    if roof_shape not in non_flat:
         rh = 0.0
     else:
         rh = trh

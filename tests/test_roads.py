@@ -26,9 +26,10 @@ def _osm_decimal_pos(v):
     if v is None:
         return None
     out = None
-    try:
-        out = float(int(v))
-    except ValueError:
+    if re.fullmatch(r"[+-]?\d+", v):  # Integer.parseInt — no trimming
+        i = int(v)
+        out = float(i) if -(2**31) <= i < 2**31 else None
+    else:
         m = re.fullmatch(r"(-?\d+)\.(\d+)", v)
         if m:
             out = abs(int(m.group(1))) + int(m.group(2)) * 10.0 ** -len(m.group(2))
@@ -37,6 +38,9 @@ def _osm_decimal_pos(v):
     if out is not None and out <= 0:
         return None
     return out
+
+
+_M_PER_INCH = 0.02539999969303608
 
 
 def _parse_measure(v):
@@ -48,6 +52,13 @@ def _parse_measure(v):
     m = re.fullmatch(r"([\d\.]+)\s*m", v)
     if m:
         return _osm_decimal_pos(m.group(1))
+    m = re.fullmatch(r"([\d\.]+)\s*km", v)
+    if m:
+        g = _osm_decimal_pos(m.group(1))
+        return 1000.0 * g if g is not None else None
+    m = re.fullmatch(r"(\d+)'\s*(\d+)\"", v)
+    if m and int(m.group(2)) < 12:
+        return _M_PER_INCH * (12 * int(m.group(1)) + int(m.group(2)))
     return None
 
 
