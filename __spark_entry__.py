@@ -4584,6 +4584,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["waterway_widths"] = waterway_widths
 
+    # Cross-module structural predicates (operators/structures.py;
+    # BridgeModule.java:53-56, TunnelModule.java:45-49,
+    # CliffModule.java:85, BicycleParkingModule.java:103-110).
+    def structure_flags(spark, sf_dir):
+        from osm2world_spark.operators.structures import structure_flags as _sf
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        bridge = F.element_at(
+            F.array(F.lit(None).cast("string"), F.lit("yes"), F.lit("no"),
+                    F.lit("viaduct")), (i % 4).cast("int") + 1)
+        tunnel = F.element_at(
+            F.array(F.lit(None).cast("string"), F.lit("yes"), F.lit("no"),
+                    F.lit("building_passage"), F.lit("culvert")),
+            (i % 5).cast("int") + 1)
+        m = F.create_map(
+            F.lit("bridge"), bridge,
+            F.lit("tunnel"), tunnel,
+            F.lit("natural"),
+            F.when(i % 3 == 0, F.lit("cliff")).when(i % 3 == 1, F.lit("tree")),
+            F.lit("height"), F.when(i % 6 == 0, s(i % 12 + 2)),
+            F.lit("amenity"),
+            F.when(i % 2 == 0, F.lit("bicycle_parking")),
+            F.lit("capacity"),
+            F.when(i % 7 == 1, s(i % 40)).when(i % 7 == 2, F.lit("many")),
+        )
+        d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
+        out = _sf(d)
+        return out.select(
+            "doc_id",
+            F.col("is_bridge").cast("int").alias("is_bridge_i"),
+            F.col("is_tunnel").cast("int").alias("is_tunnel_i"),
+            micro(F.col("cliff_height")).alias("cliff_height_u"),
+            "bicycle_stands",
+        )
+
+    q["structure_flags"] = structure_flags
+
     return _driver_window_order(q)
 
 
@@ -10519,6 +10559,35 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(FLOOR(COALESCE(pw, dflt) * 1000000.0 + 0.5) AS BIGINT)
                END AS width_u
         FROM t
+    """
+
+    # structure_flags: the bridge/tunnel predicates, cliff default
+    # height, and bicycle-stand integer division re-derived.
+    sql["structure_flags"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 list_extract([NULL, 'yes', 'no', 'viaduct'],
+                              CAST(doc_id % 4 AS INT) + 1) AS bridge,
+                 list_extract([NULL, 'yes', 'no', 'building_passage',
+                               'culvert'], CAST(doc_id % 5 AS INT) + 1) AS tunnel,
+                 (doc_id % 3 = 0) AS is_cliff,
+                 CASE WHEN doc_id % 6 = 0
+                      THEN CAST(doc_id % 12 + 2 AS DOUBLE) END AS h,
+                 (doc_id % 2 = 0) AS is_bp,
+                 CASE WHEN doc_id % 7 = 1 THEN CAST(doc_id % 40 AS INT) END AS cap
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(bridge IS NOT NULL AND bridge <> 'no' AS INT) AS is_bridge_i,
+               CAST(tunnel IS NOT NULL AND tunnel <> 'no'
+                    AND tunnel <> 'building_passage' AS INT) AS is_tunnel_i,
+               CASE WHEN is_cliff
+                    THEN CAST(FLOOR(COALESCE(h, 5.0) * 1000000.0 + 0.5) AS BIGINT)
+               END AS cliff_height_u,
+               CASE WHEN is_bp AND cap > 0
+                    THEN CAST(FLOOR((cap + 1) / 2.0) AS INT)
+               END AS bicycle_stands
+        FROM g
     """
 
     return sql

@@ -351,6 +351,14 @@ class Engine:
 
         return waterway_width(elements, tags_col)
 
+    def structure_attributes(self, elements: DataFrame,
+                             tags_col: str = "tags") -> DataFrame:
+        """Bridge/tunnel predicates, cliff height, bicycle stands
+        (operators/structures.py)."""
+        from .operators.structures import structure_flags
+
+        return structure_flags(elements, tags_col)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",

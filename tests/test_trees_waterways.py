@@ -70,3 +70,32 @@ def test_waterway_width(spark):
     assert got["weir"]["waterway_kind"] is None
     assert got["weir"]["waterway_width"] is None
     assert got["none"]["waterway_width"] is None
+
+
+def test_structure_flags(spark):
+    from osm2world_spark.operators.structures import structure_flags
+
+    rows = [
+        ("b", {"bridge": "yes"}),
+        ("bv", {"bridge": "viaduct"}),
+        ("bn", {"bridge": "no"}),
+        ("t", {"tunnel": "culvert"}),
+        ("tbp", {"tunnel": "building_passage"}),
+        ("cliff", {"natural": "cliff"}),
+        ("cliffh", {"natural": "cliff", "height": "12"}),
+        ("bp", {"amenity": "bicycle_parking", "capacity": "9"}),
+        ("bp0", {"amenity": "bicycle_parking", "capacity": "0"}),
+        ("bpx", {"amenity": "bicycle_parking"}),
+        ("none", {}),
+    ]
+    got = _run(spark, structure_flags, rows)
+    assert got["b"]["is_bridge"] and got["bv"]["is_bridge"]
+    assert not got["bn"]["is_bridge"] and not got["none"]["is_bridge"]
+    assert got["t"]["is_tunnel"] and not got["tbp"]["is_tunnel"]
+    assert got["cliff"]["cliff_height"] == 5.0
+    assert got["cliffh"]["cliff_height"] == 12.0
+    assert got["none"]["cliff_height"] is None
+    # (9+1)/2 = 5 stands
+    assert got["bp"]["bicycle_stands"] == 5
+    assert got["bp0"]["bicycle_stands"] is None
+    assert got["bpx"]["bicycle_stands"] is None
