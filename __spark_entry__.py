@@ -4624,6 +4624,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["structure_flags"] = structure_flags
 
+    # TrafficSignIdentifier decomposition (operators/trafficsigns.py;
+    # traffic_sign/TrafficSignIdentifier.java): one explode, codegen
+    # string Columns for country/bracket/sub-type/config keys.
+    def traffic_signs(spark, sf_dir):
+        from osm2world_spark.operators.trafficsigns import parse_traffic_signs
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        k = (i % 8).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        v = (
+            F.when(k == 0, F.lit("city_limit"))
+            .when(k == 1, F.concat(F.lit("DE:274-"), s(i % 90 + 10)))
+            .when(k == 2, F.concat(F.lit("DE:265["), s(i % 5), F.lit("."),
+                                   s(i % 9), F.lit("]")))
+            .when(k == 3, F.concat(F.lit("GB:"), s(i % 900 + 100),
+                                   F.lit(";GB:"), s(i % 900 + 101)))
+            .when(k == 4, F.lit("stop,give_way"))
+            .when(k == 5, F.concat(F.lit("DE:"), s(i % 300), F.lit(";")))
+            .when(k == 6, F.lit(""))
+            .otherwise(F.concat(F.lit("DE:1000-"), s(i % 30 + 10), F.lit("A")))
+        )
+        d = d.select("doc_id", v.alias("v"))
+        return parse_traffic_signs(d, "v").select(
+            "doc_id", "sign_idx", "country", "sign", "bracket_text",
+            "sub_type", "config_key", "config_key_no_sub",
+        )
+
+    q["traffic_signs"] = traffic_signs
+
+    # AerowayModule widths (operators/aeroways.py;
+    # AerowayModule.java:212,:235).
+    def aeroway_widths(spark, sf_dir):
+        from osm2world_spark.operators.aeroways import aeroway_width
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        k = (i % 3).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        av = F.element_at(
+            F.array(F.lit("runway"), F.lit("taxiway"), F.lit("apron"),
+                    F.lit("helipad")), (i % 4).cast("int") + 1)
+        m = F.create_map(
+            F.lit("aeroway"), av,
+            F.lit("width"),
+            F.when(k == 1, s(i % 50 + 10)).when(k == 2, F.lit("junk")),
+            F.lit("est_width"), F.when(k == 2, s(i % 30 + 5)),
+        )
+        d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
+        return aeroway_width(d).select(
+            "doc_id",
+            F.col("tags")["aeroway"].alias("aeroway"),
+            "aeroway_kind",
+            micro(F.col("aeroway_width")).alias("width_u"),
+        )
+
+    q["aeroway_widths"] = aeroway_widths
+
     return _driver_window_order(q)
 
 
@@ -10588,6 +10647,78 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(FLOOR((cap + 1) / 2.0) AS INT)
                END AS bicycle_stands
         FROM g
+    """
+
+    # traffic_signs: TrafficSignIdentifier.java re-derived per
+    # generator template; config_key_no_sub uses replace() (replace-all
+    # literal semantics, same as Java String.replace) on the
+    # independently built key string.
+    sql["traffic_signs"] = """
+        WITH g AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS k,
+                 CAST(doc_id % 90 + 10 AS INT) AS n1,
+                 CAST(doc_id % 5 AS INT) AS b1,
+                 CAST(doc_id % 9 AS INT) AS b2,
+                 CAST(doc_id % 900 + 100 AS INT) AS n3,
+                 CAST(doc_id % 300 AS INT) AS n5,
+                 CAST(doc_id % 30 + 10 AS INT) AS n7
+          FROM documents
+        ), rows_ AS (
+          SELECT doc_id, 0 AS sign_idx,
+                 CASE WHEN k IN (1, 2, 5, 7) THEN 'DE'
+                      WHEN k = 3 THEN 'GB' END AS country,
+                 CASE k WHEN 0 THEN 'city_limit'
+                        WHEN 1 THEN '274-' || n1
+                        WHEN 2 THEN '265'
+                        WHEN 3 THEN CAST(n3 AS VARCHAR)
+                        WHEN 4 THEN 'stop'
+                        WHEN 5 THEN CAST(n5 AS VARCHAR)
+                        WHEN 7 THEN '1000-' || n7 || 'A' END AS sign,
+                 CASE WHEN k = 2 THEN b1 || '.' || b2 END AS bracket_text,
+                 CASE WHEN k = 1 THEN CAST(n1 AS VARCHAR)
+                      WHEN k = 7 THEN CAST(n7 AS VARCHAR) END AS sub_type
+          FROM g WHERE k <> 6
+          UNION ALL
+          SELECT doc_id, 1,
+                 CASE WHEN k = 3 THEN 'GB' END,
+                 CASE WHEN k = 3 THEN 'GB:' || (n3 + 1) ELSE 'give_way' END,
+                 NULL, NULL
+          FROM g WHERE k IN (3, 4)
+        ), keys_ AS (
+          SELECT *,
+                 'SIGN_' || COALESCE(country || '_', '')
+                 || upper(replace(sign, '-', '_')) AS config_key
+          FROM rows_
+        )
+        SELECT doc_id, sign_idx, country, sign, bracket_text, sub_type,
+               config_key,
+               CASE WHEN sub_type IS NOT NULL
+                    THEN replace(config_key, '_' || sub_type, '')
+                    ELSE config_key END AS config_key_no_sub
+        FROM keys_
+    """
+
+    # aeroway_widths: AerowayModule.java:212,:235 re-derived.
+    sql["aeroway_widths"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 list_extract(['runway','taxiway','apron','helipad'],
+                              CAST(doc_id % 4 AS INT) + 1) AS av,
+                 CAST(doc_id % 3 AS INT) AS k
+          FROM documents
+        ), t AS (
+          SELECT *,
+                 CASE av WHEN 'runway' THEN 20.0 WHEN 'taxiway' THEN 5.0 END AS dflt,
+                 CASE WHEN k = 1 THEN CAST(doc_id % 50 + 10 AS DOUBLE)
+                      WHEN k = 2 THEN CAST(doc_id % 30 + 5 AS DOUBLE) END AS pw
+          FROM g
+        )
+        SELECT doc_id, av AS aeroway,
+               CASE WHEN dflt IS NOT NULL THEN av END AS aeroway_kind,
+               CASE WHEN dflt IS NOT NULL
+                    THEN CAST(FLOOR(COALESCE(pw, dflt) * 1000000.0 + 0.5) AS BIGINT)
+               END AS width_u
+        FROM t
     """
 
     return sql

@@ -359,6 +359,21 @@ class Engine:
 
         return structure_flags(elements, tags_col)
 
+    def traffic_signs(self, elements: DataFrame,
+                      value_col: str) -> DataFrame:
+        """Explode traffic_sign tag values into identifiers
+        (operators/trafficsigns.py)."""
+        from .operators.trafficsigns import parse_traffic_signs
+
+        return parse_traffic_signs(elements, value_col)
+
+    def aeroway_attributes(self, elements: DataFrame,
+                           tags_col: str = "tags") -> DataFrame:
+        """AerowayModule runway/taxiway widths (operators/aeroways.py)."""
+        from .operators.aeroways import aeroway_width
+
+        return aeroway_width(elements, tags_col)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",
