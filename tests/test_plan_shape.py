@@ -342,3 +342,57 @@ def test_round5_training_and_lm_plan_shape(spark):
     pb_plan = _plan(perplexity_buckets(scored, (4.0, 2.0)))
     assert "Exchange" not in pb_plan, "bucket assignment must not shuffle"
     assert "EvalPython" not in pb_plan
+
+
+def test_worldmodule_attribute_layer_zero_shuffle(spark):
+    """The §2.10 attribute operators claim zero-exchange, no-Python
+    projections (power excepted: its tower aggregate is node-keyed
+    joins).  Pin that in the physical plan."""
+    from osm2world_spark.operators.barriers import barrier_dimensions
+    from osm2world_spark.operators.buildings import level_and_height
+    from osm2world_spark.operators.railways import rail_geometry
+    from osm2world_spark.operators.roads import road_lanes_and_width
+    from osm2world_spark.operators.structures import structure_flags
+    from osm2world_spark.operators.trafficsigns import parse_traffic_signs
+    from osm2world_spark.operators.trees import tree_dimensions
+    from osm2world_spark.operators.waterways import waterway_width
+
+    rows = spark.createDataFrame(
+        [("r", {"building": "house", "highway": "primary",
+                "barrier": "wall", "railway": "rail",
+                "waterway": "river", "natural": "cliff"})],
+        "rid string, tags map<string,string>",
+    )
+    for op in (level_and_height, road_lanes_and_width, barrier_dimensions,
+               rail_geometry, tree_dimensions, waterway_width,
+               structure_flags):
+        plan = _plan(op(rows))
+        assert "Exchange" not in plan, (op.__name__, plan)
+        assert "EvalPython" not in plan, op.__name__
+
+    signs = spark.createDataFrame([("r", "DE:274-50")], "rid string, v string")
+    sign_plan = _plan(parse_traffic_signs(signs, "v"))
+    assert "Exchange" not in sign_plan
+    assert "EvalPython" not in sign_plan
+
+
+def test_power_cable_runs_exchange_budget(spark):
+    """power_cable_runs: the tower aggregate + two endpoint joins are
+    all node-keyed; no Python, no cross join, and the exchange count
+    stays at the plan's structural minimum."""
+    from osm2world_spark.operators.power import power_cable_runs
+
+    segs = spark.createDataFrame(
+        [("s", 1, 2, {"power": "line", "cables": "3"})],
+        "seg_id string, start_node int, end_node int, tags map<string,string>",
+    )
+    nodes = spark.createDataFrame(
+        [(1, {"height": "10"}), (2, {})], "node_id int, tags map<string,string>"
+    )
+    plan = _plan(power_cable_runs(segs, nodes))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # aggregate (partial+final) + full-outer + 2 endpoint joins: every
+    # hash exchange keys on a node id, and there are at most 8 of them
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 8, plan
