@@ -4423,17 +4423,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         k = (i % 3).cast("int")
         # element_at is 1-based and ANSI-strict on 0 — clamp the index;
-        # the i%4==0 row never reads it (the when-guard below)
+        # the i%5==0 row never reads it (the when-guard below)
         tv = F.element_at(
-            F.array(F.lit("yes"), F.lit("no"), F.lit("building_passage")),
-            F.greatest((i % 4).cast("int"), F.lit(1)),
+            F.array(F.lit("yes"), F.lit("no"), F.lit("building_passage"),
+                    F.lit("culvert")),
+            F.greatest((i % 5).cast("int"), F.lit(1)),
         )
         m = F.create_map(
             F.lit("railway"), rv,
             F.lit("gauge"),
             F.when(k == 1, (F.lit(600) + (i % 1400)).cast("int").cast("string"))
             .when(k == 2, F.lit("broad")),
-            F.lit("tunnel"), F.when((i % 4) >= 1, tv),
+            F.lit("tunnel"), F.when((i % 5) >= 1, tv),
+            F.lit("bridge"),
+            F.when(i % 11 == 0, F.lit("yes")).when(i % 11 == 1, F.lit("no")),
         )
         d = d.select("doc_id", F.map_filter(m, lambda _k, v: v.isNotNull()).alias("tags"))
         out = _rg(d)
@@ -10419,15 +10422,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  list_extract([{_rail_vals_sql}], CAST(doc_id % 7 AS INT) + 1) AS rv,
                  CAST(doc_id % 3 AS INT) AS k,
-                 CAST(doc_id % 4 AS INT) AS t4
+                 CAST(doc_id % 5 AS INT) AS t5
           FROM documents
         ), t AS (
           SELECT *,
                  (rv IN ('rail','light_rail','tram','subway','disused')) AS ok,
                  CASE WHEN k = 1 THEN CAST(600 + doc_id % 1400 AS INT)
                       ELSE 1435 END AS gauge_mm,
-                 CASE WHEN t4 = 1 THEN 'yes' WHEN t4 = 2 THEN 'no'
-                      WHEN t4 = 3 THEN 'building_passage' ELSE '' END AS tunnel
+                 CASE WHEN t5 = 1 THEN 'yes' WHEN t5 = 2 THEN 'no'
+                      WHEN t5 = 3 THEN 'building_passage'
+                      WHEN t5 = 4 THEN 'culvert' ELSE '' END AS tunnel,
+                 CASE WHEN doc_id % 11 = 0 THEN 'yes'
+                      WHEN doc_id % 11 = 1 THEN 'no' ELSE '' END AS bridge
           FROM g
         ), d AS (
           SELECT *,
@@ -10443,7 +10449,11 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ok THEN CAST(rv <> 'tram' AS INT) END AS own_ground_i,
                CASE WHEN ok THEN
                  CASE WHEN (rv = 'subway' AND tunnel <> 'no') OR tunnel = 'yes'
-                      THEN 'BELOW' ELSE 'ON' END
+                      THEN 'BELOW'
+                      WHEN bridge <> '' AND bridge <> 'no' THEN 'ABOVE'
+                      WHEN tunnel <> '' AND tunnel <> 'no'
+                           AND tunnel <> 'building_passage' THEN 'BELOW'
+                      ELSE 'ON' END
                END AS ground_state
         FROM d
     """

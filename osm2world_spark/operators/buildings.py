@@ -154,16 +154,25 @@ def preliminary_roof_height(
     """Roof.calculatePreliminaryHeight + overrides (citations in module
     docstring).  `ridge_distance` feeds BOTH geometry-dependent angle
     paths (maxDistanceToRidge for ridge shapes, roofLength for
-    skillion); pass NULL/omit for tag-only evaluation."""
+    skillion); pass NULL/omit for tag-only evaluation.
+
+    Angle parsing differs per family and BOTH gates are [0, 90):
+    ridge shapes use parseRoofAngle = plain parseOsmDecimal
+    (Roof.java:181-188 — "400" or "NE" are null, never mod-360), while
+    skillion uses the compass-capable parseAngle
+    (SkillionRoof.java:95-99 — "NE" is 45)."""
     tagged = V.parse_measure(tags["roof:height"])
-    angle_deg = V.parse_angle(tags["roof:angle"])
     out = F.when(~roof_shape.isin(*NON_FLAT_SHAPES), F.lit(0.0)).otherwise(tagged)
     if ridge_distance is not None:
-        # RoofWithRidge.java:229-234: any parsed angle; SkillionRoof
-        # .java:95-99: angle gated to [0, 90)
-        ridge_fallback = F.tan(F.radians(angle_deg)) * ridge_distance
+        ridge_deg = V.osm_decimal(tags["roof:angle"])
+        skill_deg = V.parse_angle(tags["roof:angle"])
+        ridge_fallback = F.when(
+            (ridge_deg >= 0) & (ridge_deg < 90),
+            F.tan(F.radians(ridge_deg)) * ridge_distance,
+        )
         skillion_fallback = F.when(
-            (angle_deg >= 0) & (angle_deg < 90), ridge_fallback
+            (skill_deg >= 0) & (skill_deg < 90),
+            F.tan(F.radians(skill_deg)) * ridge_distance,
         )
         out = F.when(
             ~roof_shape.isin(*NON_FLAT_SHAPES), F.lit(0.0)
@@ -251,16 +260,31 @@ def level_and_height(
         V.osm_decimal(tags["building:levels"], "nonnegative").alias("_parsed_levels"),
         parse_height(tags).alias("_th"),
         V.parse_measure(tags["roof:height"]).alias("_trh"),
+        # the Roof object is built from the ALWAYS-merged tags
+        # (BuildingPart.java:86-100), so its shape, roof:height and
+        # roof:angle read def_tags even when the level math (:113-117)
+        # sticks to the part's own tags
+        V.parse_measure(def_tags["roof:height"]).alias("_trh_roof"),
         F.coalesce(V.parse_uint(tags["roof:levels"]), F.lit(1)).alias("_rl0"),
         V.parse_int(tags["roof:levels"]).alias("_rl_int"),
         tags["roof:levels"].isNotNull().alias("_has_rl"),
         V.parse_measure(tags["min_height"]).alias("_tmh"),
-        resolve_roof_shape(tags, _defaults_case(def_tags, btype, 2)).alias("roof_shape"),
         (
-            V.parse_angle(tags["roof:angle"])
+            # parseRoofAngle = plain parseOsmDecimal (Roof.java:181-188)
+            V.osm_decimal(def_tags["roof:angle"])
             if ridge_distance_col
             else F.lit(None).cast("double")
-        ).alias("_angle"),
+        ).alias("_angle_ridge"),
+        (
+            # SkillionRoof uses the compass-capable parseAngle (:95)
+            V.parse_angle(def_tags["roof:angle"])
+            if ridge_distance_col
+            else F.lit(None).cast("double")
+        ).alias("_angle_skill"),
+    )
+    s1 = s1.select(
+        "*",
+        resolve_roof_shape(def_tags, C("_d_shape")).alias("roof_shape"),
     )
 
     # stage 2 — level counts (:120-155)
@@ -287,31 +311,37 @@ def level_and_height(
     )
     s2 = s2.select("*", building_levels.alias("building_levels"))
 
-    # stage 3 — roof height chain (:157-193)
+    # stage 3 — roof height chain (:157-193).  The preliminary height
+    # belongs to the Roof object, so it reads the merged-tag columns
+    # (_trh_roof / _angle_*); rebuilt here over the staged columns
+    # instead of preliminary_roof_height() so the parse subtrees
+    # aren't duplicated.
     ridge_dist = F.col(ridge_distance_col) if ridge_distance_col else None
     if ridge_dist is not None:
-        # RoofWithRidge.java:229-234 (any angle) / SkillionRoof.java:
-        # 95-99 (angle gated to [0,90)) — rebuilt here over the staged
-        # _trh/_angle columns instead of preliminary_roof_height() so
-        # the parse subtrees aren't duplicated
-        ridge_fb = F.tan(F.radians(C("_angle"))) * ridge_dist
+        # RoofWithRidge.java:229-234 via parseRoofAngle's [0,90) gate
+        # (Roof.java:184); SkillionRoof.java:95-99 with its own gate
+        ridge_fb = F.when(
+            (C("_angle_ridge") >= 0) & (C("_angle_ridge") < 90),
+            F.tan(F.radians(C("_angle_ridge"))) * ridge_dist,
+        )
+        skill_fb = F.when(
+            (C("_angle_skill") >= 0) & (C("_angle_skill") < 90),
+            F.tan(F.radians(C("_angle_skill"))) * ridge_dist,
+        )
         prelim = F.when(
             ~C("roof_shape").isin(*NON_FLAT_SHAPES), F.lit(0.0)
         ).otherwise(
             F.coalesce(
-                C("_trh"),
+                C("_trh_roof"),
                 F.when(C("roof_shape").isin(*RIDGE_SHAPES), ridge_fb).when(
-                    (C("roof_shape") == "skillion")
-                    & (C("_angle") >= 0)
-                    & (C("_angle") < 90),
-                    ridge_fb,
+                    C("roof_shape") == "skillion", skill_fb
                 ),
             )
         )
     else:
         prelim = F.when(
             ~C("roof_shape").isin(*NON_FLAT_SHAPES), F.lit(0.0)
-        ).otherwise(C("_trh"))
+        ).otherwise(C("_trh_roof"))
     dome_h = (
         (F.col(diameter_col) / F.lit(2.0)).cast("double")
         if diameter_col

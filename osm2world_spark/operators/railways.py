@@ -20,7 +20,10 @@ Citations (RailwayModule.java):
   GROUND_EXTRA_WIDTH = (double)0.2f = 0.20000000298023224 (:58).
 - ownGround :161 — trams render no own ballast (part of a street).
 - ground state :166-179 — BELOW for subway (unless tunnel=no) or
-  tunnel=yes, else ON.
+  tunnel=yes; otherwise the network superclass fallback
+  (AbstractNetworkWaySegmentWorldObject.java:311-319): bridge (any
+  value but "no") -> ABOVE, any other tunnel variant except
+  building_passage -> BELOW, else ON.
 """
 
 from __future__ import annotations
@@ -64,9 +67,24 @@ def rail_geometry(df: DataFrame, tags_col: str = "tags") -> DataFrame:
 
     own_ground = rw != "tram"
     tunnel = F.coalesce(tags["tunnel"], F.lit(""))
-    ground_state = F.when(
-        ((rw == "subway") & (tunnel != "no")) | (tunnel == "yes"), F.lit("BELOW")
-    ).otherwise(F.lit("ON"))
+    bridge = F.coalesce(tags["bridge"], F.lit(""))
+    # Rail.getGroundState (:166-179) falls through to the network
+    # superclass (AbstractNetworkWaySegmentWorldObject.java:311-319):
+    # bridge -> ABOVE, any other tunnel variant -> BELOW, else ON
+    ground_state = (
+        F.when(
+            ((rw == "subway") & (tunnel != "no")) | (tunnel == "yes"),
+            F.lit("BELOW"),
+        )
+        .when(tags["bridge"].isNotNull() & (bridge != "no"), F.lit("ABOVE"))
+        .when(
+            tags["tunnel"].isNotNull()
+            & (tunnel != "no")
+            & (tunnel != "building_passage"),
+            F.lit("BELOW"),
+        )
+        .otherwise(F.lit("ON"))
+    )
 
     def _g(c):
         return F.when(accepted, c)

@@ -37,12 +37,16 @@ def parse_traffic_signs(df: DataFrame, value_col: str) -> DataFrame:
     has_country = v.contains(":")
     country = F.when(has_country, F.split(v, ":", 2).getItem(0))
     rest = F.when(has_country, F.split(v, ":", 2).getItem(1)).otherwise(v)
-    # Java split drops TRAILING empty components only
+    # Java split drops TRAILING empty components only; note the
+    # "".split special case — "DE:" yields ONE empty-sign identifier
+    # (rest "" splits to [""]), while "DE:;;" yields none
     stripped = F.regexp_replace(rest, "[;,]+$", "")
-    signs = F.when(
-        v.isNull() | (v == "") | (stripped == ""),
-        F.array().cast("array<string>"),
-    ).otherwise(F.split(stripped, "[;,]"))
+    signs = (
+        F.when(v.isNull() | (v == ""), F.array().cast("array<string>"))
+        .when(rest == "", F.array(F.lit("")))
+        .when(stripped == "", F.array().cast("array<string>"))
+        .otherwise(F.split(stripped, "[;,]"))
+    )
 
     out = df.select(
         "*",

@@ -92,6 +92,9 @@ def test_rail_geometry(spark):
         ("subway", {"railway": "subway"}),
         ("subway_open", {"railway": "subway", "tunnel": "no"}),
         ("tunnel", {"railway": "rail", "tunnel": "yes"}),
+        ("culvert", {"railway": "rail", "tunnel": "culvert"}),
+        ("bridge", {"railway": "rail", "bridge": "yes"}),
+        ("bridge_no", {"railway": "rail", "bridge": "no"}),
         ("platform", {"railway": "platform"}),
         ("badgauge", {"railway": "rail", "gauge": "wide"}),
     ]
@@ -117,5 +120,9 @@ def test_rail_geometry(spark):
     assert got["subway"]["ground_state"] == "BELOW"
     assert got["subway_open"]["ground_state"] == "ON"
     assert got["tunnel"]["ground_state"] == "BELOW"
+    # superclass fallback (AbstractNetworkWaySegmentWorldObject:311-319)
+    assert got["culvert"]["ground_state"] == "BELOW"
+    assert got["bridge"]["ground_state"] == "ABOVE"
+    assert got["bridge_no"]["ground_state"] == "ON"
     assert got["platform"]["gauge_m"] is None
     assert got["platform"]["ground_state"] is None

@@ -356,6 +356,16 @@ def test_ridge_angle_path(spark):
                              "roof:angle": "30"}, 6.0),
             ("skillion_steep", {"building": "house", "roof:shape": "skillion",
                                 "roof:angle": "90"}, 6.0),
+            # parseRoofAngle gates to [0,90) (Roof.java:184): 100 -> null
+            ("ridge_steep", {"building": "house", "roof:shape": "gabled",
+                             "roof:angle": "100"}, 4.0),
+            # ridge uses plain parseOsmDecimal: compass "NE" is null;
+            # skillion uses parseAngle: "NE" is 45 degrees
+            ("ridge_compass", {"building": "house", "roof:shape": "gabled",
+                               "roof:angle": "NE"}, 4.0),
+            ("skillion_compass", {"building": "house",
+                                  "roof:shape": "skillion",
+                                  "roof:angle": "NE"}, 6.0),
         ],
         schema,
     )
@@ -367,7 +377,36 @@ def test_ridge_angle_path(spark):
     assert out["skillion_ok"]["roof_height"] == pytest.approx(
         math.tan(math.radians(30)) * 6.0
     )
-    # angle >= 90 rejected for skillion -> default ridge height 5.0
+    # angle >= 90 rejected for BOTH families -> default ridge height 5.0
     assert out["skillion_steep"]["roof_height"] == 5.0
+    assert out["ridge_steep"]["roof_height"] == 5.0
+    assert out["ridge_compass"]["roof_height"] == 5.0
+    assert out["skillion_compass"]["roof_height"] == pytest.approx(
+        math.tan(math.radians(45)) * 6.0
+    )
     for s in RIDGE_SHAPES:
         assert s not in ("flat", "chimney")
+
+
+def test_part_roof_uses_merged_tags(spark):
+    """BuildingPart.java:86-100 — the Roof is built from the ALWAYS
+    merged part+building tags, even when the part's own level-defining
+    keys block inheritance for the level math (:113-117)."""
+    schema = StructType([
+        StructField("rid", StringType()),
+        StructField("tags", MapType(StringType(), StringType())),
+        StructField("btags", MapType(StringType(), StringType())),
+    ])
+    df = spark.createDataFrame(
+        [
+            ("part", {"building:part": "yes", "building:levels": "2"},
+             {"building": "house", "roof:shape": "gabled",
+              "roof:height": "4"}),
+        ],
+        schema,
+    )
+    row = level_and_height(df, building_tags_col="btags").collect()[0]
+    # level math sticks to the part (levels=2), the roof inherits
+    assert row["building_levels"] == 2
+    assert row["roof_shape"] == "gabled"
+    assert row["roof_height"] == 4.0

@@ -99,6 +99,16 @@ def _default_lanes(tags):
 PER_LANE_KEYS = ("width", "cycleway", "access", "turn")
 
 
+def _java_pipe_split(v):
+    """Java String.split("\\\\|"): trailing empties dropped, "" -> [""]."""
+    if v == "":
+        return [""]
+    parts = v.split("|")
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
 def _per_lane(tags, suffixes):
     n = None
     values = {}
@@ -107,7 +117,7 @@ def _per_lane(tags, suffixes):
             v = tags.get(k + s)
             if v is None:
                 continue
-            parts = v.split("|")
+            parts = _java_pipe_split(v)
             if n is None:
                 n = len(parts)
             elif len(parts) != n:
@@ -366,6 +376,13 @@ def _corpus():
     rows.append((9005, {"highway": "primary", "lanes:forward": "2",
                         "width:lanes:forward": "3|3", "turn:lanes:forward": "left|right|through"}))
     rows.append((9006, {"highway": "steps", "width": "2.2"}))
+    # Java pipe-split drops trailing empties: "3|" is ONE lane
+    rows.append((9007, {"highway": "secondary", "lanes": "2",
+                        "lanes:backward": "1",
+                        "width:lanes:forward": "3|"}))
+    rows.append((9008, {"highway": "secondary",
+                        "turn:lanes:forward": "left||",
+                        "lanes:backward": "1"}))
     return rows
 
 

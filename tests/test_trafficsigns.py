@@ -17,6 +17,8 @@ def test_parse_traffic_signs(spark):
         ("greedy", "DE:a[b]c[d]"),
         ("empty", ""),
         ("seps", ";;"),
+        ("colon_empty", "DE:"),
+        ("colon_seps", "DE:;;"),
         ("spacey", "DE: 274-60 ; 310 "),
         ("subalpha", "DE:1000-31A"),
     ]
@@ -29,6 +31,11 @@ def test_parse_traffic_signs(spark):
         v.sort(key=lambda r: r["sign_idx"])
 
     assert "empty" not in got and "seps" not in got
+    # "DE:" keeps one empty-sign identifier ("".split -> [""]);
+    # "DE:;;" has only trailing separators -> none
+    ce = got["colon_empty"][0]
+    assert (ce["country"], ce["sign"], ce["config_key"]) == ("DE", "", "SIGN_DE_")
+    assert "colon_seps" not in got
 
     p = got["plain"][0]
     assert (p["country"], p["sign"], p["bracket_text"]) == (None, "city_limit", None)
