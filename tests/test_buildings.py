@@ -113,7 +113,31 @@ def _defaults(tags):
     return t, levels, hpl, shape, walls
 
 
-def oracle(tags, diameter=None):
+_COMPASS = {
+    "N": 0.0, "NNE": 22.5, "NE": 45.0, "ENE": 67.5, "E": 90.0,
+    "ESE": 112.5, "SE": 135.0, "SSE": 157.5, "S": 180.0, "SSW": 202.5,
+    "SW": 225.0, "WSW": 247.5, "W": 270.0, "WNW": 292.5, "NW": 315.0,
+    "NNW": 337.5,
+}
+
+
+def _parse_angle(v):
+    """ValueParseUtil.parseAngle — nonneg decimal mod 360, else compass."""
+    d = _osm_decimal(v, nonneg=True)
+    if d is not None:
+        return math.fmod(d, 360.0)
+    if v in _COMPASS:
+        return _COMPASS[v]
+    return None
+
+
+_RIDGE_SHAPES = (
+    "gabled", "hipped", "side_hipped", "half-hipped", "side_half-hipped",
+    "gambrel", "mansard", "saltbox", "round",
+)
+
+
+def oracle(tags, diameter=None, rdist=None):
     d = _defaults(tags)
     if d is None:
         return None
@@ -158,6 +182,16 @@ def oracle(tags, diameter=None):
         rh = 0.0
     else:
         rh = trh
+        if rh is None and rdist is not None:
+            av = tags.get("roof:angle")
+            if roof_shape in _RIDGE_SHAPES:
+                a = _osm_decimal(av)  # parseRoofAngle: plain decimal
+                if a is not None and 0 <= a < 90:
+                    rh = math.tan(math.radians(a)) * rdist
+            elif roof_shape == "skillion":
+                a = _parse_angle(av)
+                if a is not None and 0 <= a < 90:
+                    rh = math.tan(math.radians(a)) * rdist
     if rh is None and levels == 0 and (th or 0.0) > 0:
         rh = th
     if rh is None and "roof:levels" in tags:

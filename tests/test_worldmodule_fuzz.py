@@ -4,8 +4,10 @@ test_roads.py, over randomly composed tag maps (including garbage
 values) — the same discipline as test_values.py's parser sweep.
 
 Excluded from the random pools (documented subset/divergence
-boundaries, SURVEY §2.10): roof:angle (geometry-dependent paths),
-dome-without-diameter (diameter column always supplied here).
+boundaries, SURVEY §2.10): dome-without-diameter (diameter column
+always supplied here).  roof:angle IS in the pool — the sweep supplies
+a ridge-distance column so both angle families (plain-decimal ridge
+gate vs compass-capable skillion gate) are exercised.
 """
 
 import math
@@ -64,26 +66,36 @@ def _random_building_tags(r):
         tags["parking"] = r.choice(["multi-storey", "surface"])
     if r.random() < 0.1:
         tags["man_made"] = r.choice(["chimney", "tower"])
+    if r.random() < 0.25:
+        tags["roof:angle"] = r.choice(
+            ["30", "45", "89", "90", "100", "400", "-10", "22.5", "NE",
+             "junk", "0"]
+        )
     return tags
 
 
 def test_buildings_random_parity(spark):
     r = _rng()
-    rows = [(str(i), _random_building_tags(r), float(5 + i % 20))
-            for i in range(N_ROWS)]
+    rows = [(str(i), _random_building_tags(r), float(5 + i % 20),
+             float(2 + i % 11)) for i in range(N_ROWS)]
     schema = StructType([
         StructField("rid", StringType()),
         StructField("tags", MapType(StringType(), StringType())),
         StructField("diameter", DoubleType()),
+        StructField("rdist", DoubleType()),
     ])
     from osm2world_spark.operators.buildings import level_and_height
 
     df = spark.createDataFrame(rows, schema)
-    got = {g["rid"]: g.asDict()
-           for g in level_and_height(df, diameter_col="diameter").collect()}
+    got = {
+        g["rid"]: g.asDict()
+        for g in level_and_height(
+            df, diameter_col="diameter", ridge_distance_col="rdist"
+        ).collect()
+    }
     n_typed = 0
-    for rid, tags, diameter in rows:
-        exp = building_oracle(tags, diameter)
+    for rid, tags, diameter, rdist in rows:
+        exp = building_oracle(tags, diameter, rdist)
         g = got[rid]
         if exp is None:
             assert g["btype"] is None and g["height"] is None, (rid, tags, g)
@@ -97,7 +109,12 @@ def test_buildings_random_parity(spark):
                 elif math.isinf(want):
                     assert have == want, (rid, k, tags, g)
                 else:
-                    assert have == want, (rid, k, have, want, tags)
+                    # 1-ulp slack ONLY for the tan() angle path (JVM
+                    # vs libm last-digit); everything else stays exact
+                    assert have == want or (
+                        "roof:angle" in tags
+                        and abs(have - want) <= 1e-12 * max(1.0, abs(want))
+                    ), (rid, k, have, want, tags)
             else:
                 assert have == want, (rid, k, have, want, tags)
     assert n_typed > N_ROWS // 2
