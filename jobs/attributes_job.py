@@ -73,18 +73,20 @@ def main() -> None:
 
     out.write.mode("overwrite").parquet(args.out)
 
+    # one aggregation pass over the written table (count(col) skips
+    # NULLs), not one scan per family
     written = spark.read.parquet(args.out)
-    summary = {
-        "rows": written.count(),
-        "buildings": written.where(F.col("btype").isNotNull()).count(),
-        "roads": written.where(F.col("tags")["highway"].isNotNull()).count(),
-        "barriers": written.where(F.col("barrier_kind").isNotNull()).count(),
-        "railways": written.where(F.col("gauge_m").isNotNull()).count(),
-        "waterways": written.where(F.col("waterway_kind").isNotNull()).count(),
-        "aeroways": written.where(F.col("aeroway_kind").isNotNull()).count(),
-        "bridges": written.where(F.col("is_bridge")).count(),
-        "out": args.out,
-    }
+    row = written.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count("btype").alias("buildings"),
+        F.count(F.col(tc)["highway"]).alias("roads"),
+        F.count("barrier_kind").alias("barriers"),
+        F.count("gauge_m").alias("railways"),
+        F.count("waterway_kind").alias("waterways"),
+        F.count("aeroway_kind").alias("aeroways"),
+        F.count_if(F.col("is_bridge")).alias("bridges"),
+    ).collect()[0]
+    summary = {**row.asDict(), "out": args.out}
     print(json.dumps(summary))
 
 

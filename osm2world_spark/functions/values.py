@@ -192,3 +192,20 @@ def parse_levels(col: Column) -> Column:
 
     levels = F.array_sort(F.array_distinct(F.flatten(F.transform(pieces, piece_levels))))
     return F.when(F.size(levels) > 0, levels)
+
+
+def java_split(col: Column, sep_pattern: str) -> Column:
+    """Java ``String.split(regex)`` with the default limit 0: trailing
+    empty components removed (interior ones kept), ``"" -> [""]`` (the
+    no-match special case returns the original string), a string of
+    only separators -> ``[]``.  Used wherever the reference splits tag
+    values (per-lane ``:lanes`` pipes, traffic-sign ``;``/``,`` lists);
+    Spark's F.split alone keeps trailing empties and would inflate the
+    component counts."""
+    stripped = F.regexp_replace(col, f"(?:{sep_pattern})+$", "")
+    return (
+        F.when(col.isNull(), F.lit(None).cast("array<string>"))
+        .when(col == "", F.array(F.lit("")))
+        .when(stripped == "", F.array().cast("array<string>"))
+        .otherwise(F.split(stripped, sep_pattern))
+    )

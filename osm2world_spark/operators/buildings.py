@@ -148,45 +148,6 @@ def parse_height(tags: Column) -> Column:
     )
 
 
-def preliminary_roof_height(
-    tags: Column, roof_shape: Column, ridge_distance: Column | None = None
-) -> Column:
-    """Roof.calculatePreliminaryHeight + overrides (citations in module
-    docstring).  `ridge_distance` feeds BOTH geometry-dependent angle
-    paths (maxDistanceToRidge for ridge shapes, roofLength for
-    skillion); pass NULL/omit for tag-only evaluation.
-
-    Angle parsing differs per family and BOTH gates are [0, 90):
-    ridge shapes use parseRoofAngle = plain parseOsmDecimal
-    (Roof.java:181-188 — "400" or "NE" are null, never mod-360), while
-    skillion uses the compass-capable parseAngle
-    (SkillionRoof.java:95-99 — "NE" is 45)."""
-    tagged = V.parse_measure(tags["roof:height"])
-    out = F.when(~roof_shape.isin(*NON_FLAT_SHAPES), F.lit(0.0)).otherwise(tagged)
-    if ridge_distance is not None:
-        ridge_deg = V.osm_decimal(tags["roof:angle"])
-        skill_deg = V.parse_angle(tags["roof:angle"])
-        ridge_fallback = F.when(
-            (ridge_deg >= 0) & (ridge_deg < 90),
-            F.tan(F.radians(ridge_deg)) * ridge_distance,
-        )
-        skillion_fallback = F.when(
-            (skill_deg >= 0) & (skill_deg < 90),
-            F.tan(F.radians(skill_deg)) * ridge_distance,
-        )
-        out = F.when(
-            ~roof_shape.isin(*NON_FLAT_SHAPES), F.lit(0.0)
-        ).otherwise(
-            F.coalesce(
-                tagged,
-                F.when(roof_shape.isin(*RIDGE_SHAPES), ridge_fallback).when(
-                    roof_shape == "skillion", skillion_fallback
-                ),
-            )
-        )
-    return out
-
-
 def _java_round4(x: Column) -> Column:
     """Math.round(x * 1e4) / 1e4 (LevelAndHeightData.java:202) exactly:
     floor(x·1e4 + 0.5) / 1e4 — NOT F.round, whose HALF_UP decimal path

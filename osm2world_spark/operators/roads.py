@@ -259,24 +259,14 @@ def road_lanes_and_width(
     # [":lanes", ":lanes:forward"] under oneway, else [":lanes:forward"];
     # backward part: [":lanes:backward"].  All present arrays must agree
     # on length or the whole part's per-lane tags are null.
-    def _java_pipe_split(v: Column) -> Column:
-        """Java String.split("\\\\|") semantics: trailing empty
-        components dropped (interior kept), "" -> [""], all-separators
-        -> [] (RoadModule.java:1114)."""
-        stripped = F.regexp_replace(v, r"\|+$", "")
-        return (
-            F.when(v.isNull(), F.lit(None).cast("array<string>"))
-            .when(v == "", F.array(F.lit("")))
-            .when(stripped == "", F.array().cast("array<string>"))
-            .otherwise(F.split(stripped, r"\|"))
-        )
-
     def _per_lane_cols(pref: str, suffixes: list[str]) -> list[Column]:
         arrs = []
         for k in PER_LANE_KEYS:
             for s in suffixes:
                 v = tags[k + s]
-                arrs.append((k, _java_pipe_split(v)))
+                # Java String.split("\\|"): trailing empties dropped
+                # (RoadModule.java:1114)
+                arrs.append((k, V.java_split(v, r"\|")))
         n = F.coalesce(
             *[F.when(a.isNotNull(), F.size(a)) for _, a in arrs],
             F.lit(None).cast("int"),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import values as V
+
 
 def parse_traffic_signs(df: DataFrame, value_col: str) -> DataFrame:
     """Explode a traffic_sign tag value into one row per identifier
@@ -37,16 +39,13 @@ def parse_traffic_signs(df: DataFrame, value_col: str) -> DataFrame:
     has_country = v.contains(":")
     country = F.when(has_country, F.split(v, ":", 2).getItem(0))
     rest = F.when(has_country, F.split(v, ":", 2).getItem(1)).otherwise(v)
-    # Java split drops TRAILING empty components only; note the
-    # "".split special case — "DE:" yields ONE empty-sign identifier
-    # (rest "" splits to [""]), while "DE:;;" yields none
-    stripped = F.regexp_replace(rest, "[;,]+$", "")
-    signs = (
-        F.when(v.isNull() | (v == ""), F.array().cast("array<string>"))
-        .when(rest == "", F.array(F.lit("")))
-        .when(stripped == "", F.array().cast("array<string>"))
-        .otherwise(F.split(stripped, "[;,]"))
-    )
+    # Java split semantics via the shared helper — trailing empties
+    # dropped, "DE:" yields ONE empty-sign identifier (rest "" splits
+    # to [""]), "DE:;;" yields none; the reference's own empty-VALUE
+    # guard (:104) stays separate
+    signs = F.when(
+        v.isNull() | (v == ""), F.array().cast("array<string>")
+    ).otherwise(V.java_split(rest, "[;,]"))
 
     out = df.select(
         "*",
