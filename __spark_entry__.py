@@ -4686,6 +4686,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["aeroway_widths"] = aeroway_widths
 
+    # StreetFurnitureModule multi-match dispatch + dims
+    # (operators/furniture.py; StreetFurnitureModule.java:76-154 and
+    # the per-class dimension parses).  22 single-kind templates x 3
+    # override variants; multi-match order is pytest-pinned.
+    def furniture(spark, sf_dir):
+        from osm2world_spark.operators.furniture import furniture_attributes
+        from osm2world_spark.operators.text import micro
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id")
+        k = (i % 22).cast("int")
+        j = (i % 3).cast("int")
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        kv = [
+            ("playground", F.when(k == 0, F.lit("swing"))),
+            ("capacity", F.when(k == 0, s(i % 8))),
+            ("man_made",
+             F.when(k == 1, F.lit("pole")).when(k == 2, F.lit("flagpole"))
+             .when(k == 9, F.lit("cross"))),
+            ("advertising",
+             F.when(k == 3, F.lit("column")).when(k == 4, F.lit("billboard"))),
+            ("amenity",
+             F.when(k == 5, F.lit("bench")).when(k == 6, F.lit("table"))
+             .when(k == 11, F.lit("clock")).when(k == 12, F.lit("waste_basket"))
+             .when(k == 13, F.lit("grit_bin"))
+             .when(k.isin(14, 15, 16), F.lit("post_box"))
+             .when(k == 17, F.lit("telephone"))
+             .when(k == 18, F.lit("vending_machine"))),
+            ("seats", F.when(k == 5, s(i % 6))),
+            ("highway",
+             F.when(k == 7, F.lit("bus_stop")).when(k == 19, F.lit("street_lamp"))),
+            ("public_transport", F.when(k == 8, F.lit("platform"))),
+            ("bus", F.when(k == 8, F.lit("yes"))),
+            ("summit:cross", F.when(k == 10, F.lit("yes"))),
+            ("support", F.when(k == 11, F.lit("wall"))),
+            ("brand",
+             F.when(k == 14, F.lit("Deutsche Post")).when(k == 17, F.lit("Telekom"))),
+            ("operator",
+             F.when(k == 15, F.lit("Royal Mail")).when(k == 16, F.lit("ACME"))),
+            ("vending", F.when(k == 18, F.lit("condoms"))),
+            ("emergency", F.when(k == 20, F.lit("fire_hydrant"))),
+            ("fire_hydrant:type", F.when(k == 20, F.lit("pillar"))),
+            ("height", F.when(j == 1, s(i % 12 + 2))),
+            ("width", F.when(j == 2, s(i % 5 + 1))),
+        ]
+        pairs = []
+        for key, val in kv:
+            pairs += [F.lit(key), val]
+        d = d.select(
+            "doc_id",
+            F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull()).alias("tags"),
+        )
+        out = furniture_attributes(d)
+        return out.select(
+            "doc_id",
+            "kind",
+            micro(F.col("furniture_height")).alias("height_u"),
+            micro(F.col("furniture_width")).alias("width_u"),
+        )
+
+    q["furniture"] = furniture
+
     return _driver_window_order(q)
 
 
@@ -10729,6 +10791,68 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(FLOOR(COALESCE(pw, dflt) * 1000000.0 + 0.5) AS BIGINT)
                END AS width_u
         FROM t
+    """
+
+    # furniture: StreetFurnitureModule per-kind dims re-derived from
+    # the generator parameters (one kind template per doc; k=16 unknown
+    # post-box operator and k=21 untagged emit NOTHING, matching the
+    # reference's early returns).  Float-literal defaults pinned; the
+    # cross width quirk (width from the HEIGHT parse) encoded.
+    sql["furniture"] = """
+        WITH g AS (
+          SELECT doc_id, CAST(doc_id % 22 AS INT) AS k,
+                 CAST(doc_id % 3 AS INT) AS j,
+                 CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 12 + 2 AS DOUBLE) END AS hv,
+                 CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 5 + 1 AS DOUBLE) END AS wv,
+                 CAST(doc_id % 8 AS INT) AS cap,
+                 CAST(doc_id % 6 AS INT) AS seats
+          FROM documents
+        ), r AS (
+          SELECT *,
+                 CASE k WHEN 0 THEN 'swing' WHEN 1 THEN 'pole'
+                        WHEN 2 THEN 'flagpole' WHEN 3 THEN 'advertising_column'
+                        WHEN 4 THEN 'billboard' WHEN 5 THEN 'bench'
+                        WHEN 6 THEN 'table' WHEN 7 THEN 'bus_stop'
+                        WHEN 8 THEN 'bus_stop' WHEN 9 THEN 'cross'
+                        WHEN 10 THEN 'cross' WHEN 11 THEN 'clock'
+                        WHEN 12 THEN 'waste_basket' WHEN 13 THEN 'grit_bin'
+                        WHEN 14 THEN 'post_box' WHEN 15 THEN 'post_box'
+                        WHEN 17 THEN 'phone' WHEN 18 THEN 'vending_machine'
+                        WHEN 19 THEN 'street_lamp' WHEN 20 THEN 'fire_hydrant'
+                 END AS kind,
+                 CASE k WHEN 0 THEN 1.5 WHEN 1 THEN 5.0 WHEN 2 THEN 10.0
+                        WHEN 3 THEN 3.0 WHEN 4 THEN 3.5 WHEN 6 THEN 0.75
+                        WHEN 7 THEN 3.0 WHEN 8 THEN 3.0 WHEN 9 THEN 2.0
+                        WHEN 10 THEN 4.0 WHEN 11 THEN 10.0 WHEN 13 THEN 0.5
+                        WHEN 14 THEN 0.800000011920929 WHEN 15 THEN 2.0
+                        WHEN 17 THEN 2.0999999046325684
+                        WHEN 18 THEN 1.7999999523162842
+                        WHEN 19 THEN 5.0 WHEN 20 THEN 1.0
+                 END AS dh
+          FROM g WHERE k NOT IN (16, 21)
+        ), h AS (
+          SELECT *, COALESCE(hv, dh) AS height
+          FROM r
+        )
+        SELECT doc_id, kind,
+               CASE WHEN dh IS NOT NULL
+                    THEN CAST(FLOOR(height * 1000000.0 + 0.5) AS BIGINT)
+               END AS height_u,
+               CAST(FLOOR((CASE k
+                 WHEN 0 THEN COALESCE(wv, 0.5 * cap)
+                 WHEN 1 THEN COALESCE(wv, 0.2)
+                 WHEN 4 THEN COALESCE(wv, 4.0)
+                 WHEN 5 THEN COALESCE(wv, 0.5 * seats)
+                 WHEN 6 THEN COALESCE(wv, height * 1.2000000476837158)
+                 WHEN 9 THEN COALESCE(hv, height * 2.0 / 3.0)
+                 WHEN 10 THEN COALESCE(hv, height * 2.0 / 3.0)
+                 WHEN 11 THEN COALESCE(wv, 1.0)
+                 WHEN 13 THEN COALESCE(wv, 1.0)
+                 WHEN 14 THEN COALESCE(wv, 0.30000001192092896)
+                 WHEN 15 THEN COALESCE(wv, 0.5)
+                 WHEN 17 THEN COALESCE(wv, 0.800000011920929)
+               END) * 1000000.0 + 0.5) AS BIGINT) AS width_u
+        FROM h
     """
 
     return sql

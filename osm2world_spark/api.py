@@ -374,6 +374,14 @@ class Engine:
 
         return aeroway_width(elements, tags_col)
 
+    def furniture_attributes(self, elements: DataFrame,
+                             tags_col: str = "tags") -> DataFrame:
+        """StreetFurnitureModule multi-match kinds + dims — one row per
+        matched kind (operators/furniture.py)."""
+        from .operators.furniture import furniture_attributes
+
+        return furniture_attributes(elements, tags_col)
+
     # ------------------------------------------------------------- convert
 
     def convert(self, docs: DataFrame, out_dir: str, run_ts: str = "run0",
